@@ -1,0 +1,270 @@
+"""Data-profiling aggregations (SURVEY.md §2.5) — the analytic core of the
+reference's QA pipeline (R/etl_qa_run_pipeline.R:656-1000 and the four
+generated T-SQL programs :1172-1466).
+
+Design (Spark-first, scale-first)
+---------------------------------
+The reference melts the *raw* table wide->long and aggregates the long
+relation (R path), or scans the base table 3-4 times with per-type SQL
+(SQL path). Neither survives 100 TB: a raw melt multiplies rows by the
+column count before the shuffle, and repeated base scans multiply I/O.
+
+Here every per-column statistic (missingness A1, numeric stats A2/A3,
+date stats A4, distinct gate A6) is computed as a *conditional aggregate
+per column in a single groupBy(time) pass over the base table* — the
+shuffle carries one row per (time-group x aggregate), not per
+(raw-row x column) — and only the already-tiny aggregated result is
+reshaped long. Only categorical frequency (A5), whose grouping key
+genuinely includes the value, melts raw rows, and only over the
+categorical columns after projection.
+
+All expressions are native Columns (no Python UDFs): the whole profile
+runs inside whole-stage codegen with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from apde_etl_spark.operators.reshape import melt_long
+
+#: epoch anchor used to turn dates into day offsets for exact-median math
+_EPOCH = "1970-01-01"
+
+
+# ---------------------------------------------------------------------------
+# Type classification (SURVEY.md §1.2; reference split_column_types,
+# R/etl_qa_run_pipeline.R:1078-1162)
+# ---------------------------------------------------------------------------
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,  # bit -> numeric, :1110-1142
+)
+_DATETIME_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
+_CHARACTER_TYPES = (T.StringType, T.BinaryType)  # binary/varbinary -> character, :1117
+
+
+@dataclass
+class ColumnClasses:
+    """3-way analytic split + skipped 'other' columns."""
+
+    numeric: list[str] = field(default_factory=list)
+    datetime: list[str] = field(default_factory=list)
+    character: list[str] = field(default_factory=list)
+    other: list[str] = field(default_factory=list)
+
+    @property
+    def profiled(self) -> list[str]:
+        return self.numeric + self.datetime + self.character
+
+
+def classify_columns(df: DataFrame, cols: Sequence[str] | None = None) -> ColumnClasses:
+    """Classify columns into {numeric, datetime, character, other} from the
+    DataFrame schema — replacing the reference's sys.columns catalog join
+    (R/etl_qa_run_pipeline.R:1085-1142) with ``df.schema`` introspection.
+    """
+    wanted = set(cols) if cols is not None else set(df.columns)
+    out = ColumnClasses()
+    for f_ in df.schema.fields:
+        if f_.name not in wanted:
+            continue
+        if isinstance(f_.dataType, _NUMERIC_TYPES):
+            out.numeric.append(f_.name)
+        elif isinstance(f_.dataType, _DATETIME_TYPES):
+            out.datetime.append(f_.name)
+        elif isinstance(f_.dataType, _CHARACTER_TYPES):
+            out.character.append(f_.name)
+        else:
+            out.other.append(f_.name)  # skipped with warning in reference :1150-1153
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A6 — distinct-count gate (R/etl_qa_run_pipeline.R:1252-1263)
+# ---------------------------------------------------------------------------
+
+def distinct_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Exact distinct count per column -> ``(varname, n_distinct)``.
+
+    Exact (not approx) because it *gates classification*: numeric/date
+    columns under the threshold are demoted to categorical (SURVEY §2.10.6).
+
+    Implemented as melt -> two-phase groupBy rather than one
+    ``countDistinct`` per column in a single agg: multiple DISTINCT
+    aggregates make Catalyst insert an Expand (k-fold row multiplication
+    before the shuffle), while the melt form partial-aggregates
+    (varname, value) map-side, so shuffle volume is bounded by the sum of
+    per-partition distinct counts — the cheap plan at 100 TB for the
+    low-cardinality columns this gate exists to find.
+    """
+    long = melt_long(df, [], cols, value_type="string")
+    return (
+        long.groupBy("varname", "value").agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("varname")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — missingness profile (R :700-702; T-SQL :1184-1202)
+# ---------------------------------------------------------------------------
+
+def missingness_profile(df: DataFrame, time_col: str | Column, cols: Sequence[str]) -> DataFrame:
+    """Per (time_period, varname): count of NULLs and proportion missing.
+
+    One pass: groupBy(time) with a conditional SUM per column, then melt
+    the aggregated wide row — not the reference's melt-then-aggregate
+    (raw-row x column explosion). Real nulls via ``isNull``; the
+    reference's ``'NULL'`` string sentinel is consciously dropped
+    (SURVEY §2.10.3).
+    """
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    aggs = [F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+    wide = df.groupBy(t.alias("time_period")).agg(*aggs, F.count(F.lit(1)).alias("__total"))
+    long = melt_long(wide, ["time_period", "__total"], list(cols), value_name="nrow", value_type="long")
+    return long.select(
+        "time_period",
+        "varname",
+        "nrow",
+        (F.col("nrow") / F.col("__total")).alias("proportion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 — continuous stats with exact median (R :714-718; T-SQL :1264-1309)
+# ---------------------------------------------------------------------------
+
+def numeric_stats(df: DataFrame, time_col: str | Column, cols: Sequence[str]) -> DataFrame:
+    """Per (time_period, varname): mean, exact median, min, max (doubles).
+
+    Median uses exact interpolating ``percentile(col, 0.5)`` — R
+    ``stats::median`` semantics, the reference's intended truth per its
+    cross-backend identity test (SURVEY §2.10.1 documents the divergence
+    from the T-SQL branch's rows-N/2,N/2+1 averaging). NULLs are ignored
+    by all four aggregates, matching ``na.rm=TRUE`` (:714-717).
+
+    Single groupBy(time) pass; the per-column aggregate quadruple is then
+    stacked long driver-free. ``percentile`` is exact (sorts values per
+    group within the agg buffer) — acceptable because the distinct-count
+    gate already routed truly-continuous columns here; at extreme group
+    sizes swap for ``approx_percentile`` via the ``exact_median`` flag.
+    """
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    aggs: list[Column] = []
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.avg(d).alias(f"{c}__mean"),
+            F.percentile(d, F.lit(0.5)).alias(f"{c}__median"),
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+        ]
+    wide = df.groupBy(t.alias("time_period")).agg(*aggs)
+    pairs = ", ".join(
+        f"'{c}', `{c}__mean`, `{c}__median`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    stack = (
+        f"stack({len(cols)}, {pairs}) as (varname, mean, median, min, max)"
+    )
+    return wide.select("time_period", F.expr(stack))
+
+
+# ---------------------------------------------------------------------------
+# A4 — date stats with midpoint median (R :733-739; T-SQL :1369-1416)
+# ---------------------------------------------------------------------------
+
+def date_stats(df: DataFrame, time_col: str | Column, cols: Sequence[str]) -> DataFrame:
+    """Per (time_period, varname): min_date, max_date, median_date.
+
+    Dates become day offsets from the epoch, the exact interpolating
+    median is taken, and the (possibly fractional) result floors back to a
+    date — reproducing the reference's even-count midpoint rule
+    ``DATEADD(day, DATEDIFF(day, lo, hi)/2, lo)`` (:1405-1410), since
+    floor(interp(lo, hi, .5)) == lo + floor((hi-lo)/2) for day integers.
+    Timestamps are truncated to dates first, as the R path coerces POSIXct
+    to Date (:729).
+    """
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    epoch = F.lit(_EPOCH).cast("date")
+    aggs: list[Column] = []
+    for c in cols:
+        d = F.col(c).cast("date")
+        days = F.datediff(d, epoch).cast("double")
+        aggs += [
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+            F.floor(F.percentile(days, F.lit(0.5))).cast("int").alias(f"{c}__meddays"),
+        ]
+    wide = df.groupBy(t.alias("time_period")).agg(*aggs)
+    pairs = ", ".join(f"'{c}', `{c}__min`, `{c}__max`, `{c}__meddays`" for c in cols)
+    stack = f"stack({len(cols)}, {pairs}) as (varname, min_date, max_date, __meddays)"
+    return wide.select("time_period", F.expr(stack)).withColumn(
+        "median_date", F.date_add(epoch, F.col("__meddays"))
+    ).drop("__meddays")
+
+
+# ---------------------------------------------------------------------------
+# A5/A7 — categorical frequency + within-group proportion
+# (R :755,1063; T-SQL :1455-1462)
+# ---------------------------------------------------------------------------
+
+def categorical_freq(df: DataFrame, time_col: str | Column, cols: Sequence[str]) -> DataFrame:
+    """Per (time_period, varname, value): count and within-(time,varname)
+    proportion.
+
+    The one genuinely melt-shaped profile: project time + categorical
+    columns only, stack, then a single groupBy with map-side partial
+    aggregation. Shuffle rows ~= distinct (time, varname, value) triples,
+    not raw rows. NULL is a first-class category (kept, counted).
+    """
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    long = melt_long(
+        df.select(t.alias("time_period"), *[F.col(c).cast("string") for c in cols]),
+        ["time_period"], list(cols), value_type="string",
+    )
+    freq = long.groupBy("time_period", "varname", "value").agg(F.count(F.lit(1)).alias("count"))
+    w = Window.partitionBy("time_period", "varname")
+    return freq.withColumn("proportion", F.col("count") / F.sum("count").over(w))
+
+
+# ---------------------------------------------------------------------------
+# W2/A8/O2 — top-k by dense rank with pinned NA + 'Other values' rollup
+# (keep_top_8, R/etl_qa_run_pipeline.R:1051-1066)
+# ---------------------------------------------------------------------------
+
+def top_k_with_other(
+    freq: DataFrame,
+    k: int = 8,
+    group_cols: Sequence[str] = ("time_period", "varname"),
+    other_label: str = "Other values",
+) -> DataFrame:
+    """Keep the k densest-ranked values per group (ties keep all members),
+    always keep NULL (rank pinned to 0, :1055), relabel the remainder
+    ``'Other values'`` and re-aggregate; proportions are computed *after*
+    the rollup (:1062-1063, SURVEY §2.10.4).
+
+    The rank window partitions by (time, varname) — the same key the
+    frequency shuffle already clustered by, so no extra exchange.
+    """
+    gc = list(group_cols)
+    # dense rank on count ONLY — ties share a rank and are all kept,
+    # matching frankv(-count, ties.method='dense') (:1054).
+    w = Window.partitionBy(*gc).orderBy(F.desc("count"))
+    ranked = freq.withColumn(
+        "rank",
+        F.when(F.col("value").isNull(), F.lit(0)).otherwise(F.dense_rank().over(w)),
+    )
+    relabelled = ranked.withColumn(
+        "value",
+        F.when(F.col("rank") <= k, F.col("value")).otherwise(F.lit(other_label)),
+    )
+    rolled = relabelled.groupBy(*gc, "value").agg(F.sum("count").alias("count"))
+    wp = Window.partitionBy(*gc)
+    return rolled.withColumn("proportion", F.col("count") / F.sum("count").over(wp))

@@ -1,0 +1,104 @@
+"""The QA profiling pipeline — the reference's analytic entry point
+``etl_qa_run_pipeline()`` (R/etl_qa_run_pipeline.R:141-449) re-expressed
+as one lazy DataFrame program.
+
+Lifecycle mapping (SURVEY.md §3.1): the reference validates args, builds a
+``qa_data_config`` IR, dispatches to one of two executors (in-memory
+data.table vs generated T-SQL) whose outputs must be identical, then
+post-processes. Here the backend split collapses: the config builds a
+single DataFrame DAG and Catalyst owns the physical plan. The DuckDB
+oracle in ``__spark_entry__.py`` plays the reference's cross-backend
+identity role (tests/manual/test-etl_qa_run_pipeline.R:138-141).
+
+Physical notes
+--------------
+- The raw table is scanned ONCE per column family (numeric+date+missing
+  share a single groupBy pass each; categorical needs its own melt), vs
+  the reference's 3-4 full base scans (:1186,1238,1343,1444).
+- The time-range filter and column projection are applied before any
+  aggregation, so Catalyst pushes them into the parquet scan (predicate
+  pushdown + column pruning; verify with .explain -> PushedFilters).
+- Numeric/date columns under ``distinct_threshold`` distinct values are
+  demoted to categorical (:1252-1263) — an explicit cheap-gate-then-stats
+  two-phase plan, same as the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators import finalize as FIN
+from apde_etl_spark.operators import profile as P
+
+
+@dataclass
+class QaConfig:
+    """Declarative profiling job description — the reference's
+    ``qa_data_config`` S3 object (R/etl_qa_run_pipeline.R:458-563)."""
+
+    time_var: str
+    cols: list[str] | None = None           # None -> all columns except time
+    time_range: tuple | None = None          # inclusive (lo, hi) on time_var
+    distinct_threshold: int = 10             # demotion gate (:517)
+    abs_threshold: float = 3.0               # percentage points (:520)
+    rel_threshold: float = 10.0              # percent (:523)
+    top_k: int = 8                           # categorical cap (:1056)
+    digits_mean: int = 2
+    digits_prop: int = 3
+    time_expr: Column | None = None          # optional derived time axis
+
+
+@dataclass
+class QaResults:
+    missingness: DataFrame
+    values: DataFrame
+    classes: P.ColumnClasses = field(default=None)
+
+
+def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
+    """Profile ``df`` per the config; returns the reference's exported
+    table contracts (SURVEY.md §3.1 step 4)."""
+    t = config.time_expr if config.time_expr is not None else F.col(config.time_var)
+
+    cols = config.cols or [c for c in df.columns if c != config.time_var]
+    # P1/P2 — project + range-filter FIRST so the scan is pruned/pushed.
+    base = df.select(t.alias("__time"), *[F.col(c) for c in cols])
+    if config.time_range is not None:
+        lo, hi = config.time_range
+        base = base.filter(F.col("__time").between(lo, hi))
+
+    classes = P.classify_columns(base, cols)
+
+    # A6 gate: numeric/date columns with few distincts become categorical.
+    gate_cols = classes.numeric + classes.datetime
+    demoted: set[str] = set()
+    if gate_cols:
+        counts = {
+            r["varname"]: r["n_distinct"]
+            for r in P.distinct_counts(base, gate_cols).collect()
+        }
+        demoted = {c for c, n in counts.items() if n < config.distinct_threshold}
+
+    num_cols = [c for c in classes.numeric if c not in demoted]
+    date_cols = [c for c in classes.datetime if c not in demoted]
+    cat_cols = classes.character + [c for c in gate_cols if c in demoted]
+
+    miss = P.missingness_profile(base, "__time", classes.profiled)
+    missing_final = FIN.finalize_missingness(miss, config.abs_threshold, config.digits_prop)
+
+    continuous = date = categorical = None
+    if num_cols:
+        stats = P.numeric_stats(base, "__time", num_cols)
+        continuous = FIN.finalize_continuous(stats, config.rel_threshold, config.digits_mean)
+    if date_cols:
+        date = P.date_stats(base, "__time", date_cols)
+    if cat_cols:
+        freq = P.categorical_freq(base, "__time", cat_cols)
+        top = P.top_k_with_other(freq, config.top_k)
+        categorical = FIN.finalize_categorical(top, config.abs_threshold, config.digits_prop)
+
+    values = FIN.stack_values(categorical, continuous, date)
+    return QaResults(missingness=missing_final, values=values, classes=classes)

@@ -1,0 +1,132 @@
+"""Behavioral tests for the profile operators, modeled on the reference's
+seeded-synthetic-data strategy (SURVEY.md §5; FIXTURES.md F1: seed 98104,
+categorical with injected NAs + a 2016 missingness spike, normal numeric
+with NAs)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators import profile as P
+from apde_etl_spark.plans.qa_pipeline import QaConfig, run_qa_pipeline
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    """Reference-style fixture: years 2011-2020, a 4-level categorical with
+    NULLs (extra missing in 2016), a numeric with NULLs, a date column."""
+    import random
+
+    rng = random.Random(98104)
+    rows = []
+    cats = ["alpha", "beta", "gamma", "delta"]
+    for i in range(4000):
+        year = rng.randint(2011, 2020)
+        cat = None if rng.random() < 0.05 or (year == 2016 and rng.random() < 0.20) else rng.choice(cats)
+        num = None if rng.random() < 0.035 else rng.gauss(5000, 300)
+        dt = datetime.date(year, rng.randint(1, 12), rng.randint(1, 28))
+        low = rng.randint(0, 2)  # low-distinct numeric -> must demote
+        rows.append(Row(myyear=year, mycategorical=cat, myinteger=num, mydate=dt, mylow=low))
+    return spark.createDataFrame(rows)
+
+
+def test_classify_columns(synth):
+    cl = P.classify_columns(synth)
+    assert set(cl.numeric) == {"myyear", "myinteger", "mylow"}
+    assert cl.datetime == ["mydate"]
+    assert cl.character == ["mycategorical"]
+
+
+def test_distinct_counts_gate(synth):
+    got = {r["varname"]: r["n_distinct"] for r in P.distinct_counts(synth, ["mylow", "myyear"]).collect()}
+    assert got["mylow"] == 3
+    assert got["myyear"] == 10
+
+
+def test_missingness_counts_and_proportions(synth):
+    m = P.missingness_profile(synth, "myyear", ["mycategorical", "myinteger"]).collect()
+    by = {(r["time_period"], r["varname"]): r for r in m}
+    total_2016 = synth.filter("myyear = 2016").count()
+    null_2016 = synth.filter("myyear = 2016 and mycategorical is null").count()
+    r = by[(2016, "mycategorical")]
+    assert r["nrow"] == null_2016
+    assert abs(r["proportion"] - null_2016 / total_2016) < 1e-12
+    # spike: 2016 proportion must exceed a non-spike year's
+    assert by[(2016, "mycategorical")]["proportion"] > by[(2015, "mycategorical")]["proportion"]
+
+
+def test_numeric_stats_matches_python(synth):
+    import statistics
+
+    vals = [r["myinteger"] for r in synth.filter("myyear = 2013").select("myinteger").collect()
+            if r["myinteger"] is not None]
+    got = {r["varname"]: r for r in P.numeric_stats(
+        synth.filter("myyear = 2013"), "myyear", ["myinteger"]).collect()}["myinteger"]
+    assert abs(got["mean"] - statistics.fmean(vals)) < 1e-9
+    assert abs(got["median"] - statistics.median(vals)) < 1e-9
+    assert got["min"] == min(vals)
+    assert got["max"] == max(vals)
+
+
+def test_date_stats_midpoint_median(spark):
+    # even count: median must be the floor-midpoint of the two middle dates
+    d = datetime.date
+    df = spark.createDataFrame(
+        [Row(y=1, d=d(2020, 1, 1)), Row(y=1, d=d(2020, 1, 2)),
+         Row(y=1, d=d(2020, 1, 9)), Row(y=1, d=d(2020, 1, 30))]
+    )
+    row = P.date_stats(df, "y", ["d"]).collect()[0]
+    assert row["min_date"] == d(2020, 1, 1)
+    assert row["max_date"] == d(2020, 1, 30)
+    # middles are Jan 2 and Jan 9 -> interp 5.5 days -> floor -> Jan 5
+    assert row["median_date"] == d(2020, 1, 5)
+
+
+def test_categorical_freq_proportions_sum_to_one(synth):
+    freq = P.categorical_freq(synth, "myyear", ["mycategorical"])
+    sums = freq.groupBy("time_period", "varname").agg(F.sum("proportion").alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+
+
+def test_top_k_with_other_pins_null_and_rolls_up(spark):
+    rows = [Row(time_period=1, varname="v", value=f"c{i:02d}", count=100 - i) for i in range(12)]
+    rows.append(Row(time_period=1, varname="v", value=None, count=1))
+    freq = spark.createDataFrame(rows).withColumn("proportion", F.lit(0.0))
+    out = P.top_k_with_other(freq.select("time_period", "varname", "value", "count"), k=8).collect()
+    vals = {r["value"]: r for r in out}
+    assert None in vals  # NA pinned regardless of rank
+    assert "Other values" in vals
+    assert vals["Other values"]["count"] == sum(100 - i for i in range(8, 12))
+    assert abs(sum(r["proportion"] for r in out) - 1.0) < 1e-12
+
+
+def test_pipeline_end_to_end(synth):
+    res = run_qa_pipeline(synth, QaConfig(time_var="myyear", distinct_threshold=5))
+    miss = res.missingness.collect()
+    vals = res.values
+    # 4 profiled columns (time_var excluded) x 10 years, dense grid
+    assert len(miss) == 4 * 10
+    vartypes = {r["vartype"] for r in vals.select("vartype").distinct().collect()}
+    assert vartypes == {"Categorical", "Continuous", "Date"}
+    # mylow demoted to categorical
+    cat_vars = {r["varname"] for r in vals.filter("vartype = 'Categorical'").select("varname").distinct().collect()}
+    assert "mylow" in cat_vars and "mycategorical" in cat_vars
+    # 2016 spike must raise an abs_change flag (string like '12.3%')
+    flags = [r for r in miss if r["varname"] == "mycategorical" and r["time_period"] == 2016]
+    assert flags and flags[0]["abs_change"] is not None and flags[0]["abs_change"].endswith("%")
+
+
+def test_all_missing_detector(spark):
+    from apde_etl_spark.operators.finalize import all_missing_vars
+
+    df = spark.createDataFrame(
+        [Row(time_period=1, varname="dead", proportion=1.0),
+         Row(time_period=2, varname="dead", proportion=1.0),
+         Row(time_period=1, varname="ok", proportion=1.0),
+         Row(time_period=2, varname="ok", proportion=0.5)]
+    )
+    assert [r["varname"] for r in all_missing_vars(df).collect()] == ["dead"]
