@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one DataFrame program per implemented SURVEY.md §2
+operator (plus the training-data extension surface).
+``oracle_sql()`` — DuckDB twins for the correctness gate.
+
+Implementations live in ``apde_etl_spark/plans/catalog.py`` (reference
+parity surface) and ``catalog_ext.py`` (dedup / text / similarity
+extensions); this module only re-exports the registry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apde_etl_spark.plans import catalog  # noqa: E402
+from apde_etl_spark.plans import catalog_ext  # noqa: E402,F401  (registers on import)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: QA missingness profile of lineitem by ship year at
+    sf0.001 (SURVEY.md §7.1 step 1) — one groupBy pass + aggregate-side
+    melt; returns (time_period, varname, nrow, proportion)."""
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators.profile import missingness_profile
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cols = [c for c in li.columns if c != "l_shipdate"]
+    return missingness_profile(li, F.year("l_shipdate").cast("int"), cols)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(catalog.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(catalog.ORACLES)

@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: queries timed by the bench — the scan/shuffle/join/window-heavy subset;
+#: trivially-small queries are excluded so the number reflects engine work.
+HEADLINE = [
+    "q1_pricing_summary",
+    "a1_missingness_orders",
+    "a2_numeric_stats_lineitem",
+    "a4_date_stats_orders",
+    "a5_categorical_freq_events",
+    "o2_top8_other_brands",
+    "a6_distinct_gate_lineitem",
+    "j2_revenue_by_region",
+    "j6_customers_without_orders",
+    "w4_latest_event_per_user",
+    "u2_dateswitch_union_dedup",
+    "o3_top100_orders",
+    "dedup_exact_documents",
+    "text_quality_metrics",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from apde_etl_spark.session import get_spark
+
+    spark = get_spark("apde-etl-bench")
+    qs = entrymod.queries()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = SF_DIR
+
+    # JVM/codegen warm-up on an untimed small action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = len(df.collect())
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
