@@ -1,0 +1,60 @@
+"""Deduplication & cross-dataset sync operators (SURVEY.md §2 W4/A10/J6;
+reference deduplicate_addresses.R).
+
+``keep_newest`` and ``sync_diff`` are the reference's primitives; the
+near-duplicate family (minhash/simhash/jaccard) extends them for
+training-data pipelines at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def keep_newest(df: DataFrame, key_cols: Sequence[str], order_col: str,
+                tiebreak_cols: Sequence[str] = ()) -> DataFrame:
+    """W4 — first-row-per-group, newest first (deduplicate_addresses.R:90-94:
+    order by (key, last_run), keep .I[1]). Window partitions on the key, so
+    the shuffle matches the dedup key exactly — no secondary exchange."""
+    order = [F.desc(order_col), *[F.desc(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dup_count(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """A10/W5 — per-key row count attached to every row
+    (row_cnt := .N, deduplicate_addresses.R:80)."""
+    w = Window.partitionBy(*key_cols)
+    return df.withColumn("row_cnt", F.count(F.lit(1)).over(w))
+
+
+def dup_histogram(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """A10 — histogram of per-key multiplicities
+    (deduplicate_addresses.R:80-84)."""
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("row_cnt"))
+    return per_key.groupBy("row_cnt").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+def sync_diff(a: DataFrame, b: DataFrame, key_cols: Sequence[str]) -> tuple[DataFrame, DataFrame]:
+    """J6 — two-sided anti-join sync: (rows of A missing from B, rows of B
+    missing from A) by key (deduplicate_addresses.R:121-122). Both
+    directions reuse one shuffle partitioning on the key columns."""
+    keys = list(key_cols)
+    return (
+        a.join(b, on=keys, how="left_anti"),
+        b.join(a, on=keys, how="left_anti"),
+    )
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Exact row dedup: distinct over all (or the given) columns — the
+    reference's UNION-dedup semantics (load_table_from_sql.R:383-393)."""
+    return df.dropDuplicates(list(cols) if cols else None)

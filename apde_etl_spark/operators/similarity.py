@@ -36,6 +36,128 @@ def as_double_array(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash from the md5 hex prefix.
+
+    Chosen over ``xxhash64``/``F.hash`` because md5 is available with
+    identical output in DuckDB — cross-engine-checkable signatures. 15 hex
+    chars = 60 bits, always positive in an int64."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of whitespace-tokenized text ->
+    array<string>. Native transform/slice — no UDF, no explode."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.array_distinct(
+        F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of per-family
+    60-bit hashes. Family ``j`` prepends ``'j:'`` to the shingle — one
+    md5 per (shingle, family), all inside codegen."""
+    sigs = [
+        F.array_min(F.transform(shingles, lambda s, j=j: hash60(F.concat(F.lit(f"{j}:"), s))))
+        for j in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Split a signature into band keys ``'<band>:<v1>,<v2>,...'``.
+    Documents sharing ANY band key become candidate pairs — the classic
+    banding scheme: at 100 TB the band key is the shuffle key, so
+    near-dup search costs one exchange over (doc, band) instead of an
+    all-pairs comparison."""
+    parts = []
+    for b in range(bands):
+        vals = [F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)]
+        parts.append(F.concat_ws(",", F.lit(f"{b}:"), *vals))
+    return F.array(*parts)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with exact
+    Jaccard: shingle -> sign -> band -> bucket self-join -> verify.
+
+    Plan shape at scale: one narrow pass computes (id, shingles, sig,
+    bands); explode(bands) then a self-equi-join on the band key (shuffle
+    bounded by bucket sizes, AQE splits skewed buckets); candidate pairs
+    are distinct'd before the exact-Jaccard verification join so each
+    pair is verified once.
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), k).alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    banded = base.select(
+        id_col, F.explode(lsh_bands(F.col("__sig"), bands, rows)).alias("__band")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.__band") == F.col("b.__band"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = base.select(F.col(id_col), F.col("__sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens: per-token 60-bit hash,
+    per-bit +/-1 vote, sign vector -> integer fingerprint.
+
+    Implemented as explode + groupBy(id) with ``bits`` conditional sums:
+    map-side partial aggregation collapses each document's tokens within
+    the partition, so the shuffle carries one row per document."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
+    ).withColumn("__h", hash60(F.col("__tok")))
+    # shiftright, NOT double division: __h is 60-bit, double mantissa is 53
+    votes = [
+        F.sum(F.shiftright(F.col("__h"), i) % 2 * 2 - 1).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"__b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -97,6 +97,174 @@ def langid_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Near-dup family — exact n-gram Jaccard, MinHash+LSH, SimHash
+# ===========================================================================
+
+# DuckDB building blocks mirroring operators/similarity.py exactly:
+# 60-bit hash = int of first 15 md5 hex chars; 3-word shingles; 16 minhashes.
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(t) - 3 + 2), "
+    "i -> concat(t[CAST(i AS INTEGER)], ' ', t[CAST(i AS INTEGER)+1], ' ', t[CAST(i AS INTEGER)+2])))"
+)
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {_sql_round("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))", 6)} AS jaccard_sim
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+"""
+
+
+@register("ngram_jaccard_pairs", _JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard over all pairs >= 0.2 — the
+    brute-force truth the LSH path approximates. Quadratic by design;
+    exists as the verification baseline for minhash_lsh_neardup."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", SIM.word_shingles(F.col("text"), 3).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    j = SIM.jaccard(F.col("sa"), F.col("sb"))
+    return (
+        pairs.withColumn("jaccard_sim", j)
+        .filter(F.col("jaccard_sim") >= 0.2)
+        .select("id_a", "id_b", round_half_away(F.col("jaccard_sim"), 6).alias("jaccard_sim"))
+    )
+
+
+def _sql_minhash_sig() -> str:
+    """16-element minhash signature as a DuckDB list expression over
+    shingle list ``s`` (same '<j>:' family salt as the Spark side)."""
+    mins = []
+    for j in range(16):
+        salted = _sql_hash60(f"concat('{j}:', x)")
+        mins.append(f"list_min(list_transform(s, x -> {salted}))")
+    return "[" + ", ".join(mins) + "]"
+
+
+_MINHASH_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+sig AS (SELECT doc_id, s, {_sql_minhash_sig()} AS g FROM sh),
+banded AS (
+  SELECT doc_id, unnest([
+    concat('0:', ',', g[1], ',', g[2], ',', g[3], ',', g[4]),
+    concat('1:', ',', g[5], ',', g[6], ',', g[7], ',', g[8]),
+    concat('2:', ',', g[9], ',', g[10], ',', g[11], ',', g[12]),
+    concat('3:', ',', g[13], ',', g[14], ',', g[15], ',', g[16])
+  ]) AS band FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       {_sql_round("CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))", 6)} AS jaccard_sim
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.2
+"""
+
+
+@register("minhash_lsh_neardup", _MINHASH_ORACLE)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) candidate generation with exact
+    Jaccard verification — the 100 TB-scale near-dup path (band key is the
+    shuffle key; no all-pairs join). Oracle runs the identical algorithm,
+    so the hash check verifies the full pipeline including banding."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(SIM.word_shingles(F.col("text"), 3)) > 0
+    )
+    out = SIM.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.2)
+    return out.select("id_a", "id_b", round_half_away(F.col("jaccard_sim"), 6).alias("jaccard_sim"))
+
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tk FROM documents
+), h AS (
+  SELECT doc_id, {_sql_hash60('tk')} AS hv FROM tok
+), votes AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(((hv >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(16))}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16))} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+@register("simhash_documents", _SIMHASH_ORACLE)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints: per-token hash, per-bit +/-1 votes,
+    sign vector packed to an integer. Explode + groupBy with map-side
+    combine -> shuffle carries one row per document."""
+    docs = load(spark, sf_dir, "documents")
+    return SIM.simhash(docs, "doc_id", "text", bits=16)
+
+
+_EMB_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {_sql_round('c', 6)} AS cosine_sim
+FROM scored ORDER BY c DESC, id_a ASC, id_b ASC LIMIT 20
+"""
+
+
+@register("embed_topk_pairs", _EMB_PAIRS_ORACLE)
+def embed_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs by exact cosine — the
+    embedding near-dup primitive (brute force; the LSH-bucketed variant
+    is the scale path, tested against this in tests/)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", SIM.as_double_array("embedding").alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a", "id_b", SIM.cosine(F.col("va"), F.col("vb")).alias("c")
+    )
+    out = out.orderBy(F.desc("c"), F.asc("id_a"), F.asc("id_b")).limit(20)
+    return out.select("id_a", "id_b", round_half_away(F.col("c"), 6).alias("cosine_sim"))
+
+
+_TOKENS_BY_SOURCE_ORACLE = f"""
+SELECT source,
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+@register("token_count_by_source", _TOKENS_BY_SOURCE_ORACLE)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source — the budget-planning primitive
+    of a training-data pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TX.token_count("text").cast("long")).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ===========================================================================
 # Similarity search — brute-force cosine top-k (ANN baseline)
 # ===========================================================================
 

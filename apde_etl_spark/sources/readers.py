@@ -1,0 +1,136 @@
+"""Readers / bulk-load surface (SURVEY.md §2.1 S6/S7/S8).
+
+The reference shells out to ``bcp`` for delimited files
+(load_table_from_file.R:396-408) and generates ``COPY INTO`` for lake
+files (copy_into.R:101-148). Both collapse to ``spark.read`` with
+options; the tuning knobs (batch size, TABLOCK, drop-index-then-reload)
+are physical-strategy concerns Spark replaces with partitioned parquet
+writes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from apde_etl_spark.sources.config import tsql_type_to_spark
+
+
+def schema_from_config(vars_map: Mapping[str, str]) -> T.StructType:
+    """Typed column list from a reference-style YAML ``vars`` block
+    (``{name: TSQLTYPE}``, create_table.R:20-68) -> StructType."""
+    return T.StructType(
+        [T.StructField(name, _parse_ddl(tsql_type_to_spark(t)), True) for name, t in vars_map.items()]
+    )
+
+
+def _parse_ddl(ddl: str) -> T.DataType:
+    return T.StructType.fromDDL(f"`x` {ddl}").fields[0].dataType
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    field_term: str = ",",
+    row_term: str | None = None,
+    first_row: int = 1,
+    schema: T.StructType | None = None,
+    encoding: str = "UTF-8",
+    row_cap: int | None = None,
+) -> DataFrame:
+    """Delimited-file load with the reference's knobs
+    (load_table_from_file.R:105-122): field/row terminator, first_row
+    (header skip), UTF-8, and the test-mode row cap (-L 1001, :313).
+    """
+    reader = (
+        spark.read.option("sep", field_term)
+        .option("header", first_row > 1)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+    )
+    if row_term is not None:
+        reader = reader.option("lineSep", row_term)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(path)
+    if row_cap is not None:
+        df = df.limit(row_cap)
+    return df
+
+
+def read_lake_file(
+    spark: SparkSession,
+    path: str,
+    file_type: str = "parquet",
+    compression: str | None = None,
+    field_quote: str = '"',
+    field_term: str = ",",
+    first_row: int = 2,
+    max_errors: int = 100,
+) -> DataFrame:
+    """COPY INTO analogue (copy_into.R:61-148): csv/parquet/orc with
+    compression + csv dialect options. PERMISSIVE mode plus a
+    ``_corrupt_record`` column plays the MAXERRORS role — bad rows are
+    quarantined in-band instead of aborting the load."""
+    ft = file_type.lower()
+    if ft == "parquet":
+        return spark.read.parquet(path)
+    if ft == "orc":
+        return spark.read.orc(path)
+    if ft == "csv":
+        reader = (
+            spark.read.option("sep", field_term)
+            .option("quote", field_quote)
+            .option("header", first_row > 1)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+        )
+        if compression:
+            reader = reader.option("compression", compression)
+        return reader.csv(path)
+    raise ValueError(f"unsupported file_type {file_type!r} (csv/parquet/orc)")
+
+
+class SourceRegistry:
+    """S8 — function-sourced datasets: the reference dynamically dispatches
+    to a named loader (getFromNamespace(fn, 'apde.data'),
+    etl_qa_run_pipeline.R:856-861). Spark equivalent: a dict of named
+    callables returning DataFrames."""
+
+    def __init__(self) -> None:
+        self._fns: dict[str, callable] = {}
+
+    def register(self, name: str):
+        def deco(fn):
+            self._fns[name] = fn
+            return fn
+        return deco
+
+    def get(self, name: str):
+        if name not in self._fns:
+            raise KeyError(
+                f"data source function {name!r} not registered; have {sorted(self._fns)}"
+            )
+        return self._fns[name]
+
+    def load(self, name: str, spark: SparkSession, **kwargs) -> DataFrame:
+        return self.get(name)(spark, **kwargs)
+
+
+#: process-wide default registry (mirrors the apde.data namespace)
+registry = SourceRegistry()
+
+
+def union_evolving(dfs: Sequence[DataFrame]) -> DataFrame:
+    """U1 — schema-evolving UNION ALL: per-year tables whose column sets
+    differ are stacked against the union of all columns, absent columns
+    NULL-padded (load_table_from_file.R:596-665). ``unionByName`` is the
+    native form of the reference's generated NULL-AS padding."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

@@ -1,0 +1,106 @@
+"""Tests for dedup/sync and the near-duplicate family."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators import dedup as D
+from apde_etl_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def addr(spark):
+    return spark.createDataFrame(
+        [
+            Row(geo_hash="h1", addr="1 Main St", last_run=3),
+            Row(geo_hash="h1", addr="1 Main Street", last_run=1),
+            Row(geo_hash="h2", addr="2 Oak Ave", last_run=5),
+            Row(geo_hash="h3", addr="3 Pine Rd", last_run=2),
+        ]
+    )
+
+
+def test_keep_newest(addr):
+    out = {r["geo_hash"]: r["addr"] for r in D.keep_newest(addr, ["geo_hash"], "last_run").collect()}
+    assert out == {"h1": "1 Main St", "h2": "2 Oak Ave", "h3": "3 Pine Rd"}
+
+
+def test_dup_histogram(addr):
+    hist = {r["row_cnt"]: r["n_keys"] for r in D.dup_histogram(addr, ["geo_hash"]).collect()}
+    assert hist == {2: 1, 1: 2}
+
+
+def test_sync_diff_both_directions(spark):
+    a = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=3)])
+    b = spark.createDataFrame([Row(k=2), Row(k=3), Row(k=4)])
+    only_a, only_b = D.sync_diff(a, b, ["k"])
+    assert [r["k"] for r in only_a.collect()] == [1]
+    assert [r["k"] for r in only_b.collect()] == [4]
+
+
+def test_word_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([Row(id=1, text="a b c d e")])
+    sh = df.select(SIM.word_shingles("text", 3).alias("s")).first()["s"]
+    assert sorted(sh) == ["a b c", "b c d", "c d e"]
+    # short doc -> empty, not an error
+    short = spark.createDataFrame([Row(id=1, text="a b")])
+    assert short.select(SIM.word_shingles("text", 3).alias("s")).first()["s"] == []
+
+
+def test_minhash_similar_docs_share_signature_entries(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base),
+         Row(doc_id=2, text=base + " tomorrow"),          # near-dup
+         Row(doc_id=3, text="completely different words entirely here now")]
+    )
+    pairs = SIM.minhash_lsh_pairs(df, threshold=0.3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """LSH candidates verified >= threshold must equal brute-force pairs
+    on the planted near-dups (recall check at small sf)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select("doc_id", SIM.word_shingles(F.col("text"), 3).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", SIM.jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("j") >= 0.3)
+    )
+    brute_pairs = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert lsh_pairs <= brute_pairs  # precision 1.0 by construction (verified)
+    recall = len(lsh_pairs & brute_pairs) / max(len(brute_pairs), 1)
+    assert recall >= 0.8, f"LSH recall {recall} too low: {brute_pairs - lsh_pairs}"
+
+
+def test_simhash_close_for_similar_docs(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+         Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta iota"),
+         Row(doc_id=3, text="one two three four five six seven eight")]
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in SIM.simhash(df, bits=16).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0]),
+         Row(vec_id=1, embedding=[0.9, 0.1]),
+         Row(vec_id=2, embedding=[0.0, 1.0])]
+    )
+    out = SIM.brute_force_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [0, 1]
+    assert out[0]["cosine_sim"] == pytest.approx(1.0)

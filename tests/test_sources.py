@@ -1,0 +1,127 @@
+"""Tests for the sources layer: config hierarchy, readers, lifecycle."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from apde_etl_spark.sources.config import resolve_config, tsql_type_to_spark
+from apde_etl_spark.sources.lifecycle import (
+    compare_schemas,
+    date_split_reload,
+    row_count_check,
+    synthesize_ddl,
+)
+from apde_etl_spark.sources.readers import read_delimited, schema_from_config, union_evolving
+
+
+def test_config_precedence():
+    cfg = {
+        "field_term": ",",
+        "to_table": "global_t",
+        "2021": {"to_table": "t_2021"},
+        "prod_server": {"to_table": "t_prod", "schema": "prod"},
+    }
+    keys = ["field_term", "to_table", "schema"]
+    # global only
+    assert resolve_config(cfg, keys)["to_table"] == "global_t"
+    # year beats global
+    assert resolve_config(cfg, keys, year=2021)["to_table"] == "t_2021"
+    # server beats year
+    assert resolve_config(cfg, keys, server="prod_server", year=2021)["to_table"] == "t_prod"
+    # explicit override beats all
+    got = resolve_config(cfg, keys, server="prod_server", year=2021,
+                         overrides={"to_table": "arg_t"})
+    assert got["to_table"] == "arg_t"
+    assert got["field_term"] == ","
+
+
+def test_tsql_type_mapping():
+    assert tsql_type_to_spark("VARCHAR(50)") == "string"
+    assert tsql_type_to_spark("NVARCHAR(MAX)") == "string"
+    assert tsql_type_to_spark("DECIMAL(10,2)") == "decimal(10,2)"
+    assert tsql_type_to_spark("bit") == "boolean"
+    assert tsql_type_to_spark("datetime2") == "timestamp"
+    assert tsql_type_to_spark("INT") == "int"
+
+
+def test_schema_from_config_fixture_f2():
+    # FIXTURES.md F2: the reference's generic loader/DDL test table
+    schema = schema_from_config(
+        {"id": "INT", "name": "VARCHAR(50)", "value": "DECIMAL(10,2)", "date_col": "DATE"}
+    )
+    assert [f.dataType.simpleString() for f in schema.fields] == [
+        "int", "string", "decimal(10,2)", "date",
+    ]
+
+
+def test_read_delimited_roundtrip(spark, tmp_path):
+    # FIXTURES.md F3: tab-separated UTF-8 with header row, value-compared
+    p = str(tmp_path / "bcp_fixture")
+    src = spark.createDataFrame(
+        [Row(id=i, name=f"name_{i}") for i in range(1, 6)]
+    )
+    src.coalesce(1).write.option("sep", "\t").option("header", True).csv(p)
+    back = read_delimited(
+        spark, p, field_term="\t", first_row=2,
+        schema=schema_from_config({"id": "INT", "name": "VARCHAR(50)"}),
+    )
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [
+        (i, f"name_{i}") for i in range(1, 6)
+    ]
+
+
+def test_read_delimited_row_cap(spark, tmp_path):
+    p = str(tmp_path / "cap")
+    spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(1).write.option("header", True).csv(p)
+    capped = read_delimited(spark, p, first_row=2, row_cap=10,
+                            schema=schema_from_config({"id": "BIGINT", "v": "BIGINT"}))
+    assert capped.count() == 10
+
+
+def test_union_evolving_pads_missing_columns(spark):
+    y1 = spark.createDataFrame([Row(a=1, b="x")])
+    y2 = spark.createDataFrame([Row(a=2, c=3.5)])
+    out = union_evolving([y1, y2])
+    assert set(out.columns) == {"a", "b", "c"}
+    rows = {r["a"]: r for r in out.collect()}
+    assert rows[1]["c"] is None and rows[2]["b"] is None
+
+
+def test_synthesize_ddl_and_compare(spark):
+    df = spark.createDataFrame([Row(id=1, name="t", value=1.5)])
+    ddl = synthesize_ddl(df, "myschema.mytable")
+    assert ddl.startswith("CREATE TABLE myschema.mytable (")
+    assert "id BIGINT" in ddl and "name STRING" in ddl
+
+    other = spark.createDataFrame([Row(id=1, name=2)])  # name type differs, value missing
+    diff = compare_schemas(df, other)
+    assert diff.missing_in_target == ["value"]
+    assert diff.type_mismatches == [("name", "string", "bigint")]
+    assert not diff.identical
+    assert compare_schemas(df, df).identical
+
+
+def test_row_count_check(spark):
+    a, b = spark.range(10), spark.range(10)
+    ok, ca, cb = row_count_check(a, b)
+    assert ok and ca == cb == 10
+
+
+def test_date_split_reload_auto_cutpoint(spark):
+    import datetime
+
+    d = datetime.date
+    archive = spark.createDataFrame(
+        [Row(k=1, dt=d(2020, 1, 1)), Row(k=2, dt=d(2020, 6, 1))]
+    )
+    new = spark.createDataFrame(
+        [Row(k=2, dt=d(2020, 6, 1)),    # overlaps archive max -> from new
+         Row(k=3, dt=d(2020, 9, 1)),    # genuinely new
+         Row(k=0, dt=d(2019, 1, 1))]    # before cut -> dropped (archive owns)
+    )
+    out = date_split_reload(archive, new, "dt")
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
