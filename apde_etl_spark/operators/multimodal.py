@@ -1,0 +1,124 @@
+"""Multimodal (image/audio/video) column support for training-data
+pipelines (extension surface; BASELINE.json north star).
+
+Design: media ride as opaque ``binary`` columns with typed metadata
+columns beside them. Decode / feature-extraction / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` stages — the only places Python
+touches data, sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+The actual codec calls are STUBBED in this container (no PIL/ffmpeg):
+each stage takes a ``decoder`` callable; the default raises
+``NotImplementedError`` with installation guidance, and
+``deterministic_fake_decoder`` supplies a seeded, content-derived fake so
+the Spark-side plumbing (schema, batching, partitioning) is fully
+exercised in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: schema of a decoded-image record appended by ``decode_images``
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def default_decoder(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "media decoding requires an image/audio library (e.g. Pillow, "
+        "torchaudio) not present in this container; pass decoder="
+        "deterministic_fake_decoder for plumbing tests"
+    )
+
+
+def deterministic_fake_decoder(payload: bytes) -> dict:
+    """Content-derived fake decode: stable pseudo-dimensions and a
+    16-dim feature vector from the md5 digest. Deterministic, so tests
+    and oracles can assert exact values."""
+    d = hashlib.md5(payload).digest()
+    return {
+        "width": 64 + d[0] % 192,
+        "height": 64 + d[1] % 192,
+        "channels": 3,
+        "format": ["jpeg", "png", "webp"][d[2] % 3],
+        "features": [((b / 255.0) * 2.0 - 1.0) for b in d],
+    }
+
+
+def decode_images(
+    df: DataFrame,
+    content_col: str = "content",
+    decoder: Callable[[bytes], dict] = default_decoder,
+) -> DataFrame:
+    """Append decoded metadata (width/height/channels/format) to each row.
+
+    ``mapInPandas`` keeps the full row, adds the meta columns; Arrow
+    moves the binary payloads in columnar batches. Partitioning is
+    whatever the upstream scan produced — no shuffle is introduced."""
+    out_schema = T.StructType(df.schema.fields + list(IMAGE_META_SCHEMA.fields))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            metas = [decoder(bytes(p)) for p in pdf[content_col]]
+            for k in ("width", "height", "channels", "format"):
+                pdf[k] = [m[k] for m in metas]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    decoder: Callable[[bytes], dict] = default_decoder,
+) -> DataFrame:
+    """(id, features array<double>) per media row — the input the
+    similarity operators consume. Projection happens INSIDE the stage:
+    only (id, content) cross the Arrow boundary, not the full row."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = df.select(id_col, content_col)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [decoder(bytes(p))["features"] for p in pdf[content_col]],
+                }
+            )
+
+    return src.mapInPandas(run, out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame-sampling *plan*: emit (media_id, frame_index) rows for
+    every ``every_n``-th frame given a frame_count metadata column. Pure
+    native expressions (sequence + explode); the actual frame decode is a
+    later ``mapInPandas`` stage over this plan."""
+    idx = F.sequence(F.lit(0), F.col("frame_count") - 1, F.lit(every_n))
+    return df.select(id_col, F.explode(idx).alias("frame_index"))

@@ -112,6 +112,32 @@ def distinct_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
+def distinct_gate(df: DataFrame, cols: Sequence[str], threshold: int) -> set[str]:
+    """Columns with fewer than ``threshold`` distinct values (the demotion
+    set), computed scale-aware in two phases:
+
+    1. ``approx_count_distinct`` per column — single pass, no Expand, no
+       melt; HLL error is ~2%, so columns whose estimate clears 3x the
+       threshold are continuous with certainty.
+    2. exact :func:`distinct_counts` only over the survivors (the
+       low-cardinality columns the gate exists to find — cheap shuffle).
+
+    At 100 TB phase 1 reads each value once and shuffles nothing but
+    sketches; phase 2's melt covers only columns whose distinct sets are
+    tiny by construction.
+    """
+    if not cols:
+        return set()
+    approx = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cols]
+    ).first()
+    maybe = [c for c in cols if approx[c] < 3 * threshold]
+    if not maybe:
+        return set()
+    exact = {r["varname"]: r["n_distinct"] for r in distinct_counts(df, maybe).collect()}
+    return {c for c, n in exact.items() if n < threshold}
+
+
 # ---------------------------------------------------------------------------
 # A1 — missingness profile (R :700-702; T-SQL :1184-1202)
 # ---------------------------------------------------------------------------

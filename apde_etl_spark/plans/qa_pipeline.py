@@ -73,14 +73,10 @@ def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
     classes = P.classify_columns(base, cols)
 
     # A6 gate: numeric/date columns with few distincts become categorical.
+    # Two-phase approx->exact (see distinct_gate) so the exact pass never
+    # touches genuinely-continuous columns.
     gate_cols = classes.numeric + classes.datetime
-    demoted: set[str] = set()
-    if gate_cols:
-        counts = {
-            r["varname"]: r["n_distinct"]
-            for r in P.distinct_counts(base, gate_cols).collect()
-        }
-        demoted = {c for c, n in counts.items() if n < config.distinct_threshold}
+    demoted = P.distinct_gate(base, gate_cols, config.distinct_threshold)
 
     num_cols = [c for c in classes.numeric if c not in demoted]
     date_cols = [c for c in classes.datetime if c not in demoted]

@@ -1,0 +1,88 @@
+"""Structured Streaming wrappers over the profiling aggregations.
+
+The reference has zero streaming code (SURVEY.md §2.12) — this module is
+an explicit extension, not a port: the same missingness/frequency
+semantics over event-time tumbling windows with watermarked late-data
+handling. Each function accepts a *streaming or batch* DataFrame; on a
+batch frame the same plan computes the identical result (Spark's
+unified-API property), which is how the tests oracle-check it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators.reshape import melt_long
+
+
+def windowed_missingness(
+    df: DataFrame,
+    event_time: str,
+    cols: Sequence[str],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Missingness profile per tumbling event-time window.
+
+    Same aggregate-first shape as the batch operator: one window-grouped
+    pass with per-column conditional sums, melt applied to the aggregated
+    rows. Watermark bounds state: windows older than ``watermark`` are
+    finalized and evicted, so state size is O(open windows x columns),
+    independent of stream length.
+    """
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(event_time, watermark)
+    aggs = [F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+    wide = src.groupBy(F.window(event_time, window).alias("win")).agg(
+        *aggs, F.count(F.lit(1)).alias("__total")
+    )
+    wide = wide.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "__total",
+        *cols,
+    )
+    long = melt_long(
+        wide, ["window_start", "window_end", "__total"], list(cols),
+        value_name="nrow", value_type="long",
+    )
+    return long.select(
+        "window_start", "window_end", "varname", "nrow",
+        (F.col("nrow") / F.col("__total")).alias("proportion"),
+    )
+
+
+def windowed_categorical_freq(
+    df: DataFrame,
+    event_time: str,
+    col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Value frequencies per tumbling window for one categorical column.
+
+    Counts only (no windowed proportion): a running proportion over a
+    streaming aggregate would need a second stateful stage; downstream
+    consumers derive it per finalized window instead.
+    """
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(event_time, watermark)
+    return (
+        src.groupBy(
+            F.window(event_time, window).alias("win"),
+            F.col(col).cast("string").alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.lit(col).alias("varname"),
+            "value",
+            "count",
+        )
+    )

@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests: binary columns through Arrow-batched
+mapInPandas stages with the deterministic fake decoder."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        Row(media_id=i, content=bytes(f"fake-media-payload-{i}", "utf-8"), frame_count=25 + i)
+        for i in range(50)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_default_decoder_is_explicit_stub(media):
+    with pytest.raises(Exception) as ei:
+        MM.decode_images(media).collect()
+    assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
+
+
+def test_decode_images_appends_meta(media):
+    out = MM.decode_images(media, decoder=MM.deterministic_fake_decoder)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert set(out.columns) == {"media_id", "content", "frame_count",
+                                "width", "height", "channels", "format"}
+    r = next(x for x in rows if x["media_id"] == 7)
+    # deterministic: same payload -> same fake dims on every run
+    again = MM.decode_images(media, decoder=MM.deterministic_fake_decoder).collect()
+    r2 = next(x for x in again if x["media_id"] == 7)
+    assert (r["width"], r["height"], r["format"]) == (r2["width"], r2["height"], r2["format"])
+    assert 64 <= r["width"] < 256 and r["format"] in ("jpeg", "png", "webp")
+
+
+def test_extract_features_shape_and_projection(media):
+    out = MM.extract_features(media, decoder=MM.deterministic_fake_decoder)
+    assert out.columns == ["media_id", "features"]
+    rows = out.collect()
+    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(-1.0 <= v <= 1.0 for r in rows for v in r["features"])
+    # features feed the similarity operators directly
+    from apde_etl_spark.operators.similarity import brute_force_topk
+
+    q = rows[0]["features"]
+    top = brute_force_topk(out, q, k=3, vec_col="features", id_col="media_id").collect()
+    assert top[0]["media_id"] == rows[0]["media_id"]
+    assert top[0]["cosine_sim"] == pytest.approx(1.0)
+
+
+def test_frame_sample_plan(media):
+    out = MM.frame_sample_plan(media, every_n=10)
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert by_id[0] == [0, 10, 20]          # frame_count 25 -> idx 0..24
+    assert by_id[6] == [0, 10, 20, 30]      # frame_count 31 -> idx 0..30
