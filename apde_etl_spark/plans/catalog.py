@@ -560,6 +560,238 @@ def j8_domain_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# J3 — two-key inner join (median table ⋈ stats table on time+varname)
+# ===========================================================================
+
+_J3_ORACLE = f"""
+WITH stats AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS time_period, 'l_quantity' AS varname,
+         {_sql_round("AVG(CAST(l_quantity AS DOUBLE))", 6)} AS mean,
+         MIN(CAST(l_quantity AS DOUBLE)) AS min, MAX(CAST(l_quantity AS DOUBLE)) AS max
+  FROM lineitem GROUP BY 1
+), med AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS time_period, 'l_quantity' AS varname,
+         {_sql_round("median(CAST(l_quantity AS DOUBLE))", 6)} AS median
+  FROM lineitem GROUP BY 1
+)
+SELECT s.time_period, s.varname, s.mean, m.median, s.min, s.max
+FROM stats s JOIN med m ON s.time_period = m.time_period AND s.varname = m.varname
+"""
+
+
+@register("j3_median_joins_stats", _J3_ORACLE)
+def j3_median_joins_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J3: the reference computes median and (mean,min,max) as two
+    programs and equi-joins them on (time, varname)
+    (R/etl_qa_run_pipeline.R:1292-1304). Both sides share the groupBy
+    key, so the join is exchange-free after the aggregations."""
+    li = load(spark, sf_dir, "lineitem")
+    t = F.year("l_shipdate").cast("int")
+    stats = li.groupBy(t.alias("time_period")).agg(
+        round_half_away(F.avg(F.col("l_quantity").cast("double")), 6).alias("mean"),
+        F.min(F.col("l_quantity").cast("double")).alias("min"),
+        F.max(F.col("l_quantity").cast("double")).alias("max"),
+    ).select("time_period", F.lit("l_quantity").alias("varname"), "mean", "min", "max")
+    med = li.groupBy(t.alias("time_period")).agg(
+        round_half_away(F.percentile(F.col("l_quantity").cast("double"), F.lit(0.5)), 6).alias("median"),
+    ).select("time_period", F.lit("l_quantity").alias("varname"), "median")
+    return stats.join(med, ["time_period", "varname"]).select(
+        "time_period", "varname", "mean", "median", "min", "max"
+    )
+
+
+# ===========================================================================
+# J4 — left outer join (type-category map onto column list)
+# ===========================================================================
+
+_J4_ORACLE = """
+WITH cols AS (
+  SELECT * FROM (VALUES ('l_quantity','double'), ('l_returnflag','varchar'),
+                        ('l_shipdate','timestamp'), ('l_mystery','geometry')) c(varname, data_type)
+), map AS (
+  SELECT * FROM (VALUES ('double','numeric'), ('varchar','character'),
+                        ('timestamp','datetime')) m(data_type, category)
+)
+SELECT c.varname, c.data_type, COALESCE(m.category, 'other') AS category
+FROM cols c LEFT JOIN map m ON c.data_type = m.data_type
+"""
+
+
+@register("j4_type_category_map", _J4_ORACLE)
+def j4_type_category_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J4: left join of the type->category map onto the column
+    list; unmatched types fall to 'other' and are skipped with a warning
+    (R/etl_qa_run_pipeline.R:1145-1153)."""
+    cols = spark.createDataFrame(
+        [("l_quantity", "double"), ("l_returnflag", "varchar"),
+         ("l_shipdate", "timestamp"), ("l_mystery", "geometry")],
+        ["varname", "data_type"],
+    )
+    cat_map = spark.createDataFrame(
+        [("double", "numeric"), ("varchar", "character"), ("timestamp", "datetime")],
+        ["data_type", "category"],
+    )
+    return cols.join(F.broadcast(cat_map), "data_type", "left").select(
+        "varname", "data_type", F.coalesce(F.col("category"), F.lit("other")).alias("category")
+    )
+
+
+# ===========================================================================
+# A9 — row-count QA between two loads
+# ===========================================================================
+
+_A9_ORACLE = """
+SELECT a.n AS archive_rows, b.n AS stage_rows,
+       CAST(CASE WHEN a.n = b.n THEN 1 ELSE 0 END AS INTEGER) AS counts_match
+FROM (SELECT COUNT(*) AS n FROM orders WHERE year(o_orderdate) <= 1998) a,
+     (SELECT COUNT(*) AS n FROM orders WHERE year(o_orderdate) > 1998) b
+"""
+
+
+@register("a9_rowcount_qa", _A9_ORACLE)
+def a9_rowcount_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A9: COUNT(*) equality check between archive and stage
+    (load_table_from_sql.R:327-336)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") <= 1998).agg(F.count(F.lit(1)).alias("archive_rows"))
+    b = o.filter(F.year("o_orderdate") > 1998).agg(F.count(F.lit(1)).alias("stage_rows"))
+    return a.crossJoin(b).withColumn(
+        "counts_match",
+        F.when(F.col("archive_rows") == F.col("stage_rows"), 1).otherwise(0),
+    )
+
+
+# ===========================================================================
+# A11 — all-missing detector
+# ===========================================================================
+
+_A11_ORACLE = """
+WITH miss AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS time_period,
+         'o_comment_dropped' AS varname, 1.0 AS proportion
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT CAST(year(o_orderdate) AS INTEGER), 'o_totalprice',
+         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) / COUNT(*)
+  FROM orders GROUP BY 1
+)
+SELECT varname FROM miss GROUP BY varname HAVING MIN(proportion) >= 1.0
+"""
+
+
+@register("a11_all_missing_vars", _A11_ORACLE)
+def a11_all_missing_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A11: variables 100% missing in every period are excluded
+    from plots with a warning (R/etl_qa_run_pipeline.R:1724-1731).
+    Simulated with an always-null column beside a real one."""
+    from apde_etl_spark.operators.finalize import all_missing_vars
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_comment_dropped", F.lit(None).cast("string")
+    )
+    miss = P.missingness_profile(
+        o, F.year("o_orderdate").cast("int"), ["o_comment_dropped", "o_totalprice"]
+    )
+    return all_missing_vars(miss)
+
+
+# ===========================================================================
+# W5/A10 — group membership count attached per row
+# ===========================================================================
+
+_W5_ORACLE = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS row_cnt
+FROM events
+"""
+
+
+@register("w5_group_count_per_row", _W5_ORACLE)
+def w5_group_count_per_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY W5: `.N by key` attached to every row
+    (deduplicate_addresses.R:80)."""
+    from apde_etl_spark.operators.dedup import dup_count
+
+    ev = load_events(spark, sf_dir)
+    return dup_count(ev, ["user_id"]).select("user_id", "event_id", "row_cnt")
+
+
+# ===========================================================================
+# R1 — raw wide->long melt (the reference's signature reshape)
+# ===========================================================================
+
+_R1_ORACLE = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS time_period, varname, value FROM (
+  SELECT l_shipdate, 'l_returnflag' AS varname, l_returnflag AS value FROM lineitem
+  UNION ALL
+  SELECT l_shipdate, 'l_linestatus' AS varname, l_linestatus AS value FROM lineitem
+  UNION ALL
+  SELECT l_shipdate, 'l_shipmode' AS varname, NULL AS value FROM lineitem
+)
+"""
+
+
+@register("r1_melt_long", _R1_ORACLE)
+def r1_melt_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY R1: wide->long stack (CROSS APPLY VALUES / UNPIVOT,
+    R/etl_qa_run_pipeline.R:1195-1199,1240-1251), including a NULL-padded
+    absent column as the UNPIVOT branch produces."""
+    from apde_etl_spark.operators.reshape import melt_long
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "l_shipmode", F.lit(None).cast("string")
+    )
+    long = melt_long(
+        li.select(F.year("l_shipdate").cast("int").alias("time_period"),
+                  "l_returnflag", "l_linestatus", "l_shipmode"),
+        ["time_period"], ["l_returnflag", "l_linestatus", "l_shipmode"],
+    )
+    return long
+
+
+# ===========================================================================
+# P6 — conditional row-group drop (all-zero-proportion periods)
+# ===========================================================================
+
+_P6_ORACLE = """
+WITH freq AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS time_period, o_orderpriority AS value,
+         CASE WHEN o_totalprice > 450000 THEN 1.0 ELSE 0.0 END AS proportion
+  FROM orders
+), agg AS (
+  SELECT time_period, value, SUM(proportion) AS proportion
+  FROM freq GROUP BY 1, 2
+)
+SELECT time_period, value, proportion FROM (
+  SELECT *, MAX(proportion) OVER (PARTITION BY time_period) AS mx FROM agg
+) WHERE mx != 0
+"""
+
+
+@register("p6_drop_zero_groups", _P6_ORACLE)
+def p6_drop_zero_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P6: drop whole time-period groups whose proportions are all
+    zero before plotting (R/etl_qa_run_pipeline.R:1832) — windowed max
+    then filter, no driver round-trip."""
+    o = load(spark, sf_dir, "orders")
+    agg = (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("time_period"),
+            F.col("o_orderpriority").alias("value"),
+            F.when(F.col("o_totalprice") > 450000, 1.0).otherwise(0.0).alias("proportion"),
+        )
+        .groupBy("time_period", "value")
+        .agg(F.sum("proportion").alias("proportion"))
+    )
+    w = Window.partitionBy("time_period")
+    return (
+        agg.withColumn("mx", F.max("proportion").over(w))
+        .filter(F.col("mx") != 0)
+        .drop("mx")
+    )
+
+
+# ===========================================================================
 # R2/J5 — template completion (dense grid with zero-fill)
 # ===========================================================================
 
@@ -577,6 +809,216 @@ SELECT t.time_period, v.value, CAST(COALESCE(a.count, 0) AS BIGINT) AS count
 FROM times t CROSS JOIN vals v
 LEFT JOIN actuals a ON a.time_period = t.time_period AND a.value = v.value
 """
+
+
+# ===========================================================================
+# S6 — delimited bulk load round-trip (BCP analogue)
+# ===========================================================================
+
+_S6_ORACLE = "SELECT s_suppkey, s_name, s_acctbal FROM supplier"
+
+
+@register("s6_csv_roundtrip", _S6_ORACLE)
+def s6_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S6 / FIXTURES F3: write supplier as tab-separated UTF-8 csv
+    with a header row, bulk-load it back with the reference's knobs
+    (field_term, first_row header skip), value-compare against the
+    original — the BCP round-trip (load_df_bcp.R:109-159) on Spark
+    readers/writers."""
+    import tempfile
+
+    from apde_etl_spark.sources.readers import read_delimited, schema_from_config
+
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    path = tempfile.mkdtemp(prefix="apde_s6_") + "/supplier_csv"
+    sup.write.mode("overwrite").option("sep", "\t").option("header", True).csv(path)
+    return read_delimited(
+        spark, path, field_term="\t", first_row=2, encoding="UTF-8",
+        schema=schema_from_config(
+            {"s_suppkey": "BIGINT", "s_name": "VARCHAR(100)", "s_acctbal": "FLOAT"}
+        ),
+    )
+
+
+# ===========================================================================
+# QA pipeline end-to-end — the reference's exported table contracts
+# (etl_qa_final_results, R/etl_qa_run_pipeline.R:1527-1650)
+# ===========================================================================
+
+_QA_MISS_COLS = ["l_quantity", "l_returnflag", "l_nullable"]
+_NULLABLE_SQL = "CASE WHEN l_quantity <= 3 THEN NULL ELSE 'ok' END"
+
+_QA_MISS_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS tp, l_quantity, l_returnflag,
+         {_NULLABLE_SQL} AS l_nullable
+  FROM lineitem
+), miss AS (
+  {" UNION ALL ".join(
+      f'''SELECT tp, '{c}' AS varname,
+          CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nrow,
+          SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / COUNT(*) AS proportion
+          FROM base GROUP BY tp'''
+      for c in _QA_MISS_COLS)}
+), lagd AS (
+  SELECT tp AS time_period, varname, nrow, proportion,
+         lag(proportion) OVER (PARTITION BY varname ORDER BY tp) AS prev
+  FROM miss
+)
+SELECT time_period, varname, nrow,
+       {_sql_round('proportion', 3)} AS proportion,
+       CASE WHEN abs((proportion - prev) * 100) > 0.2
+            THEN CAST({_sql_round('abs((proportion - prev) * 100)', 1)} AS VARCHAR) || '%'
+            ELSE NULL END AS abs_change
+FROM lagd
+"""
+
+
+@register("qa_missingness_final", _QA_MISS_ORACLE)
+def qa_missingness_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end missingness contract (A1 + R2 grid + W3 lag flag + F4
+    rounding): ``missingness(time_period, varname, nrow, proportion,
+    abs_change)`` — the first of the reference's three exported tables.
+    A derived conditionally-null column provides real missingness so the
+    flag machinery is exercised on varying proportions."""
+    from apde_etl_spark.operators.finalize import finalize_missingness
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "l_nullable", F.when(F.col("l_quantity") <= 3, F.lit(None)).otherwise(F.lit("ok"))
+    )
+    miss = P.missingness_profile(li, F.year("l_shipdate").cast("int"), _QA_MISS_COLS)
+    return finalize_missingness(miss, abs_threshold=0.2, digits_prop=3)
+
+
+_QA_NUM = ["l_extendedprice", "l_orderkey"]
+_QA_CAT = ["l_returnflag", "l_linestatus", "l_discount", "l_linenumber"]
+
+_QA_VALUES_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS tp,
+         CAST(l_shipdate AS DATE) AS l_shipdate_d,
+         l_extendedprice, l_orderkey,
+         CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+         CAST(l_linestatus AS VARCHAR) AS l_linestatus,
+         CAST(l_discount AS VARCHAR) AS l_discount,
+         CAST(l_linenumber AS VARCHAR) AS l_linenumber
+  FROM lineitem
+),
+num_raw AS (
+  {" UNION ALL ".join(
+      f'''SELECT tp, '{c}' AS varname,
+          AVG(CAST({c} AS DOUBLE)) AS mean, median(CAST({c} AS DOUBLE)) AS median,
+          MIN(CAST({c} AS DOUBLE)) AS min, MAX(CAST({c} AS DOUBLE)) AS max
+          FROM base GROUP BY tp'''
+      for c in _QA_NUM)}
+),
+num_lag AS (
+  SELECT *, lag(mean) OVER (PARTITION BY varname ORDER BY tp) AS pmean,
+            lag(median) OVER (PARTITION BY varname ORDER BY tp) AS pmedian
+  FROM num_raw
+),
+continuous AS (
+  SELECT tp AS time_period, varname,
+         {_sql_round('mean', 2)} AS mean, {_sql_round('median', 2)} AS median,
+         {_sql_round('min', 2)} AS min, {_sql_round('max', 2)} AS max,
+         CASE WHEN abs((mean / pmean - 1) * 100) > 10.0
+              THEN CAST({_sql_round('abs((mean / pmean - 1) * 100)', 1)} AS VARCHAR) || '%' END AS rel_mean_change,
+         CASE WHEN abs((median / pmedian - 1) * 100) > 10.0
+              THEN CAST({_sql_round('abs((median / pmedian - 1) * 100)', 1)} AS VARCHAR) || '%' END AS rel_median_change
+  FROM num_lag
+),
+freq AS (
+  {" UNION ALL ".join(
+      f'''SELECT tp, '{c}' AS varname, {c} AS value, CAST(COUNT(*) AS BIGINT) AS count
+          FROM base GROUP BY tp, {c}'''
+      for c in _QA_CAT)}
+),
+ranked AS (
+  SELECT *, CASE WHEN value IS NULL THEN 0
+                 ELSE dense_rank() OVER (PARTITION BY tp, varname ORDER BY count DESC) END AS rnk
+  FROM freq
+),
+rolled AS (
+  SELECT tp, varname, CASE WHEN rnk <= 8 THEN value ELSE 'Other values' END AS value,
+         CAST(SUM(count) AS BIGINT) AS count
+  FROM ranked GROUP BY 1, 2, 3
+),
+prop AS (
+  SELECT *, count / SUM(count) OVER (PARTITION BY tp, varname) AS proportion FROM rolled
+),
+grid AS (
+  SELECT t.tp, v.varname, v.value FROM (SELECT DISTINCT tp FROM base) t
+  CROSS JOIN (SELECT DISTINCT varname, value FROM prop) v
+),
+dense AS (
+  SELECT g.tp, g.varname, g.value,
+         COALESCE(p.count, 0) AS count, COALESCE(p.proportion, 0.0) AS proportion
+  FROM grid g LEFT JOIN prop p ON g.tp = p.tp AND g.varname = p.varname AND g.value = p.value
+),
+cat_lag AS (
+  SELECT *, lag(proportion) OVER (PARTITION BY varname, value ORDER BY tp) AS pprop FROM dense
+),
+categorical AS (
+  SELECT tp AS time_period, varname, value, CAST(count AS BIGINT) AS count,
+         {_sql_round('proportion', 3)} AS proportion,
+         CASE WHEN abs((proportion - pprop) * 100) > 3.0
+              THEN CAST({_sql_round('abs((proportion - pprop) * 100)', 1)} AS VARCHAR) || '%' END AS abs_proportion_change
+  FROM cat_lag
+),
+datestats AS (
+  SELECT tp AS time_period, 'l_shipdate' AS varname,
+         MIN(l_shipdate_d) AS min_date, MAX(l_shipdate_d) AS max_date,
+         DATE '1970-01-01' + CAST(floor(median(CAST(l_shipdate_d - DATE '1970-01-01' AS DOUBLE))) AS INTEGER) AS median_date
+  FROM base GROUP BY tp
+)
+SELECT time_period, varname, value, count, proportion, abs_proportion_change,
+       CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS median,
+       CAST(NULL AS DOUBLE) AS min, CAST(NULL AS DOUBLE) AS max,
+       CAST(NULL AS VARCHAR) AS rel_mean_change, CAST(NULL AS VARCHAR) AS rel_median_change,
+       CAST(NULL AS DATE) AS min_date, CAST(NULL AS DATE) AS max_date,
+       CAST(NULL AS DATE) AS median_date,
+       'Categorical' AS vartype
+FROM categorical
+UNION ALL
+SELECT time_period, varname, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+       mean, median, min, max, rel_mean_change, rel_median_change,
+       CAST(NULL AS DATE), CAST(NULL AS DATE), CAST(NULL AS DATE),
+       'Continuous' AS vartype
+FROM continuous
+UNION ALL
+SELECT time_period, varname, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       min_date, max_date, median_date,
+       'Date' AS vartype
+FROM datestats
+"""
+
+
+@register("qa_values_full", _QA_VALUES_ORACLE)
+def qa_values_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ``values`` contract — the reference's primary exported
+    table (SURVEY §3.1 step 4): per-type profile stats + top-8 rollup +
+    dense grid + lag change flags + half-away rounding, stacked with
+    vartype tags (U3). One query exercises A2-A8, W2/W3, R2, O2, F2-F5,
+    U3 together, end-to-end through run_qa_pipeline."""
+    from apde_etl_spark.plans.qa_pipeline import QaConfig, run_qa_pipeline
+
+    li = load(spark, sf_dir, "lineitem")
+    cfg = QaConfig(
+        time_var="l_shipdate",
+        time_expr=F.year("l_shipdate").cast("int"),
+        cols=_QA_NUM + _QA_CAT + ["l_shipdate"],
+        distinct_threshold=60,
+        abs_threshold=3.0,
+        rel_threshold=10.0,
+        digits_mean=2,
+        digits_prop=3,
+    )
+    res = run_qa_pipeline(li, cfg)
+    return res.values
 
 
 @register("r2_template_completion", _R2_ORACLE)

@@ -142,19 +142,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_sig() -> str:
-    """16-element minhash signature as a DuckDB list expression over
-    shingle list ``s`` (same '<j>:' family salt as the Spark side)."""
-    mins = []
-    for j in range(16):
-        salted = _sql_hash60(f"concat('{j}:', x)")
-        mins.append(f"list_min(list_transform(s, x -> {salted}))")
+    """16-element minhash signature as a DuckDB list expression over the
+    31-bit base-hash list ``hb`` — same universal-hash families
+    ``(a*h + b) mod 2^31-1`` as the Spark side."""
+    mins = [
+        f"list_min(list_transform(hb, h -> ({a} * h + {b}) % {SIM.MERSENNE31}))"
+        for a, b in SIM._lcg_params(16)
+    ]
     return "[" + ", ".join(mins) + "]"
 
 
 _MINHASH_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
-sig AS (SELECT doc_id, s, {_sql_minhash_sig()} AS g FROM sh),
+hashed AS (SELECT doc_id, s,
+           list_transform(s, x -> {_sql_hash60('x')} % {SIM.MERSENNE31}) AS hb FROM sh),
+sig AS (SELECT doc_id, s, {_sql_minhash_sig()} AS g FROM hashed),
 banded AS (
   SELECT doc_id, unnest([
     concat('0:', ',', g[1], ',', g[2], ',', g[3], ',', g[4]),
@@ -182,9 +185,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verification — the 100 TB-scale near-dup path (band key is the
     shuffle key; no all-pairs join). Oracle runs the identical algorithm,
     so the hash check verifies the full pipeline including banding."""
-    docs = load(spark, sf_dir, "documents").filter(
-        F.size(SIM.word_shingles(F.col("text"), 3)) > 0
-    )
+    docs = load(spark, sf_dir, "documents")
     out = SIM.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.2)
     return out.select("id_a", "id_b", round_half_away(F.col("jaccard_sim"), 6).alias("jaccard_sim"))
 

@@ -34,6 +34,10 @@ HEADLINE = [
     "dedup_exact_documents",
     "text_quality_metrics",
     "ann_cosine_topk",
+    "minhash_lsh_neardup",
+    "simhash_documents",
+    "qa_missingness_final",
+    "qa_values_full",
 ]
 
 
