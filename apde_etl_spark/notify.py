@@ -1,0 +1,124 @@
+"""Notification subsystem (SURVEY.md §1.1 last row, §2.4 J7, §2.9 F9).
+
+The reference keeps a 3-table normalized model — ``notify_msgs``
+(self-referencing ``msg_parent`` for versioning), ``notify_addresses``,
+and the ``notify_list`` join table (notify.R:679-682,483-487,649-653,
+828-843) — resolves recipient lists with inner joins
+(notify.R:596-602,646) and renders glue templates with caller variables
+at send time (notify.R:72-78). Actual mail transport is environment
+specific and out of scope; everything up to the rendered (subject, body,
+recipients) triple is reproduced here on DataFrames + ``str.format``.
+
+These are tiny dimension tables: every join below broadcasts.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MSGS_SCHEMA = (
+    "msg_id long, msg_name string, msg_subject string, msg_body string, "
+    "msg_parent long, created timestamp"
+)
+ADDRESSES_SCHEMA = "id long, address string"
+LIST_SCHEMA = "list_name string, address_id long"
+
+
+def resolve_recipients(
+    notify_list: DataFrame, notify_addresses: DataFrame, list_name: str
+) -> DataFrame:
+    """J7 — ``notify_list ⋈ notify_addresses ON address_id = id`` for one
+    list (notify.R:596-602). Returns distinct addresses."""
+    return (
+        notify_list.filter(F.col("list_name") == list_name)
+        .join(
+            F.broadcast(notify_addresses),
+            notify_list.address_id == notify_addresses.id,
+        )
+        .select("address")
+        .distinct()
+    )
+
+
+def current_message(notify_msgs: DataFrame, msg_name: str) -> DataFrame:
+    """Newest version of a named template: versioning is append-only with
+    ``msg_parent`` pointing at the superseded row (notify.R:679-682), so
+    'current' = the row no other row claims as parent."""
+    mine = notify_msgs.filter(F.col("msg_name") == msg_name)
+    children = mine.filter(F.col("msg_parent").isNotNull()).select(
+        F.col("msg_parent").alias("msg_id")
+    )
+    return mine.join(children, "msg_id", "left_anti")
+
+
+def new_version(
+    notify_msgs: DataFrame,
+    msg_name: str,
+    msg_subject: str,
+    msg_body: str,
+) -> DataFrame:
+    """Append a new version whose ``msg_parent`` points at the current
+    head (append + pointer update, notify.R:828-843). Returns the updated
+    msgs DataFrame; the caller persists it."""
+    spark = notify_msgs.sparkSession
+    head = current_message(notify_msgs, msg_name).select("msg_id").collect()
+    parent = head[0]["msg_id"] if head else None
+    next_id = (notify_msgs.agg(F.max("msg_id")).collect()[0][0] or 0) + 1
+    row = spark.createDataFrame(
+        [(next_id, msg_name, msg_subject, msg_body, parent)],
+        "msg_id long, msg_name string, msg_subject string, msg_body string, msg_parent long",
+    ).withColumn("created", F.current_timestamp())
+    return notify_msgs.unionByName(row)
+
+
+_PLACEHOLDER = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def render_template(template: str, **vars: object) -> str:
+    """F9 — glue::glue analogue (notify.R:72-78): substitute ``{var}``
+    placeholders from caller variables; unknown placeholders raise, like
+    glue does, instead of silently passing through."""
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in vars:
+            raise KeyError(f"template references undefined variable {name!r}")
+        return str(vars[name])
+
+    return _PLACEHOLDER.sub(sub, template)
+
+
+@dataclass
+class RenderedMessage:
+    subject: str
+    body: str
+    recipients: list[str]
+
+
+def prepare_message(
+    spark: SparkSession,
+    notify_msgs: DataFrame,
+    notify_list: DataFrame,
+    notify_addresses: DataFrame,
+    msg_name: str,
+    list_name: str,
+    **vars: object,
+) -> RenderedMessage:
+    """End-to-end send-time assembly (sans transport): current template
+    version + rendered subject/body + resolved recipient list."""
+    head = current_message(notify_msgs, msg_name).collect()
+    if not head:
+        raise KeyError(f"no message template named {msg_name!r}")
+    msg = head[0]
+    recipients = [
+        r["address"]
+        for r in resolve_recipients(notify_list, notify_addresses, list_name).collect()
+    ]
+    return RenderedMessage(
+        subject=render_template(msg["msg_subject"], **vars),
+        body=render_template(msg["msg_body"], **vars),
+        recipients=sorted(recipients),
+    )

@@ -1,0 +1,665 @@
+"""Catalog part 3: the remaining SURVEY.md §2 operator IDs as
+oracle-checked (Spark, DuckDB-SQL) pairs — sources/lifecycle (S1-S5,
+S7-S9, S12), simple predicates/projections (P1-P5), the metadata join
+chain (J1/J7), scalar-function families (F4/F6/F7), row_number median
+machinery (W1), stack/distinct set-ops (U3/U4), A12 cutpoint, plus the
+extension surfaces: a real Structured Streaming run (availableNow ->
+memory sink) with a batch oracle, and the multimodal binary-column
+plumbing.
+
+Registered on import by ``__spark_entry__`` alongside ``catalog`` and
+``catalog_ext``.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apde_etl_spark.functions.core import round_half_away
+from apde_etl_spark.plans.catalog import _sql_round, load, load_events, register
+
+# ===========================================================================
+# S1/S2 — full scan and schema-only peek
+# ===========================================================================
+
+
+@register("s1_table_scan", "SELECT * FROM region")
+def s1_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S1: `SELECT * FROM schema.table` (table_duplicate.R:230-232).
+    The one case where reading every column is the point."""
+    return load(spark, sf_dir, "region")
+
+
+@register("s2_schema_peek", "SELECT p_partkey, p_name, p_retailprice FROM part LIMIT 0")
+def s2_schema_peek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S2: `SELECT TOP(0) *` schema probe
+    (etl_qa_run_pipeline.R:887) — limit(0) ships no rows but the full
+    schema; the driver's schema compare is the actual assertion here."""
+    return load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice").limit(0)
+
+
+# ===========================================================================
+# S3 — table-existence probe
+# ===========================================================================
+
+_S3_ORACLE = """
+SELECT 'region' AS table_name, CAST(1 AS INTEGER) AS exists_flag
+UNION ALL SELECT 'no_such_table_xyz', CAST(0 AS INTEGER)
+"""
+
+
+@register("s3_table_existence", _S3_ORACLE)
+def s3_table_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S3: dbExistsTable probe (etl_qa_run_pipeline.R:879-884,
+    load_table_from_sql.R:296-309) via spark.catalog.tableExists over a
+    registered view."""
+    from apde_etl_spark.sources.lifecycle import table_exists
+
+    load(spark, sf_dir, "region").createOrReplaceTempView("region")
+    rows = [(n, int(table_exists(spark, n))) for n in ["region", "no_such_table_xyz"]]
+    return spark.createDataFrame(rows, "table_name string, exists_flag int")
+
+
+# ===========================================================================
+# S4 — column-metadata scan + 3-way type classification
+# ===========================================================================
+
+_S4_ORACLE = """
+SELECT column_name AS varname,
+       CASE WHEN lower(data_type) IN ('tinyint','smallint','integer','bigint',
+                                      'double','float','real','boolean')
+                 OR lower(data_type) LIKE 'decimal%'
+            THEN 'numeric'
+            WHEN lower(data_type) IN ('varchar','text','blob') THEN 'character'
+            WHEN lower(data_type) IN ('date','timestamp','timestamp_ns',
+                                      'timestamp with time zone') THEN 'datetime'
+            ELSE 'other' END AS category
+FROM information_schema.columns WHERE table_name = 'lineitem'
+"""
+
+
+@register("s4_column_classification", _S4_ORACLE)
+def s4_column_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S4 + §1.2: the sys.columns x sys.types catalog scan
+    (etl_qa_run_pipeline.R:1085-1142) becomes df.schema introspection;
+    both engines independently classify every lineitem column into
+    {character, numeric, datetime, other} and must agree."""
+    from apde_etl_spark.operators.profile import classify_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    cls = classify_columns(li)
+    rows = (
+        [(c, "numeric") for c in cls.numeric]
+        + [(c, "character") for c in cls.character]
+        + [(c, "datetime") for c in cls.datetime]
+        + [(c, "other") for c in cls.other]
+    )
+    return spark.createDataFrame(rows, "varname string, category string")
+
+
+# ===========================================================================
+# S5 — DDL synthesis from schema metadata
+# ===========================================================================
+
+_S5_ORACLE = """
+SELECT 'CREATE TABLE supplier_copy (' ||
+       string_agg(column_name || ' ' ||
+         CASE data_type WHEN 'BIGINT' THEN 'BIGINT' WHEN 'INTEGER' THEN 'INT'
+                        WHEN 'DOUBLE' THEN 'DOUBLE' WHEN 'VARCHAR' THEN 'STRING'
+                        WHEN 'TIMESTAMP' THEN 'TIMESTAMP' ELSE data_type END,
+         ',' ORDER BY ordinal_position) ||
+       ') USING parquet' AS ddl
+FROM information_schema.columns WHERE table_name = 'supplier'
+"""
+
+
+@register("s5_ddl_synthesis", _S5_ORACLE)
+def s5_ddl_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S5: INFORMATION_SCHEMA -> CREATE TABLE text
+    (table_duplicate.R:281-309, external_table_check.R:48-72). Spark's
+    schema.toDDL carries the same info; the oracle rebuilds the identical
+    string from DuckDB's information_schema through the type map — a
+    cross-engine check of the whole type mapping."""
+    from apde_etl_spark.sources.lifecycle import synthesize_ddl
+
+    sup = load(spark, sf_dir, "supplier")
+    ddl = synthesize_ddl(sup, "supplier_copy").replace("`", "")
+    return spark.createDataFrame([(ddl,)], "ddl string")
+
+
+# ===========================================================================
+# S7 — lake-file load (COPY INTO analogue) via ORC round-trip
+# ===========================================================================
+
+_S7_ORACLE = "SELECT p_partkey, p_name, p_retailprice FROM part"
+
+
+@register("s7_orc_roundtrip", _S7_ORACLE)
+def s7_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S7: COPY INTO from lake files (copy_into.R:101-148) with
+    file_type orc + zlib compression — write out, read back through the
+    lake-reader path, values must survive."""
+    from apde_etl_spark.sources.readers import read_lake_file
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    path = tempfile.mkdtemp(prefix="apde_s7_") + "/part_orc"
+    part.write.mode("overwrite").option("compression", "zlib").orc(path)
+    return read_lake_file(spark, path, file_type="orc")
+
+
+# ===========================================================================
+# S8 — function-sourced dataset registry
+# ===========================================================================
+
+from apde_etl_spark.sources.readers import registry as _registry  # noqa: E402
+
+
+@_registry.register("tpch_customer")
+def _customer_source(spark: SparkSession, sf_dir: str, cols=None, min_acctbal=None):
+    df = load(spark, sf_dir, "customer")
+    if min_acctbal is not None:
+        df = df.filter(F.col("c_acctbal") >= min_acctbal)
+    if cols:
+        df = df.select(*cols)
+    return df
+
+
+_S8_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal >= 5000
+"""
+
+
+@register("s8_function_source", _S8_ORACLE)
+def s8_function_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S8: dynamic dispatch to a named data-access function with
+    (cols, filter) params (getFromNamespace(...)(year, cols, ...),
+    etl_qa_run_pipeline.R:856-861) — a registry of callables returning
+    DataFrames."""
+    return _registry.load(
+        "tpch_customer", spark, sf_dir=sf_dir,
+        cols=["c_custkey", "c_name", "c_acctbal"], min_acctbal=5000,
+    )
+
+
+# ===========================================================================
+# S9 — chunked append write
+# ===========================================================================
+
+_S9_ORACLE = "SELECT s_suppkey, s_name, s_acctbal FROM supplier"
+
+
+@register("s9_chunked_append_write", _S9_ORACLE)
+def s9_chunked_append_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S9: the reference writes 50k-row chunks, first overwrite
+    then append (deduplicate_addresses.R:41-65). Distributed writers make
+    chunking unnecessary, but overwrite-then-append mode semantics are
+    preserved; the reread must equal the source."""
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    path = tempfile.mkdtemp(prefix="apde_s9_") + "/supplier_chunks"
+    sup.filter(F.col("s_suppkey") % 2 == 0).write.mode("overwrite").parquet(path)
+    sup.filter(F.col("s_suppkey") % 2 == 1).write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+# ===========================================================================
+# S12 — config hierarchy resolution driving the plan
+# ===========================================================================
+
+_S12_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS time_period,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997 GROUP BY 1
+"""
+
+
+@register("s12_config_hierarchy", _S12_ORACLE)
+def s12_config_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S12: YAML-config precedence (argument > server-scoped >
+    year-scoped > global; load_table_from_file.R:495-541). The resolved
+    time_range drives the filter: global says 1992-1998, the 'prod'
+    server scope narrows to 1995-1997 and must win."""
+    from apde_etl_spark.sources.config import resolve_config
+
+    config = {
+        "time_range": [1992, 1998],
+        "prod": {"time_range": [1995, 1997]},
+        "dev": {"time_range": [1992, 1993]},
+    }
+    lo, hi = resolve_config(config, ["time_range"], server="prod")["time_range"]
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.year("o_orderdate").between(lo, hi))
+        .groupBy(F.year("o_orderdate").cast("int").alias("time_period"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ===========================================================================
+# P1-P5 — projections & predicates
+# ===========================================================================
+
+
+@register("p1_projection", "SELECT p_partkey, p_retailprice FROM part")
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P1: keep unique(time_var, cols)
+    (etl_qa_run_pipeline.R:693-695). Column pruning must reach the scan
+    (ReadSchema shows only 2 of 6 columns)."""
+    return load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+
+
+_P2_ORACLE = """
+SELECT l_orderkey, CAST(l_shipdate AS DATE) AS l_shipdate
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+"""
+
+
+@register("p2_time_window", _P2_ORACLE)
+def p2_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P2: time_var BETWEEN lo AND hi
+    (etl_qa_run_pipeline.R:661-662, 1188)."""
+    li = load(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return li.filter(
+        d.between(F.lit("1995-01-01").cast("date"), F.lit("1996-12-31").cast("date"))
+    ).select("l_orderkey", d.alias("l_shipdate"))
+
+
+_P3_ORACLE = """
+WITH o AS (SELECT CASE WHEN o_totalprice < 1000 THEN NULL ELSE o_orderstatus END AS st
+           FROM orders)
+SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE st IS NOT NULL GROUP BY 1
+"""
+
+
+@register("p3_null_filter", _P3_ORACLE)
+def p3_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P3: WHERE col IS NOT NULL before stats
+    (etl_qa_run_pipeline.R:1250,1355; na.rm=TRUE :714-717) over a
+    conditionally-nulled column."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "st", F.when(F.col("o_totalprice") < 1000, F.lit(None)).otherwise(F.col("o_orderstatus"))
+    )
+    return (
+        o.filter(F.col("st").isNotNull())
+        .groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_P4_ORACLE = "SELECT o_orderkey, o_orderstatus, o_orderdate, o_orderpriority FROM orders"
+
+
+@register("p4_regex_column_select", _P4_ORACLE)
+def p4_regex_column_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P4: regex column selection (chi vars = grep('^chi_', cols),
+    etl_qa_run_pipeline.R:675) — planning-side: the column *list* comes
+    from the pattern, then an ordinary projection."""
+    import re
+
+    o = load(spark, sf_dir, "orders")
+    cols = [c for c in o.columns if re.match(r"^o_order", c)]
+    return o.select(*cols)
+
+
+_P5_ORACLE = """
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus LIKE '%F%'
+"""
+
+
+@register("p5_set_membership", _P5_ORACLE)
+def p5_set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P5: `%in%` set membership + LIKE pattern filter
+    (etl_qa_run_pipeline.R:1107; table_duplicate.R:466-470)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_orderstatus").like("%F%")
+    ).select("o_orderkey", "o_orderpriority")
+
+
+# ===========================================================================
+# J7 — recipient-list resolution (normalized 3-table inner-join chain)
+# ===========================================================================
+
+_J7_ORACLE = """
+SELECT c.c_name, n.n_name AS nation, r.r_name AS region
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_acctbal >= 9000
+"""
+
+
+@register("j7_recipient_resolution", _J7_ORACLE)
+def j7_recipient_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J7: notify_list ⋈ notify_addresses resolution
+    (notify.R:596-602,646) — the same normalized join chain over
+    customer ⋈ nation ⋈ region, with both dimension sides broadcast."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 9000)
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+
+
+# ===========================================================================
+# A12 — MAX() auto cutpoint
+# ===========================================================================
+
+_A12_ORACLE = "SELECT CAST(MAX(o_orderdate) AS DATE) AS cutpoint FROM orders"
+
+
+@register("a12_max_date_cutpoint", _A12_ORACLE)
+def a12_max_date_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A12: `SELECT MAX(date_var)` to pick the archive/stage split
+    date (load_table_from_sql.R:274-276)."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(F.max(F.col("o_orderdate").cast("date")).alias("cutpoint"))
+
+
+# ===========================================================================
+# W1 — ROW_NUMBER median machinery (the reference's T-SQL branch, verbatim)
+# ===========================================================================
+
+_W1_ORACLE = """
+WITH ranked AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS time_period,
+         CAST(l_quantity AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY year(l_shipdate) ORDER BY l_quantity) AS rn,
+         COUNT(*) OVER (PARTITION BY year(l_shipdate)) AS cnt
+  FROM lineitem
+)
+SELECT time_period, AVG(value) AS tsql_median
+FROM ranked
+WHERE rn IN (cnt // 2, cnt // 2 + 1)
+GROUP BY time_period
+"""
+
+
+@register("w1_rownumber_median_tsql", _W1_ORACLE)
+def w1_rownumber_median_tsql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY W1 + §2.10.1: the reference's T-SQL median machinery —
+    ROW_NUMBER per group ordered by value, average rows (N/2, N/2+1)
+    (etl_qa_run_pipeline.R:1277-1295). Reproduced exactly (including its
+    off-by-one vs stats::median for odd N, which the engine's primary
+    median consciously fixes per SURVEY §2.10.1); ties make row_number
+    order-ambiguous but the middle *values* are permutation-invariant."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("time_period").orderBy("value")
+    ranked = (
+        li.select(
+            F.year("l_shipdate").cast("int").alias("time_period"),
+            F.col("l_quantity").cast("double").alias("value"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("time_period")))
+    )
+    # integer division: DuckDB cnt/2 on BIGINT truncates; make Spark match
+    half = (F.col("cnt") / 2).cast("long")
+    return (
+        ranked.filter((F.col("rn") == half) | (F.col("rn") == half + 1))
+        .groupBy("time_period")
+        .agg(F.avg("value").alias("tsql_median"))
+    )
+
+
+# ===========================================================================
+# U3 — stack heterogeneous profile tables with NULL fill + vartype tags
+# ===========================================================================
+
+_U3_ORACLE = """
+WITH cont AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS time_period, 'l_quantity' AS varname,
+         AVG(CAST(l_quantity AS DOUBLE)) AS mean FROM lineitem GROUP BY 1
+), cat AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS time_period, 'l_returnflag' AS varname,
+         CAST(COUNT(*) AS BIGINT) AS count FROM lineitem GROUP BY 1
+), dat AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS time_period, 'l_shipdate' AS varname,
+         CAST(MAX(l_shipdate) AS DATE) AS max_date FROM lineitem GROUP BY 1
+)
+SELECT time_period, varname, mean, CAST(NULL AS BIGINT) AS count,
+       CAST(NULL AS DATE) AS max_date, 'Continuous' AS vartype FROM cont
+UNION ALL
+SELECT time_period, varname, CAST(NULL AS DOUBLE), count, CAST(NULL AS DATE),
+       'Categorical' FROM cat
+UNION ALL
+SELECT time_period, varname, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), max_date,
+       'Date' FROM dat
+"""
+
+
+@register("u3_stack_profiles", _U3_ORACLE)
+def u3_stack_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY U3: rbind-with-fill of the three per-type profile tables
+    into one `values` relation, vartype tag added, absent columns NULL
+    (etl_qa_run_pipeline.R:1625-1636) = unionByName
+    allowMissingColumns."""
+    li = load(spark, sf_dir, "lineitem")
+    t = F.year("l_shipdate").cast("int").alias("time_period")
+    cont = li.groupBy(t).agg(F.avg(F.col("l_quantity").cast("double")).alias("mean")) \
+        .select("time_period", F.lit("l_quantity").alias("varname"), "mean",
+                F.lit("Continuous").alias("vartype"))
+    cat = li.groupBy(t).agg(F.count(F.lit(1)).alias("count")) \
+        .select("time_period", F.lit("l_returnflag").alias("varname"), "count",
+                F.lit("Categorical").alias("vartype"))
+    dat = li.groupBy(t).agg(F.max(F.col("l_shipdate").cast("date")).alias("max_date")) \
+        .select("time_period", F.lit("l_shipdate").alias("varname"), "max_date",
+                F.lit("Date").alias("vartype"))
+    out = cont.unionByName(cat, allowMissingColumns=True).unionByName(
+        dat, allowMissingColumns=True
+    )
+    return out.select("time_period", "varname", "mean", "count", "max_date", "vartype")
+
+
+# ===========================================================================
+# U4 — long-format distinct (time, varname, group) extraction
+# ===========================================================================
+
+_U4_ORACLE = """
+SELECT DISTINCT time_period, varname, grp FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS time_period,
+         'o_orderstatus' AS varname, o_orderstatus AS grp FROM orders
+  UNION ALL
+  SELECT CAST(year(o_orderdate) AS INTEGER), 'o_orderpriority', o_orderpriority
+  FROM orders
+)
+"""
+
+
+@register("u4_long_distinct_groups", _U4_ORACLE)
+def u4_long_distinct_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY U4: rbindlist over per-column extracts building the
+    (time, varname, group) long relation for the CHI comparison
+    (etl_qa_run_pipeline.R:776-784) — melt + distinct."""
+    from apde_etl_spark.operators.reshape import melt_long
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("time_period"),
+        "o_orderstatus", "o_orderpriority",
+    )
+    long = melt_long(o, ["time_period"], ["o_orderstatus", "o_orderpriority"],
+                     value_name="grp")
+    return long.distinct()
+
+
+# ===========================================================================
+# F4 — round-half-away-from-zero on signed values
+# ===========================================================================
+
+_F4_ORACLE = f"""
+SELECT DISTINCT CAST(l_discount AS DOUBLE) AS l_discount,
+       {_sql_round('(l_discount - 0.05) * 123.456', 0)} AS r0,
+       {_sql_round('(l_discount - 0.05) * 123.456', 1)} AS r1,
+       {_sql_round('(l_discount - 0.05) * 123.456', 3)} AS r3
+FROM lineitem
+"""
+
+
+@register("f4_round_half_away", _F4_ORACLE)
+def f4_round_half_away(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F4 + §2.10.2: rads::round2 = round-half-AWAY-from-zero (not
+    banker's, not HALF_UP-on-positives-only) applied to signed values —
+    the signum/floor formula, identical on both engines
+    (etl_qa_run_pipeline.R:1541,1569,1597-1600)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = (F.col("l_discount") - 0.05) * 123.456
+    return li.select(
+        F.col("l_discount").cast("double").alias("l_discount"),
+        round_half_away(x, 0).alias("r0"),
+        round_half_away(x, 1).alias("r1"),
+        round_half_away(x, 3).alias("r3"),
+    ).distinct()
+
+
+# ===========================================================================
+# F6/F7 — date + string scalar families
+# ===========================================================================
+
+_F67_ORACLE = """
+SELECT DISTINCT
+  o_orderpriority,
+  upper(o_orderstatus) AS status_u,
+  regexp_replace(o_orderpriority, '^[0-9]-', '') AS prio_name,
+  string_split(o_orderpriority, '-')[1] AS prio_code,
+  CAST(o_orderdate AS DATE)
+    + CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') // 2
+           AS INTEGER) AS midpoint,
+  o_orderstatus || '/' || o_orderpriority AS combined
+FROM orders
+"""
+
+
+@register("f67_scalar_functions", _F67_ORACLE)
+def f67_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F6/F7: DATEADD(day, DATEDIFF(day,a,b)/2, a) midpoint
+    (etl_qa_run_pipeline.R:1405-1410), upper/regexp_replace/split/concat
+    (table_duplicate.R:291-303, etl_qa_run_pipeline.R:1726-1727)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderpriority",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.regexp_replace("o_orderpriority", r"^[0-9]-", "").alias("prio_name"),
+        F.split("o_orderpriority", "-").getItem(0).alias("prio_code"),
+        F.date_add(d, (F.datediff(F.lit("1998-12-31").cast("date"), d) / 2).cast("int"))
+         .alias("midpoint"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("combined"),
+    ).distinct()
+
+
+# ===========================================================================
+# Streaming extension — a REAL Structured Streaming run with a batch oracle
+# ===========================================================================
+
+_STREAM_ORACLE = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         CASE WHEN value < 10 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       'value_gated' AS varname,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nrow,
+       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) / COUNT(*) AS proportion
+FROM b GROUP BY 1
+"""
+
+
+@register("stream_hourly_missingness", _STREAM_ORACLE)
+def stream_hourly_missingness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (SURVEY §2.12): tumbling-window missingness over the
+    events stream, executed as an actual Structured Streaming query
+    (file source -> watermark -> windowed agg -> availableNow trigger ->
+    memory sink, complete output so trailing windows inside the watermark
+    lag also emit). The DuckDB oracle computes the same windows in batch —
+    Spark's unified batch/stream semantics make them identical once the
+    one-shot trigger drains the source."""
+    from apde_etl_spark.streaming.profile_stream import windowed_missingness
+
+    load_events(spark, sf_dir)  # sets nanosAsLong conf for the schema read
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source wants a directory: stream the sf dir with a
+    # glob pinned to the events file
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes)["ts"] == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = src.withColumn(
+        "value_gated", F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value"))
+    )
+    prof = windowed_missingness(src, "ts", ["value_gated"], window="1 hour",
+                                watermark="2 hours")
+    name = "stream_hourly_missingness_sink"
+    q = (
+        prof.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start", "window_end", "varname", "nrow", "proportion"
+    )
+
+
+# ===========================================================================
+# Multimodal extension — binary columns with typed metadata
+# ===========================================================================
+
+_MM_META_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       md5(text) AS content_digest
+FROM documents
+"""
+
+
+@register("mm_binary_metadata", _MM_META_ORACLE)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, JVM-side half: media ride as opaque binary
+    columns with typed metadata beside them. Byte length + content digest
+    computed on the binary payload, cross-checked against DuckDB's blob
+    functions."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("byte_len"),
+        F.md5(payload).alias("content_digest"),
+    )
+
+
+@register("mm_image_decode_features")  # no oracle: mapInPandas plumbing, rows-only check
+def mm_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, Python half: Arrow-batched mapInPandas decode
+    stage over the binary column using the deterministic fake decoder
+    (real codecs are stubbed per container constraints — the schema,
+    batching and partition behavior are the real thing being tested)."""
+    from apde_etl_spark.operators.multimodal import (
+        decode_images,
+        deterministic_fake_decoder,
+        extract_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = decode_images(docs, "payload", decoder=deterministic_fake_decoder)
+    feats = extract_features(docs, "doc_id", "payload",
+                             decoder=deterministic_fake_decoder)
+    return meta.join(feats, "doc_id").select(
+        "doc_id", "width", "height", "format",
+        round_half_away(F.element_at("features", 1), 6).alias("feature_0"),
+    )
