@@ -131,16 +131,35 @@ def distinct_gate(df: DataFrame, cols: Sequence[str], threshold: int) -> set[str
     approx = df.agg(
         *[F.approx_count_distinct(c).alias(c) for c in cols]
     ).first()
-    maybe = [c for c in cols if approx[c] < 3 * threshold]
+    # HLL rsd is 5%; a 30-50% margin on either side of the threshold is
+    # >6 sigma, so decisions outside the band are certain and only truly
+    # borderline columns pay for an exact recount (usually: none).
+    demoted = {c for c in cols if approx[c] < 0.7 * threshold}
+    maybe = [c for c in cols if 0.7 * threshold <= approx[c] < 1.5 * threshold]
     if not maybe:
-        return set()
+        return demoted
     exact = {r["varname"]: r["n_distinct"] for r in distinct_counts(df, maybe).collect()}
-    return {c for c, n in exact.items() if n < threshold}
+    return demoted | {c for c, n in exact.items() if n < threshold}
 
 
 # ---------------------------------------------------------------------------
 # A1 — missingness profile (R :700-702; T-SQL :1184-1202)
 # ---------------------------------------------------------------------------
+
+def _miss_aggs(cols: Sequence[str]) -> list[Column]:
+    return [F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nnull") for c in cols]
+
+
+def _miss_from_wide(wide: DataFrame, cols: Sequence[str]) -> DataFrame:
+    pairs = ", ".join(f"'{c}', `{c}__nnull`" for c in cols)
+    stack = f"stack({len(cols)}, {pairs}) as (varname, nrow)"
+    return wide.select("time_period", "__total", F.expr(stack)).select(
+        "time_period",
+        "varname",
+        "nrow",
+        (F.col("nrow") / F.col("__total")).alias("proportion"),
+    )
+
 
 def missingness_profile(df: DataFrame, time_col: str | Column, cols: Sequence[str]) -> DataFrame:
     """Per (time_period, varname): count of NULLs and proportion missing.
@@ -152,15 +171,10 @@ def missingness_profile(df: DataFrame, time_col: str | Column, cols: Sequence[st
     (SURVEY §2.10.3).
     """
     t = F.col(time_col) if isinstance(time_col, str) else time_col
-    aggs = [F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
-    wide = df.groupBy(t.alias("time_period")).agg(*aggs, F.count(F.lit(1)).alias("__total"))
-    long = melt_long(wide, ["time_period", "__total"], list(cols), value_name="nrow", value_type="long")
-    return long.select(
-        "time_period",
-        "varname",
-        "nrow",
-        (F.col("nrow") / F.col("__total")).alias("proportion"),
+    wide = df.groupBy(t.alias("time_period")).agg(
+        *_miss_aggs(cols), F.count(F.lit(1)).alias("__total")
     )
+    return _miss_from_wide(wide, cols)
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +197,11 @@ def numeric_stats(df: DataFrame, time_col: str | Column, cols: Sequence[str]) ->
     sizes swap for ``approx_percentile`` via the ``exact_median`` flag.
     """
     t = F.col(time_col) if isinstance(time_col, str) else time_col
+    wide = df.groupBy(t.alias("time_period")).agg(*_numeric_aggs(cols))
+    return _numeric_from_wide(wide, cols)
+
+
+def _numeric_aggs(cols: Sequence[str]) -> list[Column]:
     aggs: list[Column] = []
     for c in cols:
         d = F.col(c).cast("double")
@@ -192,7 +211,10 @@ def numeric_stats(df: DataFrame, time_col: str | Column, cols: Sequence[str]) ->
             F.min(d).alias(f"{c}__min"),
             F.max(d).alias(f"{c}__max"),
         ]
-    wide = df.groupBy(t.alias("time_period")).agg(*aggs)
+    return aggs
+
+
+def _numeric_from_wide(wide: DataFrame, cols: Sequence[str]) -> DataFrame:
     pairs = ", ".join(
         f"'{c}', `{c}__mean`, `{c}__median`, `{c}__min`, `{c}__max`" for c in cols
     )
@@ -218,6 +240,11 @@ def date_stats(df: DataFrame, time_col: str | Column, cols: Sequence[str]) -> Da
     to Date (:729).
     """
     t = F.col(time_col) if isinstance(time_col, str) else time_col
+    wide = df.groupBy(t.alias("time_period")).agg(*_date_aggs(cols))
+    return _date_from_wide(wide, cols)
+
+
+def _date_aggs(cols: Sequence[str]) -> list[Column]:
     epoch = F.lit(_EPOCH).cast("date")
     aggs: list[Column] = []
     for c in cols:
@@ -228,7 +255,11 @@ def date_stats(df: DataFrame, time_col: str | Column, cols: Sequence[str]) -> Da
             F.max(d).alias(f"{c}__max"),
             F.floor(F.percentile(days, F.lit(0.5))).cast("int").alias(f"{c}__meddays"),
         ]
-    wide = df.groupBy(t.alias("time_period")).agg(*aggs)
+    return aggs
+
+
+def _date_from_wide(wide: DataFrame, cols: Sequence[str]) -> DataFrame:
+    epoch = F.lit(_EPOCH).cast("date")
     pairs = ", ".join(f"'{c}', `{c}__min`, `{c}__max`, `{c}__meddays`" for c in cols)
     stack = f"stack({len(cols)}, {pairs}) as (varname, min_date, max_date, __meddays)"
     return wide.select("time_period", F.expr(stack)).withColumn(
@@ -294,3 +325,82 @@ def top_k_with_other(
     rolled = relabelled.groupBy(*gc, "value").agg(F.sum("count").alias("count"))
     wp = Window.partitionBy(*gc)
     return rolled.withColumn("proportion", F.col("count") / F.sum("count").over(wp))
+
+
+# ---------------------------------------------------------------------------
+# Combined single-pass profile (the 100 TB plan): missingness + numeric +
+# date stats + HLL distinct sketches in ONE groupBy(time) over the base
+# table. The reference scans the base table 3-4 times
+# (R/etl_qa_run_pipeline.R:1186,1238,1343,1444); this does it once for
+# everything except categorical frequency (whose grouping key includes the
+# value) — SURVEY §4 "cache the melted table" improved to "never re-scan".
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CombinedProfile:
+    """Handle over the persisted one-pass aggregate."""
+
+    wide: DataFrame
+    miss_cols: list[str]
+    num_cols: list[str]
+    date_cols: list[str]
+    gate_cols: list[str]
+
+    def missingness(self) -> DataFrame:
+        return _miss_from_wide(self.wide, self.miss_cols)
+
+    def numeric_stats(self, cols: Sequence[str] | None = None) -> DataFrame:
+        return _numeric_from_wide(self.wide, list(cols or self.num_cols))
+
+    def date_stats(self, cols: Sequence[str] | None = None) -> DataFrame:
+        return _date_from_wide(self.wide, list(cols or self.date_cols))
+
+    def gate_estimates(self) -> dict[str, int]:
+        """Union the per-time-period HLL sketches -> one global distinct
+        estimate per gate column, without touching the base table again."""
+        if not self.gate_cols:
+            return {}
+        row = self.wide.agg(
+            *[
+                F.hll_sketch_estimate(
+                    F.hll_union_agg(F.col(f"{c}__hll"))
+                ).alias(c)
+                for c in self.gate_cols
+            ]
+        ).first()
+        return {c: row[c] for c in self.gate_cols}
+
+    def unpersist(self) -> None:
+        self.wide.unpersist()
+
+
+def combined_profile(
+    df: DataFrame,
+    time_col: str | Column,
+    classes: ColumnClasses,
+    gate_cols: Sequence[str] | None = None,
+) -> CombinedProfile:
+    """One groupBy(time) pass over ``df`` computing, per column family:
+    null counts (all profiled columns), numeric mean/median/min/max, date
+    min/max/median-days, and an HLL distinct sketch per gate column (cast
+    to string: the sketch needs a hashable physical type and distinctness
+    is type-independent). The aggregated frame has one row per time
+    period — persisting it is O(periods x columns), never O(data).
+    """
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    gate = list(gate_cols if gate_cols is not None else classes.numeric + classes.datetime)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
+    aggs += _miss_aggs(classes.profiled)
+    aggs += _numeric_aggs(classes.numeric)
+    aggs += _date_aggs(classes.datetime)
+    aggs += [
+        F.hll_sketch_agg(F.col(c).cast("string")).alias(f"{c}__hll") for c in gate
+    ]
+    wide = df.groupBy(t.alias("time_period")).agg(*aggs).persist()
+    return CombinedProfile(
+        wide=wide,
+        miss_cols=classes.profiled,
+        num_cols=classes.numeric,
+        date_cols=classes.datetime,
+        gate_cols=gate,
+    )

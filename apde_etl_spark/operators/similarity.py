@@ -1,15 +1,17 @@
 """Similarity-search operators over embedding columns (extension surface —
 BASELINE.json north star: dedup / similarity search / ANN at 100 TB).
 
-Round 1 ships the brute-force cosine top-k baseline as native Column
-expressions (``zip_with`` + ``aggregate`` fold — JVM-side, codegen'd, no
-Python in the loop). The LSH-bucketed scale path follows in a later round.
+Brute-force cosine top-k is the exact baseline (native Column
+expressions: ``zip_with`` + ``aggregate`` fold — JVM-side, codegen'd, no
+Python in the loop); random-hyperplane LSH bucketing (:func:`ann_lsh_topk`)
+is the scale path, and MinHash/SimHash banding covers text near-dup.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -89,18 +91,28 @@ def _lcg_params(num_hashes: int) -> list[tuple[int, int]]:
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: each shingle is md5-hashed ONCE (the expensive
     op), reduced to 31 bits, and the ``num_hashes`` families are cheap
-    universal hashes ``(a_j*h + b_j) mod 2^31-1`` over that base — 16x
-    fewer digests than hashing per family, and the integer arithmetic is
-    reproducible in DuckDB for the oracle."""
+    universal hashes ``(a_j*h + b_j) mod 2^31-1`` over that base.
+
+    Built as a SINGLE ``F.aggregate`` traversal carrying the running
+    per-family minima: ``num_hashes`` separate
+    ``array_min(transform(base, ...))`` expressions would each re-inline
+    (and re-evaluate) the md5 base — Catalyst does not share subtrees
+    across lambda bodies — costing ``num_hashes``x the digests. Here the
+    digest binds once per element and the accumulator update is pure
+    integer arithmetic, reproducible in DuckDB for the oracle."""
+    params = _lcg_params(num_hashes)
+    fam = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    )
     base = F.transform(shingles, lambda s: hash60(s) % MERSENNE31)
-
-    def family(a: int, b: int):
-        # closure factory: pyspark counts lambda default-args as lambda
-        # arity, so `lambda h, a=a: ...` would be rejected
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
-
-    sigs = [F.array_min(F.transform(base, family(a, b))) for a, b in _lcg_params(num_hashes)]
-    return F.array(*sigs)
+    init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, fam, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % MERSENNE31)
+        ),
+    )
 
 
 def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -219,3 +231,70 @@ def brute_force_topk(
         cosine(emb, q).alias("cosine_sim"),
     )
     return out.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH bucketed ANN — the cosine-similarity scale path
+# ---------------------------------------------------------------------------
+
+def hyperplanes(num_planes: int, dim: int, seed: int = 424242) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane matrix (LCG-derived, identical
+    on every run/engine — the DuckDB oracle regenerates the same one)."""
+    x = seed
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+            row.append(1 if x % 2 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """SimHash-style bucket id: bit j = sign of <vec, plane_j>. Vectors in
+    the same bucket are likely cosine-close (random-hyperplane LSH)."""
+    bucket: Column = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(s)) for s in plane])
+        bucket = bucket + F.when(dot(vec, p) >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 424242,
+) -> DataFrame:
+    """Approximate per-vector cosine top-k: bucket by random-hyperplane
+    LSH, self-join WITHIN buckets only, rank by cosine per query vector.
+
+    The scale story vs brute force: the all-pairs join is O(n^2) rows;
+    bucketing cuts it to sum of per-bucket squares (~n^2 / 2^planes for
+    balanced buckets), and the bucket id is the single shuffle key — at
+    100 TB add more planes (smaller buckets) + multi-probe for recall.
+    Candidates within a bucket are verified with exact cosine, so
+    precision is 1; recall is traded for the join-volume reduction.
+    """
+    planes = hyperplanes(num_planes, dim, seed)
+    e = df.select(
+        F.col(id_col), as_double_array(vec_col).alias("__v")
+    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+                 F.col("__bucket").alias("__b"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+                 F.col("__bucket").alias("__b"))
+    cand = a.join(b, "__b").filter(F.col("id_a") != F.col("id_b"))
+    scored = cand.select(
+        "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -293,3 +293,57 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     out = SIM.brute_force_topk(emb, qvec, k=10)
     return out.select("vec_id", round_half_away(F.col("cosine_sim"), 6).alias("cosine_sim"))
+
+
+# ===========================================================================
+# Similarity search — hyperplane-LSH bucketed ANN (the scale path)
+# ===========================================================================
+
+def _sql_ann_lsh(num_planes: int, dim: int, k: int) -> str:
+    """DuckDB twin of ann_lsh_topk: regenerate the same ±1 hyperplanes,
+    bucket with explicit signed sums (left-to-right like Spark's fold),
+    self-join within buckets, rank by cosine per query vector."""
+    planes = SIM.hyperplanes(num_planes, dim)
+    bucket_terms = []
+    for j, plane in enumerate(planes):
+        dotsum = " ".join(
+            f"{'+' if s > 0 else '-'} CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(plane)
+        )
+        bucket_terms.append(f"CASE WHEN ({dotsum}) >= 0 THEN {2 ** j} ELSE 0 END")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS b FROM embeddings
+), cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS c
+  FROM e a JOIN e b ON a.b = b.b AND a.vec_id != b.vec_id
+), ranked AS (
+  SELECT id_a, id_b, c,
+         row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b ASC) AS rn
+  FROM cand
+)
+SELECT id_a, id_b, {_sql_round('c', 6)} AS cosine_sim
+FROM ranked WHERE rn <= {k}
+"""
+
+
+_ANN_LSH_ORACLE = _sql_ann_lsh(num_planes=6, dim=64, k=5)
+
+
+@register("ann_lsh_topk", _ANN_LSH_ORACLE)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-vector cosine top-5 via random-hyperplane LSH
+    buckets: the O(n^2) all-pairs join becomes a per-bucket self-join
+    (bucket id = single shuffle key; ~n^2/2^planes candidate volume).
+    Exact-cosine verification inside the bucket keeps precision 1; the
+    oracle runs the identical algorithm, so the hash check covers
+    hyperplane generation, bucketing, and ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.ann_lsh_topk(emb, "vec_id", "embedding", k=5, num_planes=6, dim=64)
+    return out.select(
+        "id_a", "id_b", round_half_away(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )

@@ -72,9 +72,12 @@ def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
 
     classes = P.classify_columns(base, cols)
 
-    # A6 gate: numeric/date columns with few distincts become categorical.
-    # Two-phase approx->exact (see distinct_gate) so the exact pass never
-    # touches genuinely-continuous columns.
+    # A6 gate FIRST, because it is the one decision that must materialize
+    # before the plan below can be built — and it is the cheap one: a
+    # global approx_count_distinct sketch pass (column-pruned scan, no
+    # shuffle), exact recount only for borderline columns. Keeping the
+    # blocking action cheap matters: everything after stays in ONE lazy
+    # job whose branches run as parallel stages.
     gate_cols = classes.numeric + classes.datetime
     demoted = P.distinct_gate(base, gate_cols, config.distinct_threshold)
 
@@ -82,15 +85,28 @@ def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
     date_cols = [c for c in classes.datetime if c not in demoted]
     cat_cols = classes.character + [c for c in gate_cols if c in demoted]
 
-    miss = P.missingness_profile(base, "__time", classes.profiled)
-    missing_final = FIN.finalize_missingness(miss, config.abs_threshold, config.digits_prop)
+    # ONE fused pass over the base table for missingness (every profiled
+    # column) + numeric stats + date stats — a single groupBy(__time)
+    # whose output (one row per period) is persisted and re-derived from.
+    # Base-table scans for the whole pipeline: gate sketch + this + the
+    # categorical melt = 3 column-pruned scans, vs the reference's 3-4
+    # FULL scans (R/etl_qa_run_pipeline.R:1186,1238,1343,1444), and the
+    # expensive exact-percentile aggregates run only for columns that
+    # survived the gate.
+    eff = P.ColumnClasses(numeric=num_cols, datetime=date_cols, character=cat_cols)
+    prof = P.combined_profile(base, "__time", eff, gate_cols=[])
+
+    missing_final = FIN.finalize_missingness(
+        prof.missingness(), config.abs_threshold, config.digits_prop
+    )
 
     continuous = date = categorical = None
     if num_cols:
-        stats = P.numeric_stats(base, "__time", num_cols)
-        continuous = FIN.finalize_continuous(stats, config.rel_threshold, config.digits_mean)
+        continuous = FIN.finalize_continuous(
+            prof.numeric_stats(num_cols), config.rel_threshold, config.digits_mean
+        )
     if date_cols:
-        date = P.date_stats(base, "__time", date_cols)
+        date = prof.date_stats(date_cols)
     if cat_cols:
         freq = P.categorical_freq(base, "__time", cat_cols)
         top = P.top_k_with_other(freq, config.top_k)

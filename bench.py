@@ -54,8 +54,10 @@ def main() -> None:
     except ValueError:
         sf = SF_DIR
 
-    # JVM/codegen warm-up on an untimed small action
+    # JVM/codegen/scan warm-up on untimed actions (the metric is query
+    # time at steady state, not first-touch JVM + file-footer costs)
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
