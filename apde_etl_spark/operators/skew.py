@@ -1,0 +1,106 @@
+"""Skew-mitigation primitives for 100 TB-scale shuffles.
+
+AQE (enabled in :mod:`apde_etl_spark.session`) already splits skewed
+partitions in sort-merge joins at runtime; these helpers cover the two
+cases AQE does not: hash-aggregation skew (one hot group key overwhelms
+a reducer) and broadcast-ineligible dimension joins against a skewed fact
+key. Both are plan-level rewrites — pure DataFrame ops, no sampling pass.
+
+The reference never needed any of this (its biggest shuffle was a
+single-server GROUP BY); it exists for the engine's scale target.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+    salt_source: str | Column | None = None,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys.
+
+    Stage 1 groups by (keys + salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers; stage 2 re-combines per key. Only
+    *algebraic* aggregates survive two-stage recombination; supported
+    ``aggs`` = {out_col: (fn, in_col)} with fn in
+    {sum, count, min, max}. ``count`` recombines as sum of partial counts.
+
+    ``salt_source``: a column whose hash spreads rows (e.g. a unique id)
+    — deterministic, retry-safe. Defaults to ``monotonically_increasing_id``
+    hashed, which is stable within a task attempt.
+    """
+    supported = {"sum", "count", "min", "max"}
+    bad = {fn for fn, _ in aggs.values()} - supported
+    if bad:
+        raise ValueError(f"non-algebraic aggregates not salt-safe: {sorted(bad)}")
+
+    if salt_source is None:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    else:
+        src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+        salt = F.pmod(F.xxhash64(src), F.lit(salt_buckets))
+
+    partial_aggs = []
+    final_aggs = []
+    for out, (fn, col) in aggs.items():
+        p = f"__p_{out}"
+        if fn == "count":
+            partial_aggs.append(F.count(col).alias(p))
+            final_aggs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partial_aggs.append(F.sum(col).alias(p))
+            final_aggs.append(F.sum(p).alias(out))
+        elif fn == "min":
+            partial_aggs.append(F.min(col).alias(p))
+            final_aggs.append(F.min(p).alias(out))
+        elif fn == "max":
+            partial_aggs.append(F.max(col).alias(p))
+            final_aggs.append(F.max(p).alias(out))
+
+    staged = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
+    return staged.groupBy(*keys).agg(*final_aggs)
+
+
+def replicated_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+    fact_salt_source: str | Column | None = None,
+) -> DataFrame:
+    """Equi-join a skew-keyed fact against a dimension too large to
+    broadcast: the fact side gets a deterministic salt in
+    ``[0, salt_buckets)``, the dimension is replicated once per salt
+    value (explode over a literal range — dim rows x buckets), and the
+    join key becomes (key, salt). The hot fact key now lands on
+    ``salt_buckets`` reducers instead of one.
+
+    Replication cost is ``salt_buckets`` x dim size — choose the smallest
+    bucket count that flattens the skew (or use AQE's skew-join for
+    sort-merge cases; this helper is for when you must hash-partition).
+    """
+    if fact_salt_source is None:
+        fsalt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    else:
+        src = (
+            F.col(fact_salt_source)
+            if isinstance(fact_salt_source, str)
+            else fact_salt_source
+        )
+        fsalt = F.pmod(F.xxhash64(src), F.lit(salt_buckets))
+
+    f_salted = fact.withColumn("__salt", fsalt)
+    d_rep = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
+    )
+    out = f_salted.join(d_rep, [key, "__salt"], how)
+    return out.drop("__salt")

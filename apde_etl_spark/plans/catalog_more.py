@@ -663,3 +663,42 @@ def mm_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "width", "height", "format",
         round_half_away(F.element_at("features", 1), 6).alias("feature_0"),
     )
+
+
+# ===========================================================================
+# Sessionization extension — batch window recipe (streaming twin in
+# streaming/sessionize.py, checked against this in tests)
+# ===========================================================================
+
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 86400.0
+              THEN 1 ELSE 0 END AS flag
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY 1, 2
+"""
+
+
+@register("sessionize_events", _SESSION_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (24h idle gap) collapsed to per-session
+    stats — lag -> flag -> running-sum window recipe, one shuffle on the
+    user key. The applyInPandasWithState streaming twin must produce the
+    identical session set (tests/test_streaming.py)."""
+    from apde_etl_spark.streaming.sessionize import batch_sessionize, session_stats
+
+    ev = load_events(spark, sf_dir)
+    return session_stats(batch_sessionize(ev, "user_id", "ts", gap_minutes=1440.0))

@@ -87,3 +87,38 @@ def date_split_reload(
         new.filter(F.col(date_col) >= F.lit(cutpoint))
     )
     return merged.distinct()
+
+
+def write_analytic_table(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    cluster_by: str | list[str] | None = None,
+    target_file_rows: int | None = None,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """The add_index analogue: physical layout instead of indices.
+
+    The reference drops the clustered index before a bulk load, re-adds it
+    after, and puts a clustered COLUMNSTORE index on analytic tables
+    (add_index.R:201-247,235-240; load_table_from_file.R:350-374). On the
+    lake the equivalents are: parquet IS the columnstore; hive-style
+    ``partition_by`` gives partition pruning (the clustered-key range
+    scan); ``cluster_by`` sorts WITHIN files so min/max row-group stats
+    skip pages (the secondary index); ``target_file_rows`` repartitions
+    ahead of the write so files land at a sane size instead of one file
+    per shuffle partition.
+    """
+    part = [partition_by] if isinstance(partition_by, str) else (partition_by or [])
+    clust = [cluster_by] if isinstance(cluster_by, str) else (cluster_by or [])
+    out = df
+    if target_file_rows:
+        n = max(1, out.count() // target_file_rows)
+        out = out.repartition(n, *part) if part else out.repartition(n)
+    if clust:
+        out = out.sortWithinPartitions(*clust)
+    writer = out.write.mode(mode).format(file_format)
+    if part:
+        writer = writer.partitionBy(*part)
+    writer.save(path)

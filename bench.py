@@ -38,6 +38,8 @@ HEADLINE = [
     "simhash_documents",
     "qa_missingness_final",
     "qa_values_full",
+    "ann_lsh_topk",
+    "sessionize_events",
 ]
 
 

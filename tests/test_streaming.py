@@ -88,3 +88,49 @@ def test_windowed_freq_stream_matches_batch(spark, events_batch, events_stream):
     # sanity: window bounds align to the tumbling grid
     r = stream.first()
     assert (r["window_end"] - r["window_start"]).total_seconds() == 12 * 3600
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionization: applyInPandasWithState vs the batch window recipe
+# ---------------------------------------------------------------------------
+
+
+def test_stream_sessionize_matches_batch(spark, events_batch, events_stream):
+    from apde_etl_spark.streaming.sessionize import (
+        batch_sessionize,
+        session_stats,
+        stream_sessionize,
+    )
+
+    # a user subset keeps the Python state-store exchange small; the
+    # algorithm is per-user, so the subset loses no coverage
+    batch_sub = events_batch.filter(F.col("user_id") < 150)
+    stream_sub = events_stream.filter(F.col("user_id") < 150)
+
+    expected = _canon(
+        session_stats(
+            batch_sessionize(batch_sub, "user_id", "ts", gap_minutes=1440.0)
+        )
+    )
+
+    sessions = stream_sessionize(stream_sub, "user_id", "ts", gap_minutes=1440.0)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_df = spark.sql(
+        """
+        SELECT user_id, session_seq, session_start, session_end, n_events
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id, session_seq ORDER BY n_events DESC
+          ) AS rn
+          FROM sessions_sink
+        ) WHERE rn = 1
+        """
+    )
+    assert _canon(got_df) == expected
