@@ -119,3 +119,31 @@ def all_missing_vars(miss: DataFrame) -> DataFrame:
         .filter(F.col("_minp") >= 1.0)
         .select("varname")
     )
+
+
+def check_standards(observed: DataFrame, standard: DataFrame) -> DataFrame:
+    """J8 — the chi_standards conformance table: indicator full-outer join
+    of the observed (varname, group) domain against the standard domain,
+    0/1 presence flags, ``problem='*'`` on any one-sided row
+    (R/etl_qa_run_pipeline.R:766-801, 951-982, 1620-1622).
+
+    ``observed``/``standard``: (varname, group) relations; both sides are
+    distinct'd here. The standard side is a tiny dimension — broadcast.
+    """
+    ob = observed.select("varname", "group").distinct().alias("ob")
+    st = standard.select("varname", "group").distinct().alias("st")
+    j = ob.join(
+        F.broadcast(st),
+        (F.col("ob.varname") == F.col("st.varname"))
+        & (F.col("ob.group").eqNullSafe(F.col("st.group"))),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("ob.varname"), F.col("st.varname")).alias("varname"),
+        F.coalesce(F.col("ob.group"), F.col("st.group")).alias("group"),
+        F.when(F.col("ob.varname").isNull(), 0).otherwise(1).alias("your_data"),
+        F.when(F.col("st.varname").isNull(), 0).otherwise(1).alias("chi"),
+        F.when(
+            F.col("ob.varname").isNull() | F.col("st.varname").isNull(), F.lit("*")
+        ).otherwise(F.lit(None).cast("string")).alias("problem"),
+    )

@@ -77,3 +77,34 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+def winnow_fingerprints(col: Column | str, window: int = 4) -> Column:
+    """Document fingerprints by winnowing: 60-bit token hashes, minimum of
+    every ``window``-length sliding window, distinct minima
+    (array<bigint>). The standard local fingerprinting scheme — two
+    documents sharing any fingerprint share an identical token run, so
+    fingerprint equality is a shuffle-key-friendly copy-detection
+    primitive (explode -> groupBy(fp), same scale shape as LSH banding).
+
+    Built UDF-free with the shifted-copy zip pattern: ``window-1`` zips
+    with :func:`pyspark.sql.functions.least` compute all window minima in
+    O(n * window) codegen'd comparisons; partial tail windows are cut by
+    slicing to the full-window count.
+    """
+    from apde_etl_spark.operators.similarity import hash60
+
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), _WS)
+    h = F.transform(toks, lambda t: hash60(t))
+    n = F.size(h)
+    acc = h
+    for i in range(2, window + 1):
+        shifted = F.slice(h, i, F.greatest(n - F.lit(i - 1), F.lit(0)))
+        # least() ignores the NULL padding on the short (shifted) side, so
+        # tail entries become partial-window minima — removed by the slice
+        acc = F.zip_with(acc, shifted, lambda x, y: F.least(x, y))
+    full = F.when(
+        n >= window, F.slice(acc, 1, n - F.lit(window - 1))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(full)

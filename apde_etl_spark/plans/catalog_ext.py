@@ -347,3 +347,41 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", round_half_away(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+# ===========================================================================
+# Document fingerprinting — winnowing (rolling window minima)
+# ===========================================================================
+
+_WINNOW_W = 4
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+hashed AS (
+  SELECT doc_id, list_transform(t, x -> {_sql_hash60('x')}) AS h, len(t) AS n
+  FROM toks
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN n >= {_WINNOW_W}
+              THEN list_distinct(list_transform(
+                     range(1, n - {_WINNOW_W} + 2),
+                     i -> list_min(h[i:i+{_WINNOW_W}-1])))
+              ELSE [] END AS fp
+  FROM hashed
+)
+SELECT doc_id, CAST(unnest(fp) AS BIGINT) AS fingerprint FROM fps
+"""
+
+
+@register("doc_fingerprint_winnow", _WINNOW_ORACLE)
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints exploded to (doc_id, fingerprint) rows —
+    the copy-detection primitive (fingerprint is the shuffle key for
+    grouping identical token runs at corpus scale). Oracle computes the
+    identical window minima via list slicing."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", TX.winnow_fingerprints("text", window=4).alias("fp")
+    )
+    return fp.select("doc_id", F.explode("fp").alias("fingerprint"))

@@ -702,3 +702,59 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return session_stats(batch_sessionize(ev, "user_id", "ts", gap_minutes=1440.0))
+
+
+# ===========================================================================
+# QA pipeline chi_standards — the third exported table (J8/U4 through the
+# pipeline; etl_qa_run_pipeline.R:1620-1622)
+# ===========================================================================
+
+_QA_CHI_ORACLE = """
+WITH observed AS (
+  SELECT DISTINCT varname, grp FROM (
+    SELECT 'o_orderstatus' AS varname, o_orderstatus AS grp FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM orders
+  )
+), standard AS (
+  SELECT * FROM (VALUES
+    ('o_orderstatus','O'), ('o_orderstatus','F'), ('o_orderstatus','P'),
+    ('o_orderstatus','X'),
+    ('o_orderpriority','1-URGENT'), ('o_orderpriority','2-HIGH'),
+    ('o_orderpriority','3-MEDIUM'), ('o_orderpriority','4-NOT SPECIFIED'),
+    ('o_orderpriority','5-LOW'), ('o_orderpriority','6-NEVER')
+  ) s(varname, grp)
+)
+SELECT COALESCE(o.varname, s.varname) AS varname,
+       COALESCE(o.grp, s.grp) AS "group",
+       CAST(CASE WHEN o.varname IS NULL THEN 0 ELSE 1 END AS INTEGER) AS your_data,
+       CAST(CASE WHEN s.varname IS NULL THEN 0 ELSE 1 END AS INTEGER) AS chi,
+       CASE WHEN o.varname IS NULL OR s.varname IS NULL THEN '*' END AS problem
+FROM observed o FULL OUTER JOIN standard s
+  ON o.varname = s.varname AND o.grp = s.grp
+"""
+
+
+@register("qa_chi_standards", _QA_CHI_ORACLE)
+def qa_chi_standards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's third exported table: domain conformance of the
+    configured columns against a (varname, group) standard — full-outer
+    indicator join with '*' problem flags (J8 + U4 observed-domain build,
+    through run_qa_pipeline's standards config)."""
+    from apde_etl_spark.plans.qa_pipeline import QaConfig, run_qa_pipeline
+
+    o = load(spark, sf_dir, "orders")
+    standard = spark.createDataFrame(
+        [("o_orderstatus", v) for v in ["O", "F", "P", "X"]]
+        + [("o_orderpriority", v) for v in
+           ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", "6-NEVER"]],
+        ["varname", "group"],
+    )
+    cfg = QaConfig(
+        time_var="o_orderdate",
+        time_expr=F.year("o_orderdate").cast("int"),
+        cols=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        standards=standard,
+    )
+    res = run_qa_pipeline(o, cfg)
+    return res.chi_standards

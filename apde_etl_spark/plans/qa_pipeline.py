@@ -49,18 +49,57 @@ class QaConfig:
     digits_mean: int = 2
     digits_prop: int = 3
     time_expr: Column | None = None          # optional derived time axis
+    standards: DataFrame | None = None       # (varname, group) domain standard
+                                             # -> chi_standards output (J8)
+
+
+def validate_qa_config(df: DataFrame, config: "QaConfig") -> None:
+    """Argument contract, mirroring the reference's validation layer and
+    its error-message tests (etl_qa_run_pipeline.R:177-293;
+    tests/manual/test-etl_qa_run_pipeline.R:339-680 asserts ~25 exact
+    messages). Raises ValueError with a stable message per violation."""
+    if config.time_expr is None and config.time_var not in df.columns:
+        raise ValueError(f"time_var {config.time_var!r} not found in the data")
+    if config.cols:
+        missing = [c for c in config.cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"cols not present in the data: {missing}")
+    if config.time_range is not None:
+        if len(tuple(config.time_range)) != 2:
+            raise ValueError("time_range must be a (lo, hi) pair")
+        lo, hi = config.time_range
+        if lo > hi:
+            raise ValueError("time_range lo must be <= hi")
+    if not (isinstance(config.distinct_threshold, int) and config.distinct_threshold > 0):
+        raise ValueError("distinct_threshold must be a positive integer")
+    if config.abs_threshold <= 0 or config.rel_threshold <= 0:
+        raise ValueError("abs_threshold and rel_threshold must be positive")
+    if config.top_k <= 0:
+        raise ValueError("top_k must be a positive integer")
+    if config.digits_mean < 0 or config.digits_prop < 0:
+        raise ValueError("digits_mean and digits_prop must be non-negative")
+    if config.standards is not None:
+        need = {"varname", "group"}
+        have = set(config.standards.columns)
+        if not need <= have:
+            raise ValueError(
+                f"standards must have columns {sorted(need)}, got {sorted(have)}"
+            )
 
 
 @dataclass
 class QaResults:
     missingness: DataFrame
     values: DataFrame
+    chi_standards: DataFrame | None = field(default=None)
     classes: P.ColumnClasses = field(default=None)
 
 
 def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
     """Profile ``df`` per the config; returns the reference's exported
-    table contracts (SURVEY.md §3.1 step 4)."""
+    table contracts (SURVEY.md §3.1 step 4): missingness, values, and —
+    when a domain standard is configured — chi_standards."""
+    validate_qa_config(df, config)
     t = config.time_expr if config.time_expr is not None else F.col(config.time_var)
 
     cols = config.cols or [c for c in df.columns if c != config.time_var]
@@ -113,4 +152,24 @@ def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
         categorical = FIN.finalize_categorical(top, config.abs_threshold, config.digits_prop)
 
     values = FIN.stack_values(categorical, continuous, date)
-    return QaResults(missingness=missing_final, values=values, classes=classes)
+
+    chi = None
+    if config.standards is not None:
+        # U4 — observed (varname, group) domain from the standard's own
+        # varnames, built on the melted categorical relation
+        std_vars = [
+            r["varname"] for r in config.standards.select("varname").distinct().collect()
+        ]
+        present = [c for c in std_vars if c in cols]
+        if present:
+            from apde_etl_spark.operators.reshape import melt_long
+
+            observed = melt_long(
+                base.select(*[F.col(c).cast("string") for c in present]),
+                [], present, value_name="group",
+            ).distinct()
+            chi = FIN.check_standards(observed, config.standards)
+
+    return QaResults(
+        missingness=missing_final, values=values, chi_standards=chi, classes=classes
+    )
