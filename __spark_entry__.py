@@ -6,8 +6,9 @@ operator (plus the training-data extension surface).
 ``oracle_sql()`` — DuckDB twins for the correctness gate.
 
 Implementations live in ``apde_etl_spark/plans/catalog.py`` (reference
-parity surface) and ``catalog_ext.py`` (dedup / text / similarity
-extensions); this module only re-exports the registry.
+parity surface), ``catalog_ext.py`` (dedup / text / similarity
+extensions), and ``catalog_more.py`` (sources/lifecycle, scalar families,
+streaming, multimodal); this module only re-exports the registry.
 """
 
 from __future__ import annotations

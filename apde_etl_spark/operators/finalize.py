@@ -29,6 +29,11 @@ def complete_grid(actuals: DataFrame, fill_zero: dict[str, object] | None = None
     (CJ(...) :1578-1582,1608-1612; SURVEY §2.10.7: the value dimension
     expands only (varname, value) pairs observed in *some* period).
     """
+    # actuals feeds THREE subtrees (times, dims, the join probe); without
+    # a cache boundary each one re-computes the whole upstream
+    # aggregation — 3 base-table scans instead of 1. The frame is tiny
+    # (already aggregated), so persisting is O(years x varnames).
+    actuals = actuals.persist()
     times = actuals.select("time_period").distinct()
     if value_dim:
         dims = actuals.select("varname", "value").distinct()

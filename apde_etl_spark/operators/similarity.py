@@ -284,11 +284,21 @@ def ann_lsh_topk(
     e = df.select(
         F.col(id_col), as_double_array(vec_col).alias("__v")
     ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
-    a = e.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
-                 F.col("__bucket").alias("__b"))
+    # Partitioning is the whole game here: clustered corpora put entire
+    # clusters in one bucket, so a bucket-keyed shuffle join would send
+    # each cluster's O(size^2) candidate work to ONE reducer (and a
+    # single-file scan would leave it on one core). Spread the probe side
+    # by id (uniform, skew-free) and broadcast the bucket table; each
+    # task then verifies its ids' candidates locally. When the corpus is
+    # too big to broadcast, swap the broadcast for replicated_salted_join
+    # on the bucket key (operators/skew.py).
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = e.repartition(nparts, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__bucket").alias("__b"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
                  F.col("__bucket").alias("__b"))
-    cand = a.join(b, "__b").filter(F.col("id_a") != F.col("id_b"))
+    cand = a.join(F.broadcast(b), "__b").filter(F.col("id_a") != F.col("id_b"))
     scored = cand.select(
         "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from apde_etl_spark.sources.config import tsql_type_to_spark
@@ -125,12 +126,53 @@ class SourceRegistry:
 registry = SourceRegistry()
 
 
+#: widening order for cross-year type drift; anything not unifiable in
+#: this chain falls back to string
+_TYPE_RANK = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def _unify(a: str, b: str) -> str:
+    if a == b:
+        return a
+    if a in _TYPE_RANK and b in _TYPE_RANK:
+        return _TYPE_RANK[max(_TYPE_RANK.index(a), _TYPE_RANK.index(b))]
+    if {a, b} == {"date", "timestamp"}:
+        return "timestamp"
+    return "string"
+
+
 def union_evolving(dfs: Sequence[DataFrame]) -> DataFrame:
     """U1 — schema-evolving UNION ALL: per-year tables whose column sets
     differ are stacked against the union of all columns, absent columns
     NULL-padded (load_table_from_file.R:596-665). ``unionByName`` is the
-    native form of the reference's generated NULL-AS padding."""
-    out = dfs[0]
+    native form of the reference's generated NULL-AS padding.
+
+    Goes one step beyond the reference (which pads only for *presence*,
+    SURVEY §7.2e): same-named columns whose types drifted across years
+    are explicitly cast to the widened common type (numeric chain ->
+    widest; date/timestamp -> timestamp; otherwise string), so a year
+    that changed ``int`` to ``double`` still unions."""
+    from collections import OrderedDict
+
+    merged: "OrderedDict[str, str]" = OrderedDict()
+    for d in dfs:
+        for f_ in d.schema.fields:
+            t = f_.dataType.simpleString()
+            merged[f_.name] = _unify(merged[f_.name], t) if f_.name in merged else t
+
+    def conform(d: DataFrame) -> DataFrame:
+        have = {f_.name: f_.dataType.simpleString() for f_ in d.schema.fields}
+        cols = []
+        for name, t in merged.items():
+            if name not in have:
+                cols.append(F.lit(None).cast(t).alias(name))
+            elif have[name] != t:
+                cols.append(F.col(name).cast(t).alias(name))
+            else:
+                cols.append(F.col(name))
+        return d.select(*cols)
+
+    out = conform(dfs[0])
     for d in dfs[1:]:
-        out = out.unionByName(d, allowMissingColumns=True)
+        out = out.unionByName(conform(d))
     return out

@@ -1,0 +1,76 @@
+"""Property-style invariants over randomized inputs (one Spark job per
+property, batched examples — the reference's behavioral-test pattern with
+broader input coverage)."""
+
+import math
+import random
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+from apde_etl_spark.functions.core import round_half_away
+from apde_etl_spark.operators.profile import top_k_with_other
+
+
+def _py_half_away_float(x: float, d: int) -> float:
+    """The contract: the engine/oracle shared FLOAT formula."""
+    f = float(10 ** d)
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * f + 0.5) / f
+
+
+def _py_half_away_decimal(x: float, d: int) -> float:
+    q = Decimal(1).scaleb(-d)
+    return float(Decimal(str(abs(x))).quantize(q, rounding=ROUND_HALF_UP)) * (
+        -1 if x < 0 else 1
+    )
+
+
+def test_round_half_away_matches_decimal_reference(spark):
+    rng = random.Random(7)
+    cases = [(round(rng.uniform(-1000, 1000), 6), rng.randint(0, 4)) for _ in range(300)]
+    cases += [(-2.5, 0), (2.5, 0), (-0.05, 1), (0.05, 1), (1.005, 2), (-1.005, 2), (0.0, 3)]
+    df = spark.createDataFrame(cases, "x double, d int")
+    got = df.select(
+        "x", "d",
+        *[round_half_away(F.col("x"), d).alias(f"r{d}") for d in range(5)],
+    ).collect()
+    for r in got:
+        x, d = r["x"], r["d"]
+        actual = r[f"r{d}"]
+        # exact agreement with the shared float formula — THIS is the
+        # cross-engine contract (both sides run it on binary doubles)
+        assert actual == _py_half_away_float(x, d), (x, d, actual)
+        # and agreement with true decimal HALF_UP away from representation
+        # boundaries (e.g. 1.005 is really 1.00499..., where float and
+        # decimal legitimately diverge)
+        scaled = abs(x) * 10 ** d
+        if abs(scaled - math.floor(scaled) - 0.5) > 1e-6:
+            assert actual == _py_half_away_decimal(x, d), (x, d, actual)
+
+
+def test_top_k_with_other_preserves_mass_and_caps_labels(spark):
+    rng = random.Random(13)
+    rows = []
+    for tp in (2023, 2024):
+        for v in range(30):
+            rows.append((tp, "var1", f"v{v}", rng.randint(1, 500)))
+        rows.append((tp, "var1", None, rng.randint(1, 50)))
+    freq = spark.createDataFrame(rows, "time_period int, varname string, value string, count long")
+    out = top_k_with_other(freq, k=8)
+    # total mass preserved per (time, varname)
+    a = {(r["time_period"], r["varname"]): r["s"]
+         for r in freq.groupBy("time_period", "varname").agg(F.sum("count").alias("s")).collect()}
+    b = {(r["time_period"], r["varname"]): r["s"]
+         for r in out.groupBy("time_period", "varname").agg(F.sum("count").alias("s")).collect()}
+    assert a == b
+    for (tp, vn), grp in {(2023, "var1"): None, (2024, "var1"): None}.items():
+        vals = [r["value"] for r in out.filter(
+            (F.col("time_period") == tp) & (F.col("varname") == vn)).collect()]
+        assert "Other values" in vals and None in vals
+        # distinct non-null, non-Other labels never exceed the dense ranks kept
+        named = [v for v in vals if v is not None and v != "Other values"]
+        assert len(named) <= 8 + 1  # ties at rank 8 may add members
+    # proportions sum to 1 per group
+    sums = out.groupBy("time_period", "varname").agg(F.sum("proportion").alias("p")).collect()
+    assert all(abs(r["p"] - 1.0) < 1e-9 for r in sums)

@@ -125,3 +125,21 @@ def test_date_split_reload_auto_cutpoint(spark):
     )
     out = date_split_reload(archive, new, "dt")
     assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_union_evolving_widens_drifted_types(spark):
+    y1 = spark.createDataFrame([(1, 10, "a")], "id int, value int, tag string")
+    y2 = spark.createDataFrame([(2, 3.5)], "id bigint, value double")
+    out = union_evolving([y1, y2])
+    types = dict(out.dtypes)
+    assert types["id"] == "bigint" and types["value"] == "double"
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [(1, 10.0, "a"), (2, 3.5, None)]
+
+
+def test_union_evolving_falls_back_to_string(spark):
+    y1 = spark.createDataFrame([(1, 5)], "id int, code int")
+    y2 = spark.createDataFrame([(2, "x7")], "id int, code string")
+    out = union_evolving([y1, y2])
+    assert dict(out.dtypes)["code"] == "string"
+    assert sorted(r["code"] for r in out.collect()) == ["5", "x7"]
