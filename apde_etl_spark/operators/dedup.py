@@ -58,3 +58,60 @@ def exact_dedup(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Exact row dedup: distinct over all (or the given) columns — the
     reference's UNION-dedup semantics (load_table_from_sql.R:383-393)."""
     return df.dropDuplicates(list(cols) if cols else None)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: iterative min-label
+    propagation until fixpoint -> ``(id, component)`` where component is
+    the smallest id reachable from ``id``.
+
+    The standard post-LSH dedup step (pairs -> clusters -> keep one doc
+    per cluster). Each iteration is two hash-joins + an aggregation over
+    the edge list — shuffle keys are the node ids, so the work
+    distributes; iterations are O(log(diameter)) in practice because
+    labels hop across both edge directions each round. Genuinely
+    iterative (not SQL-expressible without recursion), driver only checks
+    a one-row convergence count per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min of neighbors' labels and own
+        neighbor = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -108,3 +108,17 @@ def winnow_fingerprints(col: Column | str, window: int = 4) -> Column:
         n >= window, F.slice(acc, 1, n - F.lit(window - 1))
     ).otherwise(F.array().cast("array<bigint>"))
     return F.array_distinct(full)
+
+
+#: portable "BPE-ish" token pattern: letter runs, digit runs, single
+#: non-space symbols — the same class-based regex parses identically under
+#: Java regex (Spark) and DuckDB's RE2, so counts cross-check exactly
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-style token count: letter runs + digit runs + individual
+    symbols (a rough lower bound on BPE token counts, cheap enough to run
+    over a 100 TB corpus as a single codegen'd projection)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))

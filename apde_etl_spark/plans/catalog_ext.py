@@ -385,3 +385,49 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", TX.winnow_fingerprints("text", window=4).alias("fp")
     )
     return fp.select("doc_id", F.explode("fp").alias("fingerprint"))
+
+
+# ===========================================================================
+# BPE-ish token counting (subword-style lower bound, cross-engine regex)
+# ===========================================================================
+
+_BPE_ORACLE = f"""
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}'))) AS BIGINT)
+         AS bpe_tokens,
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS ws_tokens
+FROM documents GROUP BY source
+"""
+
+
+@register("bpe_token_count_by_source", _BPE_ORACLE)
+def bpe_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style (letter-run/digit-run/symbol) and whitespace token
+    budgets per source — both native projections; the class-based regex
+    parses identically under Java regex and RE2 so the counts
+    cross-check."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TX.bpe_ish_token_count("text").cast("long")).alias("bpe_tokens"),
+        F.sum(TX.token_count("text").cast("long")).alias("ws_tokens"),
+    )
+
+
+# ===========================================================================
+# Near-dup clusters — connected components over the LSH pair list
+# ===========================================================================
+
+
+@register("neardup_clusters")  # iterative; rows-only check (no single SQL twin)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: min-label propagation over the verified near-dup
+    pair list (the post-LSH step that picks one representative per
+    duplicate cluster). Iterative joins, node id as shuffle key;
+    convergence checked with a 1-row count per round."""
+    from apde_etl_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = SIM.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16,
+                                  bands=4, threshold=0.2)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")

@@ -758,3 +758,47 @@ def qa_chi_standards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = run_qa_pipeline(o, cfg)
     return res.chi_standards
+
+
+# ===========================================================================
+# Streaming categorical frequency — second Structured Streaming entry
+# ===========================================================================
+
+_STREAM_CAT_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       'event_type' AS varname,
+       CAST(event_type AS VARCHAR) AS value,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM events GROUP BY 1, 4
+"""
+
+
+@register("stream_hourly_event_freq", _STREAM_CAT_ORACLE)
+def stream_hourly_event_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (SURVEY §2.12): per-window value frequencies of
+    event_type as a real Structured Streaming run (file source ->
+    windowed count -> availableNow -> memory sink, complete mode), with
+    the batch time_bucket aggregation as the oracle."""
+    from apde_etl_spark.streaming.profile_stream import windowed_categorical_freq
+
+    load_events(spark, sf_dir)  # sets nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes)["ts"] == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    freq = windowed_categorical_freq(src, "ts", "event_type", window="1 hour",
+                                     watermark="2 hours")
+    name = "stream_hourly_event_freq_sink"
+    q = (
+        freq.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start", "window_end", "varname", "value", "count"
+    )

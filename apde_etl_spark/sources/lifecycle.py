@@ -122,3 +122,52 @@ def write_analytic_table(
     if part:
         writer = writer.partitionBy(*part)
     writer.save(path)
+
+
+def ingest_yearly_files(
+    spark: SparkSession,
+    config: dict,
+    years: list[int],
+    server: str | None = None,
+    test_mode: bool = False,
+) -> DataFrame:
+    """The load_table_from_file main flow (§3.2,
+    load_table_from_file.R:152-667): per year, resolve the config
+    hierarchy (argument > server scope > year scope > global), bulk-load
+    that year's delimited file with its own terminators/header/row-cap,
+    then consolidate with the schema-evolving union (absent columns
+    NULL-padded, drifted types widened).
+
+    ``config`` keys (global or scoped): ``file_path`` (with ``{year}``
+    placeholder), ``field_term``, ``first_row``, ``encoding``, ``vars``
+    (name -> T-SQL type, compiled to an explicit schema), ``row_cap``.
+    ``test_mode`` caps every year at 1001 rows like the reference's
+    ``-L 1001`` (load_table_from_file.R:313).
+    """
+    from apde_etl_spark.sources.config import resolve_config
+    from apde_etl_spark.sources.readers import (
+        read_delimited,
+        schema_from_config,
+        union_evolving,
+    )
+
+    keys = ["file_path", "field_term", "first_row", "encoding", "vars", "row_cap"]
+    frames = []
+    for year in years:
+        c = resolve_config(config, keys, server=server, year=year)
+        if not c["file_path"]:
+            raise ValueError(f"no file_path configured for year {year}")
+        schema = schema_from_config(c["vars"]) if c["vars"] else None
+        row_cap = 1001 if test_mode else c["row_cap"]
+        frames.append(
+            read_delimited(
+                spark,
+                c["file_path"].format(year=year),
+                field_term=c["field_term"] or ",",
+                first_row=c["first_row"] or 2,
+                encoding=c["encoding"] or "UTF-8",
+                schema=schema,
+                row_cap=row_cap,
+            ).withColumn("load_year", F.lit(year))
+        )
+    return union_evolving(frames)

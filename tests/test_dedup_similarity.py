@@ -104,3 +104,15 @@ def test_cosine_topk_orders_by_similarity(spark):
     out = SIM.brute_force_topk(df, [1.0, 0.0], k=2).collect()
     assert [r["vec_id"] for r in out] == [0, 1]
     assert out[0]["cosine_sim"] == pytest.approx(1.0)
+
+
+def test_connected_components_known_graph(spark):
+    from apde_etl_spark.operators.dedup import connected_components
+
+    # two components {1,2,3,4} (chain) and {10,11}; 20-21-22 triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

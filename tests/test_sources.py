@@ -48,8 +48,9 @@ def test_tsql_type_mapping():
     assert tsql_type_to_spark("INT") == "int"
 
 
-def test_schema_from_config_fixture_f2():
+def test_schema_from_config_fixture_f2(spark):
     # FIXTURES.md F2: the reference's generic loader/DDL test table
+    # (spark fixture needed: DDL-string parsing requires an active session)
     schema = schema_from_config(
         {"id": "INT", "name": "VARCHAR(50)", "value": "DECIMAL(10,2)", "date_col": "DATE"}
     )
@@ -143,3 +144,44 @@ def test_union_evolving_falls_back_to_string(spark):
     out = union_evolving([y1, y2])
     assert dict(out.dtypes)["code"] == "string"
     assert sorted(r["code"] for r in out.collect()) == ["5", "x7"]
+
+
+def test_ingest_yearly_files_full_flow(spark, tmp_path):
+    from apde_etl_spark.sources.lifecycle import ingest_yearly_files
+
+    # year files with different dialects AND schemas: 2023 tab-sep with
+    # (id,name); 2024 comma-sep adds a double column
+    p23 = str(tmp_path / "data_2023.csv")
+    with open(p23, "w") as f:
+        f.write("id\tname\n1\talpha\n2\tbeta\n")
+    p24 = str(tmp_path / "data_2024.csv")
+    with open(p24, "w") as f:
+        f.write("id,name,score\n3,gamma,1.5\n")
+
+    config = {
+        "file_path": str(tmp_path / "data_{year}.csv"),
+        "field_term": ",",
+        "first_row": 2,
+        "2023": {"field_term": "\t",
+                 "vars": {"id": "INT", "name": "VARCHAR(20)"}},
+        "2024": {"vars": {"id": "INT", "name": "VARCHAR(20)", "score": "FLOAT"}},
+    }
+    out = ingest_yearly_files(spark, config, [2023, 2024])
+    rows = sorted(tuple(r) for r in out.select("id", "name", "score", "load_year").collect())
+    assert rows == [
+        (1, "alpha", None, 2023),
+        (2, "beta", None, 2023),
+        (3, "gamma", 1.5, 2024),
+    ]
+
+
+def test_ingest_yearly_files_test_mode_caps(spark, tmp_path):
+    from apde_etl_spark.sources.lifecycle import ingest_yearly_files
+
+    p = str(tmp_path / "big_2024.csv")
+    with open(p, "w") as f:
+        f.write("id\n" + "\n".join(str(i) for i in range(2000)))
+    config = {"file_path": str(tmp_path / "big_{year}.csv"), "first_row": 2,
+              "vars": {"id": "INT"}}
+    out = ingest_yearly_files(spark, config, [2024], test_mode=True)
+    assert out.count() == 1001
