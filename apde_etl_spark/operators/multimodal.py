@@ -122,3 +122,50 @@ def frame_sample_plan(
     later ``mapInPandas`` stage over this plan."""
     idx = F.sequence(F.lit(0), F.col("frame_count") - 1, F.lit(every_n))
     return df.select(id_col, F.explode(idx).alias("frame_index"))
+
+
+def resize_images(
+    df: DataFrame,
+    content_col: str = "content",
+    target_w: int = 224,
+    target_h: int = 224,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize stage: binary in -> binary out plus (width, height) set to
+    the target. The codec call is stubbed (``resizer=None`` raises with
+    guidance); ``deterministic_fake_resizer`` keeps the payload's md5
+    lineage so tests can assert the transform ran per-row. Arrow batches
+    carry the binaries; no shuffle is introduced — at corpus scale this
+    stage pipelines directly after the scan."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != content_col]
+        + [
+            T.StructField(content_col, T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    fn = resizer if resizer is not None else _default_resizer
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[content_col] = [fn(bytes(p), target_w, target_h) for p in pdf[content_col]]
+            pdf["width"] = target_w
+            pdf["height"] = target_h
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return df.mapInPandas(run, out_schema)
+
+
+def _default_resizer(payload: bytes, w: int, h: int) -> bytes:
+    raise NotImplementedError(
+        "image resizing requires an imaging library (e.g. Pillow) not present "
+        "in this container; pass resizer=deterministic_fake_resizer for "
+        "plumbing tests"
+    )
+
+
+def deterministic_fake_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """Content-derived fake: target dims + source digest, deterministic."""
+    return f"{w}x{h}:".encode() + hashlib.md5(payload).digest()

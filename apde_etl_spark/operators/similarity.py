@@ -308,3 +308,68 @@ def ann_lsh_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    centroid_stride: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` inverted
+    lists, then search each query vector only against its ``n_probe``
+    nearest cells.
+
+    Centroids are picked DETERMINISTICALLY as the vectors whose id is a
+    multiple of ``stride`` (first ``n_cells`` of them) — no k-means RNG,
+    so an external oracle can rebuild the identical index. At real scale
+    you'd swap in trained centroids; the plan shape (assign -> co-group by
+    cell -> verify within cell) is identical.
+
+    Plan: centroid table is tiny -> broadcast to both the assignment and
+    probe stages; the verification join repartitions the probe side by id
+    (uniform) against the broadcast cell-member lists when small, or
+    shuffles on cell id at scale.
+    """
+    e = df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    stride = centroid_stride or 1
+    cent = (
+        e.filter((F.col(id_col) % stride == 0))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col("__v").alias("__c"))
+    )
+    # assignment: cosine to every centroid (n_cells per row, broadcast),
+    # keep the top-n_probe cells per vector
+    ac = e.crossJoin(F.broadcast(cent)).select(
+        id_col, "__v", "cell_id", cosine(F.col("__v"), F.col("__c")).alias("__sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
+    probed = (
+        ac.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_probe)
+        .select(id_col, "__v", "cell_id", F.col("__rk").alias("__probe_rank"))
+    )
+    # inverted lists: every vector belongs to its TOP-1 cell only
+    lists = probed.filter(F.col("__probe_rank") == 1).select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "cell_id"
+    )
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    queries = probed.repartition(nparts, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "cell_id"
+    )
+    cand = queries.join(F.broadcast(lists), "cell_id").filter(
+        F.col("id_a") != F.col("id_b")
+    )
+    scored = cand.select(
+        "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+    )
+    wk = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -431,3 +431,58 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   bands=4, threshold=0.2)
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
+
+
+# ===========================================================================
+# Similarity search — IVF (inverted-file) ANN, deterministic centroids
+# ===========================================================================
+
+_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cell_id, v AS c FROM e ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT e.vec_id, e.v, cent.cell_id,
+         list_sum(list_transform(list_zip(e.v, cent.c), p -> p[1]*p[2]))
+           / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+              * sqrt(list_sum(list_transform(cent.c, x -> x*x)))) AS sim
+  FROM e CROSS JOIN cent
+), probed AS (
+  SELECT vec_id, v, cell_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rk
+  FROM assign
+), lists AS (
+  SELECT vec_id AS id_b, v AS vb, cell_id FROM probed WHERE rk = 1
+), queries AS (
+  SELECT vec_id AS id_a, v AS va, cell_id FROM probed WHERE rk <= 2
+), cand AS (
+  SELECT q.id_a, l.id_b,
+         list_sum(list_transform(list_zip(q.va, l.vb), p -> p[1]*p[2]))
+           / (sqrt(list_sum(list_transform(q.va, x -> x*x)))
+              * sqrt(list_sum(list_transform(l.vb, x -> x*x)))) AS c
+  FROM queries q JOIN lists l ON q.cell_id = l.cell_id AND q.id_a != l.id_b
+), ranked AS (
+  SELECT id_a, id_b, c,
+         row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b ASC) AS rn
+  FROM cand
+)
+SELECT id_a, id_b, {_sql_round('c', 6)} AS cosine_sim
+FROM ranked WHERE rn <= 5
+"""
+
+
+@register("ann_ivf_topk", _IVF_ORACLE)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style per-vector cosine top-5: assign each vector to its
+    nearest of 16 deterministic coarse centroids (broadcast), probe the 2
+    nearest cells, verify exactly within cells. Complementary scale path
+    to hyperplane LSH: cell size is controlled by n_cells (candidate
+    volume ~ n * cell_size * n_probe), and the cell id — not the data
+    distribution — is the shuffle key. The oracle rebuilds the identical
+    index (centroids are the 16 smallest vec_ids; no k-means RNG)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.ann_ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=16, n_probe=2)
+    return out.select(
+        "id_a", "id_b", round_half_away(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )

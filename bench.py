@@ -39,6 +39,8 @@ HEADLINE = [
     "qa_missingness_final",
     "qa_values_full",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "doc_fingerprint_winnow",
     "sessionize_events",
 ]
 

@@ -116,3 +116,24 @@ def test_connected_components_known_graph(spark):
     )
     comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_winnow_fingerprints_edges(spark):
+    from apde_etl_spark.operators.text import winnow_fingerprints
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c"), (3, "a b c d"), (4, "")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["fp"] for r in df.select(
+        "id", winnow_fingerprints("text", window=4).alias("fp")).collect()}
+    assert out[2] == []            # shorter than window -> no fingerprints
+    assert len(out[3]) == 1        # exactly one full window
+    assert 1 <= len(out[1]) <= 3   # 3 windows, distinct minima
+    assert out[4] == []            # empty text
+    # doc 3's single fingerprint must equal the min over its 4 token hashes
+    from apde_etl_spark.operators.similarity import hash60
+    toks = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["t"])
+    hashes = [r["h"] for r in toks.select(hash60(F.col("t")).alias("h")).collect()]
+    assert out[3][0] == min(hashes)

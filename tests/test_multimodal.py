@@ -61,3 +61,31 @@ def test_frame_sample_plan(media):
         by_id.setdefault(r["media_id"], []).append(r["frame_index"])
     assert by_id[0] == [0, 10, 20]          # frame_count 25 -> idx 0..24
     assert by_id[6] == [0, 10, 20, 30]      # frame_count 31 -> idx 0..30
+
+
+def test_resize_images_plumbing(spark):
+    from apde_etl_spark.operators.multimodal import (
+        deterministic_fake_resizer,
+        resize_images,
+    )
+    from pyspark.sql import functions as F
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, b"payload-one"), (2, b"payload-two")], "media_id long, content binary"
+    )
+    out = resize_images(docs, "content", 128, 96, resizer=deterministic_fake_resizer)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["width"] == 128 and rows[1]["height"] == 96
+    expect = b"128x96:" + hashlib.md5(b"payload-one").digest()
+    assert bytes(rows[1]["content"]) == expect
+
+
+def test_resize_images_default_raises(spark):
+    from apde_etl_spark.operators.multimodal import resize_images
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
+    # the NotImplementedError surfaces wrapped in Spark's PythonException
+    with _pytest.raises(Exception, match="imaging library"):
+        resize_images(docs, "content").collect()
