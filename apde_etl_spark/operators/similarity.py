@@ -353,6 +353,9 @@ def ann_ivf_topk(
         .filter(F.col("__rk") <= n_probe)
         .select(id_col, "__v", "cell_id", F.col("__rk").alias("__probe_rank"))
     )
+    # probed feeds both the inverted lists and the query side — persist so
+    # the assignment pass (n x n_cells cosines) runs once, not twice
+    probed = probed.persist()
     # inverted lists: every vector belongs to its TOP-1 cell only
     lists = probed.filter(F.col("__probe_rank") == 1).select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "cell_id"

@@ -802,3 +802,38 @@ def stream_hourly_event_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "window_start", "window_end", "varname", "value", "count"
     )
+
+
+# ===========================================================================
+# SQL-text interface — the same ANSI SQL string runs on both engines
+# ===========================================================================
+
+_PORTABLE_SQL = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS customers,
+       CAST(SUM(CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=None) -> None:
+    """Register the testdata tables as temp views so users can address the
+    engine through plain ``spark.sql`` — the reference's users write SQL,
+    and the SQL surface is first-class here too."""
+    for t in tables or ["region", "nation", "customer", "supplier", "part",
+                        "orders", "lineitem", "documents", "embeddings"]:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register("sql_text_interface", _PORTABLE_SQL)
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API surface check: one ANSI-portable SQL string executed verbatim
+    by Spark SQL AND by the DuckDB oracle — demonstrating that the engine
+    is addressable through SQL text, not only the DataFrame API, and that
+    Catalyst plans it like the equivalent DataFrame program (broadcast
+    the nation dim, partial-agg the counts)."""
+    register_views(spark, sf_dir, ["customer", "nation"])
+    return spark.sql(_PORTABLE_SQL)
