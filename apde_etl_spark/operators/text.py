@@ -122,3 +122,43 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     over a 100 TB corpus as a single codegen'd projection)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def winnow_fingerprints_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+) -> DataFrame:
+    """DataFrame-level winnowing -> (id, fingerprint) rows.
+
+    The Column form (:func:`winnow_fingerprints`) references the
+    token-hash array from ``window`` zipped expressions, and Catalyst
+    inlines the md5 transform into each — ``window``x the digests. Here
+    the hash array is materialized through a repartition exchange (a hard
+    barrier: the map side computes each digest once, downstream windows
+    reference the shuffled attribute), which is also the layout you want
+    at corpus scale — fingerprinting pipelines straight into the
+    explode/groupBy(fp) that follows."""
+    from apde_etl_spark.operators.similarity import hash60
+
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    hashed = (
+        df.select(
+            F.col(id_col),
+            F.transform(tokens(text_col), lambda t: hash60(t)).alias("__h"),
+        )
+        .repartition(nparts, id_col)
+    )
+    h = F.col("__h")
+    n = F.size(h)
+    acc = h
+    for i in range(2, window + 1):
+        shifted = F.slice(h, i, F.greatest(n - F.lit(i - 1), F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.least(x, y))
+    full = F.when(
+        n >= window, F.slice(acc, 1, n - F.lit(window - 1))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return hashed.select(
+        id_col, F.explode(F.array_distinct(full)).alias("fingerprint")
+    )

@@ -381,10 +381,7 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping identical token runs at corpus scale). Oracle computes the
     identical window minima via list slicing."""
     docs = load(spark, sf_dir, "documents")
-    fp = docs.select(
-        "doc_id", TX.winnow_fingerprints("text", window=4).alias("fp")
-    )
-    return fp.select("doc_id", F.explode("fp").alias("fingerprint"))
+    return TX.winnow_fingerprints_df(docs, "doc_id", "text", window=4)
 
 
 # ===========================================================================
