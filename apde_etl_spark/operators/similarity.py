@@ -281,8 +281,12 @@ def ann_lsh_topk(
     precision is 1; recall is traded for the join-volume reduction.
     """
     planes = hyperplanes(num_planes, dim, seed)
+    # pre-normalize per VECTOR (n norms) so per-PAIR verification is one
+    # dot fold instead of dot + two norms — 3x less of the dominant cost
+    raw = as_double_array(vec_col)
+    unit = F.transform(raw, lambda x: x / l2_norm(raw))
     e = df.select(
-        F.col(id_col), as_double_array(vec_col).alias("__v")
+        F.col(id_col), unit.alias("__v")
     ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
     # Partitioning is the whole game here: clustered corpora put entire
     # clusters in one bucket, so a bucket-keyed shuffle join would send
@@ -299,8 +303,9 @@ def ann_lsh_topk(
     b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
                  F.col("__bucket").alias("__b"))
     cand = a.join(F.broadcast(b), "__b").filter(F.col("id_a") != F.col("id_b"))
+    # unit vectors (materialized by the exchanges above): cosine == dot
     scored = cand.select(
-        "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+        "id_a", "id_b", dot(F.col("__va"), F.col("__vb")).alias("cosine_sim")
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
     return (

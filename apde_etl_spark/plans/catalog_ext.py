@@ -307,20 +307,23 @@ def _sql_ann_lsh(num_planes: int, dim: int, k: int) -> str:
     bucket_terms = []
     for j, plane in enumerate(planes):
         dotsum = " ".join(
-            f"{'+' if s > 0 else '-'} CAST(embedding[{i + 1}] AS DOUBLE)"
-            for i, s in enumerate(plane)
+            f"{'+' if s > 0 else '-'} u[{i + 1}]" for i, s in enumerate(plane)
         )
         bucket_terms.append(f"CASE WHEN ({dotsum}) >= 0 THEN {2 ** j} ELSE 0 END")
     bucket = " + ".join(bucket_terms)
     return f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS b FROM embeddings
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+  FROM raw
+), eb AS (
+  SELECT vec_id, u, {bucket} AS b FROM e
 ), cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
-           / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-              * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS c
-  FROM e a JOIN e b ON a.b = b.b AND a.vec_id != b.vec_id
+         list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2])) AS c
+  FROM eb a JOIN eb b ON a.b = b.b AND a.vec_id != b.vec_id
 ), ranked AS (
   SELECT id_a, id_b, c,
          row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b ASC) AS rn
