@@ -418,19 +418,37 @@ def bpe_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register("neardup_clusters")  # iterative; rows-only check (no single SQL twin)
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_MINHASH_ORACLE})
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM und
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
+@register("neardup_clusters", _CLUSTERS_ORACLE)
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> clusters: min-label propagation over the verified near-dup
     pair list (the post-LSH step that picks one representative per
     duplicate cluster). Iterative joins, node id as shuffle key;
-    convergence checked with a 1-row count per round."""
+    convergence checked with a 1-row count per round. The oracle computes
+    the same components with a recursive CTE (transitive closure then
+    min-reachable label) — SQL recursion checks Spark iteration."""
     from apde_etl_spark.operators.dedup import connected_components
 
     docs = load(spark, sf_dir, "documents")
     pairs = SIM.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16,
                                   bands=4, threshold=0.2)
     comp = connected_components(pairs, "id_a", "id_b")
-    return comp.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
+    return comp.select(F.col("id").alias("doc_id"), "component")
 
 
 # ===========================================================================

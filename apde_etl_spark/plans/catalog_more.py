@@ -837,3 +837,42 @@ def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nation dim, partial-agg the counts)."""
     register_views(spark, sf_dir, ["customer", "nation"])
     return spark.sql(_PORTABLE_SQL)
+
+
+# ===========================================================================
+# Retention cohorts — event-pipeline analytics over the events table
+# ===========================================================================
+
+_RETENTION_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(a.day - c.cohort_day AS INTEGER) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", _RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen day, distinct
+    active users per (cohort, day offset). Both aggregations and the join
+    key on user_id, so the cohort join reuses the activity shuffle's
+    partitioning (no extra exchange at scale)."""
+    ev = load_events(spark, sf_dir)
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "doc_fingerprint_winnow",
     "sessionize_events",
+    "retention_cohorts",
 ]
 
 
