@@ -73,10 +73,21 @@ def connected_components(
     The standard post-LSH dedup step (pairs -> clusters -> keep one doc
     per cluster). Each iteration is two hash-joins + an aggregation over
     the edge list — shuffle keys are the node ids, so the work
-    distributes; iterations are O(log(diameter)) in practice because
-    labels hop across both edge directions each round. Genuinely
-    iterative (not SQL-expressible without recursion), driver only checks
-    a one-row convergence count per round.
+    distributes. Two things make the loop survive deep graphs:
+
+    - **Pointer halving**: after the 1-hop neighbor-min step, each node
+      re-points at its label's label (``component <- label(component)``),
+      so label distances shrink geometrically -> O(log diameter) rounds
+      instead of O(diameter) for chain-shaped clusters.
+    - **Lineage truncation**: each round's label table is
+      ``localCheckpoint``-ed. Without it the logical plan doubles per
+      round (the union and the convergence check both re-reference the
+      previous round's plan) and Catalyst analysis itself OOMs the
+      driver near round ~20 — a plan-size failure, independent of data
+      size.
+
+    Genuinely iterative (not SQL-expressible without recursion); the
+    driver only checks a one-row convergence count per round.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -88,7 +99,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         # candidate label for each node: min of neighbors' labels and own
@@ -96,11 +107,21 @@ def connected_components(
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), "component")
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint()
+        )
+        # pointer halving: component <- that component's own label (left
+        # join: every label value is a node id, but stay null-safe)
+        relabel = stepped.select(
+            F.col("id").alias("__cid"), F.col("component").alias("__ccomp")
+        )
+        new_labels = (
+            stepped.join(relabel, stepped.component == relabel.__cid, "left")
+            .select("id", F.coalesce("__ccomp", "component").alias("component"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -109,7 +130,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

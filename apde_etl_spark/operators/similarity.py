@@ -315,6 +315,45 @@ def ann_lsh_topk(
     )
 
 
+def embed_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 424242,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucketed
+    candidate generation, exact-cosine verification, keep pairs with
+    cosine >= threshold (``id_a < id_b``).
+
+    The dedup flavor of :func:`ann_lsh_topk`: instead of per-query top-k
+    it emits the thresholded similarity graph that feeds connected
+    components (pairs -> clusters -> keep one doc per cluster). Same
+    scale shape — candidate volume ~n^2/2^planes via the bucket equi-join,
+    probe side spread by id so clustered corpora don't hot-spot a
+    reducer, exact verification inside the bucket.
+    """
+    planes = hyperplanes(num_planes, dim, seed)
+    raw = as_double_array(vec_col)
+    unit = F.transform(raw, lambda x: x / l2_norm(raw))
+    e = df.select(
+        F.col(id_col), unit.alias("__v")
+    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = e.repartition(nparts, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__bucket").alias("__b"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+                 F.col("__bucket").alias("__b"))
+    cand = a.join(F.broadcast(b), "__b").filter(F.col("id_a") < F.col("id_b"))
+    scored = cand.select(
+        "id_a", "id_b", dot(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+    )
+    return scored.filter(F.col("cosine_sim") >= F.lit(threshold))
+
+
 def ann_ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",

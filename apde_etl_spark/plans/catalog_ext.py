@@ -353,6 +353,74 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Dedup — embedding-cosine near-dup clusters (LSH candidates + threshold)
+# ===========================================================================
+
+_EMB_NEARDUP_THRESHOLD = 0.35
+
+
+def _sql_embed_neardup(num_planes: int, dim: int, threshold: float) -> str:
+    """DuckDB twin of embed_neardup_pairs + connected components: same ±1
+    hyperplanes, bucket equi-join candidates, exact cosine >= threshold,
+    then transitive closure -> min-reachable component label."""
+    planes = SIM.hyperplanes(num_planes, dim)
+    bucket_terms = []
+    for j, plane in enumerate(planes):
+        dotsum = " ".join(
+            f"{'+' if s > 0 else '-'} u[{i + 1}]" for i, s in enumerate(plane)
+        )
+        bucket_terms.append(f"CASE WHEN ({dotsum}) >= 0 THEN {2 ** j} ELSE 0 END")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+  FROM raw
+), eb AS (
+  SELECT vec_id, u, {bucket} AS b FROM e
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eb a JOIN eb b ON a.b = b.b AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2])) >= {threshold}
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM und
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+)
+SELECT a AS vec_id, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
+_EMB_NEARDUP_ORACLE = _sql_embed_neardup(num_planes=6, dim=64,
+                                         threshold=_EMB_NEARDUP_THRESHOLD)
+
+
+@register("embed_cosine_neardup", _EMB_NEARDUP_ORACLE)
+def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup, end to end: hyperplane-LSH
+    candidate pairs, exact-cosine threshold, connected components ->
+    (vec_id, cluster representative). Completes the dedup family (exact /
+    MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine); the
+    oracle regenerates the identical planes and clusters with a recursive
+    CTE, so banding, verification, and clustering are all hash-checked."""
+    from apde_etl_spark.operators.dedup import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = SIM.embed_neardup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=_EMB_NEARDUP_THRESHOLD, num_planes=6, dim=64,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("id").alias("vec_id"), "component")
+
+
+# ===========================================================================
 # Document fingerprinting — winnowing (rolling window minima)
 # ===========================================================================
 

@@ -665,6 +665,30 @@ def mm_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_FRAME_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, length(text) % 290 + 10, 10)) AS INTEGER) AS frame_index
+FROM documents
+"""
+
+
+@register("mm_frame_sample", _MM_FRAME_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video plumbing: frame-sampling plan (media_id,
+    frame_index) for every 10th frame from a frame_count metadata column
+    — native sequence+explode, no Python in the row path; the actual
+    frame decode is a later mapInPandas stage over this plan (stubbed per
+    container constraints). frame_count is derived deterministically from
+    the text length so the oracle can regenerate it."""
+    from apde_etl_spark.operators.multimodal import frame_sample_plan
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.length("text") % 290 + 10).alias("frame_count"),
+    )
+    return frame_sample_plan(docs, every_n=10, id_col="media_id")
+
+
 # ===========================================================================
 # Sessionization extension — batch window recipe (streaming twin in
 # streaming/sessionize.py, checked against this in tests)
