@@ -118,6 +118,21 @@ def test_connected_components_known_graph(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_deep_chain(spark):
+    """Regression: a chain-shaped component deeper than max_iter. 1-hop
+    min propagation alone would need 60 rounds (and the un-truncated
+    lineage OOMed the driver around round 20); pointer halving +
+    localCheckpoint must converge well inside the default max_iter."""
+    from apde_etl_spark.operators.dedup import connected_components
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(n + 1)}
+
+
 def test_winnow_fingerprints_edges(spark):
     from apde_etl_spark.operators.text import winnow_fingerprints
     from pyspark.sql import functions as F
