@@ -33,6 +33,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# NOTE on unrolling: statically expanding these folds into
+# `0.0 + a[0]*b[0] + a[1]*b[1] + ...` (dim=64) was tried and REVERTED —
+# the giant expression trees push whole-stage codegen into multi-second
+# janino compilation per plan branch (2.7s -> 50s on the LSH candidate
+# stage). The HOF fold is interpreted but O(n·d) with trivial constant;
+# keep candidate volume low (good LSH buckets) instead of micro-optimizing
+# the per-pair arithmetic.
+
+
 def as_double_array(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -239,14 +248,21 @@ def brute_force_topk(
 
 def hyperplanes(num_planes: int, dim: int, seed: int = 424242) -> list[list[int]]:
     """Deterministic ±1 random-hyperplane matrix (LCG-derived, identical
-    on every run/engine — the DuckDB oracle regenerates the same one)."""
+    on every run/engine — the DuckDB oracle regenerates the same one).
+
+    The sign comes from bit 33 of the LCG state, NOT the low bit: for a
+    power-of-two-modulus LCG the low bit alternates with period 2, which
+    would make every plane the same alternating pattern (all planes
+    identical for even dim → 2 effective buckets and near-zero join-volume
+    reduction). High bits have full period.
+    """
     x = seed
     planes = []
     for _ in range(num_planes):
         row = []
         for _ in range(dim):
             x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
-            row.append(1 if x % 2 else -1)
+            row.append(1 if (x >> 33) & 1 else -1)
         planes.append(row)
     return planes
 
