@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from apde_etl_spark.plans import catalog  # noqa: E402
 from apde_etl_spark.plans import catalog_ext  # noqa: E402,F401  (registers on import)
 from apde_etl_spark.plans import catalog_more  # noqa: E402,F401  (registers on import)
+from apde_etl_spark.plans import catalog_gaps  # noqa: E402,F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
