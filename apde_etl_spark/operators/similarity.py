@@ -297,13 +297,17 @@ def ann_lsh_topk(
     precision is 1; recall is traded for the join-volume reduction.
     """
     planes = hyperplanes(num_planes, dim, seed)
-    # pre-normalize per VECTOR (n norms) so per-PAIR verification is one
-    # dot fold instead of dot + two norms — 3x less of the dominant cost
+    # Carry the per-vector norm as a SCALAR column instead of
+    # pre-normalizing the array: `transform(v, x -> x / l2_norm(v))`
+    # re-evaluates the norm fold per ELEMENT (O(d^2) interpreted work per
+    # row), while dot/(na*nb) per pair costs the same one fold plus two
+    # scalar ops — and the norm is computed once per vector.
     raw = as_double_array(vec_col)
-    unit = F.transform(raw, lambda x: x / l2_norm(raw))
-    e = df.select(
-        F.col(id_col), unit.alias("__v")
-    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    e = (
+        df.select(F.col(id_col), raw.alias("__v"))
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    )
     # Partitioning is the whole game here: clustered corpora put entire
     # clusters in one bucket, so a bucket-keyed shuffle join would send
     # each cluster's O(size^2) candidate work to ONE reducer (and a
@@ -315,13 +319,14 @@ def ann_lsh_topk(
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = e.repartition(nparts, id_col).select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
-        F.col("__bucket").alias("__b"))
+        F.col("__n").alias("__na"), F.col("__bucket").alias("__b"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
-                 F.col("__bucket").alias("__b"))
+                 F.col("__n").alias("__nb"), F.col("__bucket").alias("__b"))
     cand = a.join(F.broadcast(b), "__b").filter(F.col("id_a") != F.col("id_b"))
-    # unit vectors (materialized by the exchanges above): cosine == dot
     scored = cand.select(
-        "id_a", "id_b", dot(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+        "id_a", "id_b",
+        (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
+            .alias("cosine_sim"),
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
     return (
@@ -353,19 +358,22 @@ def embed_neardup_pairs(
     """
     planes = hyperplanes(num_planes, dim, seed)
     raw = as_double_array(vec_col)
-    unit = F.transform(raw, lambda x: x / l2_norm(raw))
-    e = df.select(
-        F.col(id_col), unit.alias("__v")
-    ).withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    e = (
+        df.select(F.col(id_col), raw.alias("__v"))
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+    )
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = e.repartition(nparts, id_col).select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
-        F.col("__bucket").alias("__b"))
+        F.col("__n").alias("__na"), F.col("__bucket").alias("__b"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
-                 F.col("__bucket").alias("__b"))
+                 F.col("__n").alias("__nb"), F.col("__bucket").alias("__b"))
     cand = a.join(F.broadcast(b), "__b").filter(F.col("id_a") < F.col("id_b"))
     scored = cand.select(
-        "id_a", "id_b", dot(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+        "id_a", "id_b",
+        (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
+            .alias("cosine_sim"),
     )
     return scored.filter(F.col("cosine_sim") >= F.lit(threshold))
 
@@ -394,41 +402,57 @@ def ann_ivf_topk(
     (uniform) against the broadcast cell-member lists when small, or
     shuffles on cell id at scale.
     """
-    e = df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    # Norm carried as a scalar column (NOT per-element pre-normalization,
+    # which costs O(d^2) interpreted work per row): cosine per pair =
+    # one dot fold + two scalar ops.
+    raw = as_double_array(vec_col)
+    e = df.select(F.col(id_col), raw.alias("__v")).withColumn(
+        "__n", l2_norm(F.col("__v"))
+    )
     stride = centroid_stride or 1
     cent = (
         e.filter((F.col(id_col) % stride == 0))
         .orderBy(id_col)
         .limit(n_cells)
-        .select(F.col(id_col).alias("cell_id"), F.col("__v").alias("__c"))
+        .select(
+            F.col(id_col).alias("cell_id"),
+            F.col("__v").alias("__c"),
+            F.col("__n").alias("__cn"),
+        )
     )
     # assignment: cosine to every centroid (n_cells per row, broadcast),
     # keep the top-n_probe cells per vector
     ac = e.crossJoin(F.broadcast(cent)).select(
-        id_col, "__v", "cell_id", cosine(F.col("__v"), F.col("__c")).alias("__sim")
+        id_col, "__v", "__n", "cell_id",
+        (dot(F.col("__v"), F.col("__c")) / (F.col("__n") * F.col("__cn")))
+            .alias("__sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
     probed = (
         ac.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_probe)
-        .select(id_col, "__v", "cell_id", F.col("__rk").alias("__probe_rank"))
+        .select(id_col, "__v", "__n", "cell_id", F.col("__rk").alias("__probe_rank"))
     )
     # probed feeds both the inverted lists and the query side — persist so
     # the assignment pass (n x n_cells cosines) runs once, not twice
     probed = probed.persist()
     # inverted lists: every vector belongs to its TOP-1 cell only
     lists = probed.filter(F.col("__probe_rank") == 1).select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "cell_id"
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "cell_id",
     )
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     queries = probed.repartition(nparts, id_col).select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "cell_id"
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "cell_id",
     )
     cand = queries.join(F.broadcast(lists), "cell_id").filter(
         F.col("id_a") != F.col("id_b")
     )
     scored = cand.select(
-        "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+        "id_a", "id_b",
+        (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
+            .alias("cosine_sim"),
     )
     wk = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
     return (

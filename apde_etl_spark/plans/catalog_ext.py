@@ -301,13 +301,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_ann_lsh(num_planes: int, dim: int, k: int) -> str:
     """DuckDB twin of ann_lsh_topk: regenerate the same ±1 hyperplanes,
-    bucket with explicit signed sums (left-to-right like Spark's fold),
-    self-join within buckets, rank by cosine per query vector."""
+    bucket with explicit signed sums (left-to-right like Spark's fold)
+    over the RAW vector, carry the norm as a scalar, verify with
+    dot/(na*nb) — the exact op sequence of the Spark side."""
     planes = SIM.hyperplanes(num_planes, dim)
     bucket_terms = []
     for j, plane in enumerate(planes):
         dotsum = " ".join(
-            f"{'+' if s > 0 else '-'} u[{i + 1}]" for i, s in enumerate(plane)
+            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
         )
         bucket_terms.append(f"CASE WHEN ({dotsum}) >= 0 THEN {2 ** j} ELSE 0 END")
     bucket = " + ".join(bucket_terms)
@@ -315,14 +316,13 @@ def _sql_ann_lsh(num_planes: int, dim: int, k: int) -> str:
 WITH raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), e AS (
-  SELECT vec_id,
-         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y*y))) AS n
   FROM raw
 ), eb AS (
-  SELECT vec_id, u, {bucket} AS b FROM e
+  SELECT vec_id, v, n, {bucket} AS b FROM e
 ), cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2])) AS c
+         list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / (a.n * b.n) AS c
   FROM eb a JOIN eb b ON a.b = b.b AND a.vec_id != b.vec_id
 ), ranked AS (
   SELECT id_a, id_b, c,
@@ -367,7 +367,7 @@ def _sql_embed_neardup(num_planes: int, dim: int, threshold: float) -> str:
     bucket_terms = []
     for j, plane in enumerate(planes):
         dotsum = " ".join(
-            f"{'+' if s > 0 else '-'} u[{i + 1}]" for i, s in enumerate(plane)
+            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
         )
         bucket_terms.append(f"CASE WHEN ({dotsum}) >= 0 THEN {2 ** j} ELSE 0 END")
     bucket = " + ".join(bucket_terms)
@@ -375,15 +375,14 @@ def _sql_embed_neardup(num_planes: int, dim: int, threshold: float) -> str:
 WITH RECURSIVE raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), e AS (
-  SELECT vec_id,
-         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y*y))) AS n
   FROM raw
 ), eb AS (
-  SELECT vec_id, u, {bucket} AS b FROM e
+  SELECT vec_id, v, n, {bucket} AS b FROM e
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM eb a JOIN eb b ON a.b = b.b AND a.vec_id < b.vec_id
-  WHERE list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2])) >= {threshold}
+  WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / (a.n * b.n) >= {threshold}
 ), und AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs
@@ -524,29 +523,28 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _IVF_ORACLE = f"""
-WITH e AS (
+WITH raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y*y))) AS n
+  FROM raw
 ), cent AS (
-  SELECT vec_id AS cell_id, v AS c FROM e ORDER BY vec_id LIMIT 16
+  SELECT vec_id AS cell_id, v AS c, n AS cn FROM e ORDER BY vec_id LIMIT 64
 ), assign AS (
-  SELECT e.vec_id, e.v, cent.cell_id,
-         list_sum(list_transform(list_zip(e.v, cent.c), p -> p[1]*p[2]))
-           / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
-              * sqrt(list_sum(list_transform(cent.c, x -> x*x)))) AS sim
+  SELECT e.vec_id, e.v, e.n, cent.cell_id,
+         list_sum(list_transform(list_zip(e.v, cent.c), p -> p[1]*p[2])) / (e.n * cent.cn) AS sim
   FROM e CROSS JOIN cent
 ), probed AS (
-  SELECT vec_id, v, cell_id,
+  SELECT vec_id, v, n, cell_id,
          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rk
   FROM assign
 ), lists AS (
-  SELECT vec_id AS id_b, v AS vb, cell_id FROM probed WHERE rk = 1
+  SELECT vec_id AS id_b, v AS vb, n AS nb, cell_id FROM probed WHERE rk = 1
 ), queries AS (
-  SELECT vec_id AS id_a, v AS va, cell_id FROM probed WHERE rk <= 2
+  SELECT vec_id AS id_a, v AS va, n AS na, cell_id FROM probed WHERE rk <= 2
 ), cand AS (
   SELECT q.id_a, l.id_b,
-         list_sum(list_transform(list_zip(q.va, l.vb), p -> p[1]*p[2]))
-           / (sqrt(list_sum(list_transform(q.va, x -> x*x)))
-              * sqrt(list_sum(list_transform(l.vb, x -> x*x)))) AS c
+         list_sum(list_transform(list_zip(q.va, l.vb), p -> p[1]*p[2])) / (q.na * l.nb) AS c
   FROM queries q JOIN lists l ON q.cell_id = l.cell_id AND q.id_a != l.id_b
 ), ranked AS (
   SELECT id_a, id_b, c,
@@ -561,14 +559,14 @@ FROM ranked WHERE rn <= 5
 @register("ann_ivf_topk", _IVF_ORACLE)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style per-vector cosine top-5: assign each vector to its
-    nearest of 16 deterministic coarse centroids (broadcast), probe the 2
+    nearest of 64 deterministic coarse centroids (broadcast), probe the 2
     nearest cells, verify exactly within cells. Complementary scale path
     to hyperplane LSH: cell size is controlled by n_cells (candidate
     volume ~ n * cell_size * n_probe), and the cell id — not the data
     distribution — is the shuffle key. The oracle rebuilds the identical
-    index (centroids are the 16 smallest vec_ids; no k-means RNG)."""
+    index (centroids are the 64 smallest vec_ids; no k-means RNG)."""
     emb = load(spark, sf_dir, "embeddings")
-    out = SIM.ann_ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=16, n_probe=2)
+    out = SIM.ann_ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=64, n_probe=2)
     return out.select(
         "id_a", "id_b", round_half_away(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
