@@ -219,6 +219,58 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, found WITHOUT an
+    all-pairs join: band the ``bits``-bit fingerprint into ``bands``
+    equal bit-slices, self-equi-join on (band index, slice value) — any
+    pair within hamming distance < ``bands`` shares at least one intact
+    slice (pigeonhole) — then verify candidates with the exact popcount
+    of the XOR.
+
+    Scale shape: the band slice is the single shuffle key (fingerprints
+    are integers, so the join carries ~16 bytes/row); verification is two
+    bitwise ops per candidate. Recall is exact for distances < bands
+    (pigeonhole guarantee), approximate above.
+    """
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    fp = simhash(df, id_col, text_col, bits)
+    slices = F.array(*[
+        F.concat_ws(
+            ":", F.lit(str(j)),
+            (F.shiftright(F.col("simhash"), j * rows).bitwiseAND(F.lit(mask)))
+            .cast("string"),
+        )
+        for j in range(bands)
+    ])
+    banded = fp.select(id_col, "simhash", F.explode(slices).alias("__band"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.__band") == F.col("b.__band"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -215,6 +215,51 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.simhash(docs, "doc_id", "text", bits=16)
 
 
+def _sql_simhash_pairs(bits: int, bands: int, max_hamming: int) -> str:
+    """DuckDB twin of simhash_neardup_pairs: same fingerprints, same band
+    slicing, same XOR-popcount verification."""
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tk FROM documents
+), h AS (
+  SELECT doc_id, {_sql_hash60("tk")} AS hv FROM tok
+), votes AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(((hv >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(bits))}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))} AS BIGINT) AS simhash
+  FROM votes
+), banded AS (
+  SELECT doc_id, simhash, unnest([
+    {", ".join(f"concat('{j}:', CAST((simhash >> {j * rows}) & {mask} AS VARCHAR))" for j in range(bands))}
+  ]) AS band FROM fp
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+@register("simhash_neardup_pairs", _sql_simhash_pairs(32, 4, 3))
+def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs without an all-pairs join: 8-bit band
+    slices of a 32-bit fingerprint are the join key (pigeonhole: any
+    pair at hamming < 4 shares an intact slice), exact XOR-popcount
+    verification at <= 3. The banded join ships two integers per row —
+    the cheapest of the near-dup family at corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    return SIM.simhash_neardup_pairs(
+        docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+    )
+
+
 _EMB_PAIRS_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
 scored AS (

@@ -829,6 +829,47 @@ def stream_hourly_event_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Streaming exact dedup — first-seen keys with bounded state
+# ===========================================================================
+
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, CAST(event_type AS VARCHAR) AS event_type
+FROM events
+"""
+
+
+@register("stream_dedup_exact", _STREAM_DEDUP_ORACLE)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (SURVEY §2.12): streaming exact dedup — emit each
+    (user_id, event_type) the first time it is seen, the streaming
+    analog of content-hash dedup in a continuous training-data ingest.
+    Runs as a real Structured Streaming query (file source ->
+    dropDuplicatesWithinWatermark -> availableNow -> memory sink); the
+    batch DISTINCT is the oracle."""
+    from apde_etl_spark.streaming.profile_stream import stream_exact_dedup
+
+    load_events(spark, sf_dir)  # sets nanosAsLong conf for the schema read
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes)["ts"] == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = src.withColumn("event_type", F.col("event_type").cast("string"))
+    deduped = stream_exact_dedup(src, "ts", ["user_id", "event_type"],
+                                 watermark="2 hours")
+    name = "stream_dedup_exact_sink"
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "event_type")
+
+
+# ===========================================================================
 # SQL-text interface — the same ANSI SQL string runs on both engines
 # ===========================================================================
 

@@ -86,3 +86,29 @@ def windowed_categorical_freq(
             "count",
         )
     )
+
+
+def stream_exact_dedup(
+    df: DataFrame,
+    event_time: str,
+    key_cols: Sequence[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: emit each key the first time it is
+    seen (the streaming analog of content-hash dedup in a training-data
+    ingest — documents arrive continuously, only unseen ones pass).
+
+    Streaming uses ``dropDuplicatesWithinWatermark`` so per-key state is
+    evicted once the key is older than ``watermark`` — state stays
+    O(keys per watermark window), independent of stream length (plain
+    ``dropDuplicates`` on non-event-time keys would grow state forever).
+    On a batch frame the same call site computes plain DISTINCT, which is
+    how the oracle checks it.
+    """
+    if df.isStreaming:
+        deduped = df.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    else:
+        deduped = df.dropDuplicates(list(key_cols))
+    return deduped.select(*key_cols)
