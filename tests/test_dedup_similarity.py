@@ -152,3 +152,44 @@ def test_winnow_fingerprints_edges(spark):
     toks = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["t"])
     hashes = [r["h"] for r in toks.select(hash60(F.col("t")).alias("h")).collect()]
     assert out[3][0] == min(hashes)
+
+
+def test_simhash_neardup_pigeonhole(spark):
+    # identical docs -> hamming 0, must be found through the banded join;
+    # an unrelated doc must not pair with them at the strict threshold
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog again and again"),
+            Row(doc_id=3, text="completely different subject matter entirely unrelated words here"),
+        ]
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in SIM.simhash_neardup_pairs(
+            df, "doc_id", "text", bits=32, bands=4, max_hamming=0
+        ).collect()
+    }
+    assert out == {(1, 2): 0}
+
+
+def test_simhash_neardup_matches_bruteforce(spark, sf_dir):
+    # pigeonhole guarantee: banded candidate generation finds EVERY pair
+    # with hamming < bands; verify against the quadratic truth
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    fp = SIM.simhash(docs, "doc_id", "text", bits=32)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    banded = SIM.simhash_neardup_pairs(docs, "doc_id", "text", bits=32,
+                                       bands=4, max_hamming=3)
+    expect = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in banded.collect()}
+    assert got == expect

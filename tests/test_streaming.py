@@ -134,3 +134,32 @@ def test_stream_sessionize_matches_batch(spark, events_batch, events_stream):
         """
     )
     assert _canon(got_df) == expected
+
+
+def test_stream_exact_dedup_matches_batch_distinct(spark, sf_dir):
+    from apde_etl_spark.plans.catalog import load_events
+    from apde_etl_spark.streaming.profile_stream import stream_exact_dedup
+
+    ev = load_events(spark, sf_dir)
+    batch = stream_exact_dedup(ev, "ts", ["user_id", "event_type"])
+    expected = {(r["user_id"], r["event_type"]) for r in batch.collect()}
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes)["ts"] == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = stream_exact_dedup(src, "ts", ["user_id", "event_type"])
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_test_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.table("dedup_test_sink").collect()
+    }
+    assert got == expected
