@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: minimal English stopword set for the language-ID heuristic; kept tiny
 #: and hard-coded so the Spark and oracle sides agree byte-for-byte.
@@ -161,4 +162,62 @@ def winnow_fingerprints_df(
     ).otherwise(F.array().cast("array<bigint>"))
     return hashed.select(
         id_col, F.explode(F.array_distinct(full)).alias("fingerprint")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    holdout_per_mille: int = 50,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic train/holdout assignment by content-free id hash —
+    the split primitive of a training-data pipeline. md5-derived bucket
+    in [0, buckets); ids below ``holdout_per_mille`` go to holdout.
+
+    Stable across runs, engines, and data order (no RNG, no
+    monotonically_increasing_id), so the same document lands in the same
+    split on every rebuild — the property that keeps eval sets
+    uncontaminated as the corpus grows. Pure projection: no shuffle.
+    """
+    from apde_etl_spark.operators.similarity import hash60
+
+    bucket = hash60(F.col(id_col).cast("string")) % buckets
+    return df.select(
+        F.col(id_col),
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < holdout_per_mille, F.lit("holdout"))
+         .otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 2048,
+) -> DataFrame:
+    """Assign documents to fixed token-budget packs (context-window
+    packing plan): within each group, a running token cumsum in stable
+    id order, pack id = floor((cumsum - 1) / budget).
+
+    Budget-edge documents straddle two packs' worth of budget (this is
+    the plan, not the physical concat — a packer consuming it splits or
+    pads at the boundary). One window pass; the group is the partition
+    key, so packs never span groups and the cumsum never shuffles twice.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(text_col)
+    cum = F.sum(n_tok).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        n_tok.cast("int").alias("n_tokens"),
+        cum.cast("long").alias("cum_tokens"),
+        F.floor((cum - 1) / token_budget).cast("int").alias("pack_id"),
     )

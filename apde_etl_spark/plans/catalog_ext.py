@@ -615,3 +615,100 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", round_half_away(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+# ===========================================================================
+# Train/holdout split — deterministic content-free hash assignment
+# ===========================================================================
+
+_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 50 THEN 'holdout' ELSE 'train' END AS split
+FROM b
+"""
+
+
+@register("split_train_holdout", _SPLIT_ORACLE)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5%-holdout split by md5 bucket of the doc id — no
+    RNG, no row order dependence, so the assignment is reproducible on
+    every engine and rebuild (the anti-contamination property). Pure
+    projection: nothing shuffles, nothing blocks."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.hash_split(docs, "doc_id", holdout_per_mille=50, buckets=1000)
+
+
+# ===========================================================================
+# Sequence packing — fixed token-budget pack plan per source
+# ===========================================================================
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       CAST(FLOOR((cum_tokens - 1) / 2048) AS INTEGER) AS pack_id
+FROM c
+"""
+
+
+@register("pack_sequences", _PACK_ORACLE)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing plan: running token cumsum per source in
+    stable id order, pack id = floor((cum-1)/2048). One window pass
+    whose partition key (source) is the only shuffle; packs never span
+    sources."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.pack_sequences(docs, "source", "doc_id", "text", token_budget=2048)
+
+
+# ===========================================================================
+# Canonical-keeper dedup — the filtered corpus after near-dup clustering
+# ===========================================================================
+
+_KEEP_CANONICAL_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_MINHASH_ORACLE})
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM und
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+), comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+"""
+
+
+@register("dedup_keep_canonical", _KEEP_CANONICAL_ORACLE)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the near-dup pipeline: the corpus with every
+    non-canonical cluster member removed (keep the min-id representative
+    per cluster, keep all unclustered docs). The drop set is tiny
+    relative to the corpus, so the final filter is a broadcast LEFT ANTI
+    join — the full corpus never shuffles."""
+    from apde_etl_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = SIM.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16,
+                                  bands=4, threshold=0.2)
+    comp = connected_components(pairs, "id_a", "id_b")
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")

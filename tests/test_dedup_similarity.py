@@ -193,3 +193,51 @@ def test_simhash_neardup_matches_bruteforce(spark, sf_dir):
     expect = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
     got = {(r["id_a"], r["id_b"], r["hamming"]) for r in banded.collect()}
     assert got == expect
+
+
+def test_hash_split_deterministic_and_disjoint(spark, sf_dir):
+    from apde_etl_spark.operators.text import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = {(r["doc_id"], r["split"]) for r in hash_split(docs).collect()}
+    s2 = {(r["doc_id"], r["split"]) for r in hash_split(docs.orderBy(F.desc("doc_id"))).collect()}
+    assert s1 == s2  # order-independent
+    splits = {r["split"] for r in hash_split(docs).collect()}
+    assert splits <= {"train", "holdout"}
+
+
+def test_pack_sequences_budget_monotone(spark, sf_dir):
+    from apde_etl_spark.operators.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(docs, token_budget=500).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    for rows in by_group.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        prev_pack = -1
+        for r in rows:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+            assert r["pack_id"] == (cum - 1) // 500
+            assert r["pack_id"] >= prev_pack  # packs are monotone in id order
+            prev_pack = r["pack_id"]
+
+
+def test_keep_canonical_drops_only_nonmin_members(spark):
+    from apde_etl_spark.operators.dedup import connected_components
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in [
+            (1, "aaa bbb ccc ddd eee fff"),
+            (2, "aaa bbb ccc ddd eee fff"),
+            (3, "totally different words here now ok"),
+        ]]
+    )
+    pairs = SIM.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2)
+    comp = connected_components(pairs, "id_a", "id_b")
+    drop = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias("doc_id"))
+    kept = sorted(r["doc_id"] for r in docs.join(drop, "doc_id", "left_anti").collect())
+    assert kept == [1, 3]
