@@ -111,29 +111,38 @@ def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
 
     classes = P.classify_columns(base, cols)
 
-    # A6 gate FIRST, because it is the one decision that must materialize
-    # before the plan below can be built — and it is the cheap one: a
-    # global approx_count_distinct sketch pass (column-pruned scan, no
-    # shuffle), exact recount only for borderline columns. Keeping the
-    # blocking action cheap matters: everything after stays in ONE lazy
-    # job whose branches run as parallel stages.
+    # ONE fused pass over the base table: missingness (every profiled
+    # column) + numeric stats + date stats + a per-period HLL distinct
+    # sketch for every gate column, in a single groupBy(__time) whose
+    # output (one row per period) is persisted. The A6 gate decision is
+    # then read off the persisted aggregate (union the period sketches)
+    # instead of paying its own base scan — so the whole pipeline touches
+    # the base table exactly twice (this pass + the categorical melt),
+    # vs the reference's 3-4 FULL scans
+    # (R/etl_qa_run_pipeline.R:1186,1238,1343,1444). Stats computed for
+    # columns the gate later demotes are discarded — wasted aggregate
+    # buffers, but strictly cheaper than the extra scan they replace.
     gate_cols = classes.numeric + classes.datetime
-    demoted = P.distinct_gate(base, gate_cols, config.distinct_threshold)
+    prof = P.combined_profile(base, "__time", classes, gate_cols=gate_cols)
+
+    # A6 — demotion decision from the sketches (SURVEY §2.10.6): HLL rsd
+    # ~2-5%, so estimates outside a 0.7x-1.5x band of the threshold are
+    # certain; only truly borderline columns pay for an exact recount
+    # (usually: none), over a melt bounded by their tiny distinct sets.
+    est = prof.gate_estimates()
+    thr = config.distinct_threshold
+    demoted = {c for c in gate_cols if est[c] < 0.7 * thr}
+    maybe = [c for c in gate_cols if 0.7 * thr <= est[c] < 1.5 * thr]
+    if maybe:
+        exact = {
+            r["varname"]: r["n_distinct"]
+            for r in P.distinct_counts(base, maybe).collect()
+        }
+        demoted |= {c for c, n in exact.items() if n < thr}
 
     num_cols = [c for c in classes.numeric if c not in demoted]
     date_cols = [c for c in classes.datetime if c not in demoted]
     cat_cols = classes.character + [c for c in gate_cols if c in demoted]
-
-    # ONE fused pass over the base table for missingness (every profiled
-    # column) + numeric stats + date stats — a single groupBy(__time)
-    # whose output (one row per period) is persisted and re-derived from.
-    # Base-table scans for the whole pipeline: gate sketch + this + the
-    # categorical melt = 3 column-pruned scans, vs the reference's 3-4
-    # FULL scans (R/etl_qa_run_pipeline.R:1186,1238,1343,1444), and the
-    # expensive exact-percentile aggregates run only for columns that
-    # survived the gate.
-    eff = P.ColumnClasses(numeric=num_cols, datetime=date_cols, character=cat_cols)
-    prof = P.combined_profile(base, "__time", eff, gate_cols=[])
 
     missing_final = FIN.finalize_missingness(
         prof.missingness(), config.abs_threshold, config.digits_prop
