@@ -169,3 +169,81 @@ def _default_resizer(payload: bytes, w: int, h: int) -> bytes:
 def deterministic_fake_resizer(payload: bytes, w: int, h: int) -> bytes:
     """Content-derived fake: target dims + source digest, deterministic."""
     return f"{w}x{h}:".encode() + hashlib.md5(payload).digest()
+
+
+# ---------------------------------------------------------------------------
+# Audio: fixed-size sample-window chunk plan + feature stage
+# ---------------------------------------------------------------------------
+
+#: schema of a decoded-audio record appended by ``extract_audio_features``
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def deterministic_fake_audio_decoder(payload: bytes) -> dict:
+    """Content-derived fake audio decode: stable pseudo sample-rate /
+    length / RMS from the md5 digest, so tests assert exact values."""
+    d = hashlib.md5(payload).digest()
+    return {
+        "sample_rate": [8000, 16000, 44100][d[0] % 3],
+        "n_samples": 8000 + int.from_bytes(d[1:4], "big") % 48000,
+        "rms": round(d[4] / 255.0, 6),
+    }
+
+
+def audio_chunk_plan(
+    df: DataFrame,
+    chunk_samples: int = 16000,
+    id_col: str = "media_id",
+    n_samples_col: str = "n_samples",
+) -> DataFrame:
+    """Audio chunking *plan*: (media_id, chunk_index, start_sample,
+    end_sample) rows covering ``n_samples`` in fixed windows — the audio
+    twin of :func:`frame_sample_plan`. Pure native expressions
+    (sequence + explode); the waveform decode consuming this plan is a
+    later ``mapInPandas`` stage. No shuffle: the explode happens in the
+    scan stage and each chunk row carries only ids and offsets."""
+    n = F.col(n_samples_col)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(chunk_samples))
+    out = df.select(id_col, n.alias("__n"), F.explode(starts).alias("start_sample"))
+    return out.select(
+        id_col,
+        (F.col("start_sample") / chunk_samples).cast("int").alias("chunk_index"),
+        F.col("start_sample").cast("long"),
+        F.least(F.col("start_sample") + chunk_samples, F.col("__n"))
+         .cast("long").alias("end_sample"),
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    decoder: Callable[[bytes], dict] = default_decoder,
+) -> DataFrame:
+    """(id, sample_rate, n_samples, rms) per audio row via Arrow-batched
+    ``mapInPandas``. Projection happens inside the stage: only
+    (id, content) cross the Arrow boundary. Codec stubbed as elsewhere."""
+    out_schema = T.StructType([df.schema[id_col]] + list(AUDIO_META_SCHEMA.fields))
+    src = df.select(id_col, content_col)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [decoder(bytes(p)) for p in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "n_samples": [m["n_samples"] for m in metas],
+                    "rms": [m["rms"] for m in metas],
+                }
+            )
+
+    return src.mapInPandas(run, out_schema)

@@ -152,8 +152,11 @@ def _sql_minhash_sig() -> str:
     return "[" + ", ".join(mins) + "]"
 
 
-_MINHASH_ORACLE = f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+def _minhash_pairs_sql(src: str = "documents") -> str:
+    """Full MinHash+LSH+verify oracle over any (doc_id, text) relation —
+    parameterized so composed pipelines can run it over a filtered CTE."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM {src}),
 sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
 hashed AS (SELECT doc_id, s,
            list_transform(s, x -> {_sql_hash60('x')} % {SIM.MERSENNE31}) AS hb FROM sh),
@@ -177,6 +180,9 @@ JOIN sh sa ON sa.doc_id = id_a
 JOIN sh sb ON sb.doc_id = id_b
 WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.2
 """
+
+
+_MINHASH_ORACLE = _minhash_pairs_sql()
 
 
 @register("minhash_lsh_neardup", _MINHASH_ORACLE)
@@ -712,3 +718,89 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")
+
+
+# ===========================================================================
+# Flagship composition — the full training-corpus assembly pipeline
+# ===========================================================================
+
+_E2E_BUCKET = "CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS INTEGER)"
+
+_CORPUS_E2E_ORACLE = f"""
+WITH RECURSIVE metrics AS (
+  SELECT doc_id, text,
+         CAST({_N_TOKENS_SQL} AS INTEGER) AS n_tokens,
+         CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / {_N_TOKENS_SQL} AS mtl,
+         {_RATIO_SQL} AS swr
+  FROM documents
+), corpus AS (
+  SELECT doc_id, text, n_tokens FROM metrics
+  WHERE n_tokens >= 15 AND mtl BETWEEN 3.0 AND 6.0 AND swr > 0.08
+), dedup AS (
+  SELECT doc_id, text, n_tokens FROM corpus
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+), pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_pairs_sql("dedup")})
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM und
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+), comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+)
+SELECT d.doc_id, d.n_tokens,
+       CASE WHEN {_E2E_BUCKET} < 50 THEN 'holdout' ELSE 'train' END AS split
+FROM dedup d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+"""
+
+
+@register("corpus_pipeline_end2end", _CORPUS_E2E_ORACLE)
+def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus assembly story as ONE lazy plan: quality
+    filter (token count + mean token length) -> language-ID filter
+    (stopword ratio) -> exact dedup (min-id keeper per md5 digest) ->
+    MinHash+LSH near-dup clustering with the non-canonical members
+    dropped -> deterministic hash split assignment.
+
+    Scale shape: the filters are codegen'd projections evaluated in the
+    scan stage (each survivor streams forward; rejected docs never
+    shuffle); exact dedup shuffles fixed-width digests, not bodies; the
+    near-dup stage runs on the already-shrunk corpus with band keys as
+    the only fact-fact shuffle; the final drop set is tiny -> broadcast
+    LEFT ANTI. The split is a pure projection on the way out."""
+    from apde_etl_spark.operators.dedup import connected_components
+    from apde_etl_spark.operators.similarity import hash60
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = TX.token_count("text")
+    mtl = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")) / n_tok
+    swr = TX.stopword_ratio("text")
+    corpus = docs.filter(
+        (n_tok >= 15) & mtl.between(3.0, 6.0) & (swr > 0.08)
+    ).select("doc_id", "text", n_tok.cast("int").alias("n_tokens"))
+
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    dedup = (
+        corpus.withColumn("__min", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min"))
+        .drop("__min")
+    )
+    pairs = SIM.minhash_lsh_pairs(
+        dedup, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.2
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    final = dedup.join(F.broadcast(drop), "doc_id", "left_anti")
+    bucket = hash60(F.col("doc_id").cast("string")) % 1000
+    return final.select(
+        "doc_id",
+        "n_tokens",
+        F.when(bucket < 50, F.lit("holdout")).otherwise(F.lit("train")).alias("split"),
+    )

@@ -689,6 +689,57 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(docs, every_n=10, id_col="media_id")
 
 
+_MM_AUDIO_CHUNK_ORACLE = """
+WITH a AS (
+  SELECT doc_id AS media_id,
+         CAST(length(text) * 37 % 48000 + 8000 AS BIGINT) AS n_samples
+  FROM documents
+)
+SELECT media_id,
+       CAST(s / 16000 AS INTEGER) AS chunk_index,
+       CAST(s AS BIGINT) AS start_sample,
+       CAST(least(s + 16000, n_samples) AS BIGINT) AS end_sample
+FROM (SELECT media_id, n_samples, unnest(range(0, n_samples, 16000)) AS s FROM a)
+"""
+
+
+@register("mm_audio_chunks", _MM_AUDIO_CHUNK_ORACLE)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing, JVM-side half: fixed 16000-sample
+    window chunk plan (media_id, chunk_index, start/end offsets) from an
+    n_samples metadata column — native sequence+explode in the scan
+    stage, no Python in the row path; the waveform decode consuming the
+    plan is a later mapInPandas stage (stubbed per container
+    constraints). n_samples derives deterministically from text length
+    so the oracle regenerates it."""
+    from apde_etl_spark.operators.multimodal import audio_chunk_plan
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.length("text") * 37 % 48000 + 8000).cast("long").alias("n_samples"),
+    )
+    return audio_chunk_plan(docs, chunk_samples=16000, id_col="media_id")
+
+
+@register("mm_audio_decode_features")  # no oracle: mapInPandas plumbing, rows-only check
+def mm_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing, Python half: Arrow-batched mapInPandas
+    feature stage (sample_rate / n_samples / RMS) over the binary column
+    with the deterministic fake codec — schema, batch shape and
+    partition behavior are the real thing under test."""
+    from apde_etl_spark.operators.multimodal import (
+        deterministic_fake_audio_decoder,
+        extract_audio_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_audio_features(
+        docs, "doc_id", "payload", decoder=deterministic_fake_audio_decoder
+    )
+
+
 # ===========================================================================
 # Sessionization extension — batch window recipe (streaming twin in
 # streaming/sessionize.py, checked against this in tests)

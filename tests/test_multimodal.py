@@ -89,3 +89,36 @@ def test_resize_images_default_raises(spark):
     # the NotImplementedError surfaces wrapped in Spark's PythonException
     with _pytest.raises(Exception, match="imaging library"):
         resize_images(docs, "content").collect()
+
+
+def test_audio_chunk_plan_covers_all_samples(spark):
+    rows = [Row(media_id=1, n_samples=40000), Row(media_id=2, n_samples=16000),
+            Row(media_id=3, n_samples=15999)]
+    out = MM.audio_chunk_plan(spark.createDataFrame(rows), chunk_samples=16000)
+    got = {(r["media_id"], r["chunk_index"], r["start_sample"], r["end_sample"])
+           for r in out.collect()}
+    assert got == {
+        (1, 0, 0, 16000), (1, 1, 16000, 32000), (1, 2, 32000, 40000),
+        (2, 0, 0, 16000),
+        (3, 0, 0, 15999),
+    }
+
+
+def test_extract_audio_features_deterministic(media):
+    out = MM.extract_audio_features(
+        media, "media_id", "content", decoder=MM.deterministic_fake_audio_decoder
+    )
+    rows = out.collect()
+    assert len(rows) == 50
+    assert set(out.columns) == {"media_id", "sample_rate", "n_samples", "rms"}
+    r = next(x for x in rows if x["media_id"] == 3)
+    expect = MM.deterministic_fake_audio_decoder(b"fake-media-payload-3")
+    assert (r["sample_rate"], r["n_samples"], r["rms"]) == (
+        expect["sample_rate"], expect["n_samples"], expect["rms"])
+    assert r["sample_rate"] in (8000, 16000, 44100) and 0.0 <= r["rms"] <= 1.0
+
+
+def test_extract_audio_features_default_raises(media):
+    with pytest.raises(Exception) as ei:
+        MM.extract_audio_features(media, "media_id", "content").collect()
+    assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
