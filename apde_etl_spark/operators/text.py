@@ -221,3 +221,52 @@ def pack_sequences(
         cum.cast("long").alias("cum_tokens"),
         F.floor((cum - 1) / token_budget).cast("int").alias("pack_id"),
     )
+
+
+#: realistic character-trigram profiles for the n-gram language-ID
+#: heuristic; ASCII-only so Spark and DuckDB agree byte-for-byte.
+NGRAM_PROFILES: dict[str, list[str]] = {
+    "en": ["the", " th", "he ", "ing", "and", " an", "nd ", "ion"],
+    "de": ["der", "sch", "ein", "ich", "nde", "die", "und", "en "],
+    "fr": ["les", "ent", "de ", "ion", "es ", "que", "ait", "eur"],
+    "es": ["de ", "la ", "os ", "ado", "es ", "que", "ent", "ion"],
+}
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of lowercased text -> array<string>,
+    built natively (sequence + transform + substr): no Python in the row
+    path, evaluated inside the scan stage."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    idx = F.sequence(F.lit(1), F.length(c) - (n - 1))
+    grams = F.transform(idx, lambda i: c.substr(i, F.lit(n)))
+    return F.when(F.length(c) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def langid_ngram_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """N-gram language-ID heuristic: per-language hit count of the
+    document's distinct char trigrams against fixed language profiles;
+    prediction = first language (profile order) with the max score, or
+    'other' when nothing hits. One projection, zero shuffles."""
+    prof = profiles or NGRAM_PROFILES
+    grams = char_ngrams(text_col, 3)
+    out = df.withColumn("__g", grams)
+    for lang, tris in prof.items():
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.array_intersect(F.col("__g"), F.array(*[F.lit(t) for t in tris]))),
+        )
+    langs = list(prof)
+    best = F.greatest(*[F.col(f"score_{la}") for la in langs])
+    pred = F.lit("other")
+    for la in reversed(langs):  # build when-chain so FIRST max wins
+        pred = F.when(
+            (F.col(f"score_{la}") == best) & (best > 0), F.lit(la)
+        ).otherwise(pred)
+    return out.drop("__g").withColumn("predicted_lang", pred)

@@ -804,3 +804,45 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.when(bucket < 50, F.lit("holdout")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+# ===========================================================================
+# N-gram language-ID heuristic (char-trigram profiles)
+# ===========================================================================
+
+def _langid_ngram_oracle() -> str:
+    score_cols = ", ".join(
+        f"CAST(len(list_intersect(grams, [{', '.join(repr(t) for t in tris)}])) AS INTEGER) AS score_{la}"
+        for la, tris in TX.NGRAM_PROFILES.items()
+    )
+    langs = list(TX.NGRAM_PROFILES)
+    case = "CASE "
+    for i, la in enumerate(langs):
+        geq = " AND ".join(f"score_{la} >= score_{lb}" for lb in langs[i + 1:])
+        cond = f"{geq} AND score_{la} > 0" if geq else f"score_{la} > 0"
+        case += f"WHEN {cond} THEN '{la}' "
+    case += "ELSE 'other' END"
+    return f"""
+WITH g AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(lower(text)) >= 3
+              THEN list_distinct(list_transform(range(1, length(lower(text)) - 1),
+                   i -> substr(lower(text), CAST(i AS INTEGER), 3)))
+              ELSE [] END AS grams
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, {score_cols} FROM g
+)
+SELECT *, {case} AS predicted_lang FROM s
+"""
+
+
+@register("langid_char_ngram", _langid_ngram_oracle())
+def langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (the n-gram heuristic variant,
+    complementing the stopword-ratio entry): distinct trigrams built
+    natively in the scan stage, per-language hit counts against fixed
+    ASCII profiles, first-max-wins prediction. Pure projection — zero
+    shuffles at any scale."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return TX.langid_ngram_scores(docs, "text").drop("text")

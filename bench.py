@@ -43,6 +43,9 @@ HEADLINE = [
     "doc_fingerprint_winnow",
     "sessionize_events",
     "retention_cohorts",
+    "corpus_pipeline_end2end",
+    "split_train_holdout",
+    "pack_sequences",
 ]
 
 

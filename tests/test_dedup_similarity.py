@@ -241,3 +241,20 @@ def test_keep_canonical_drops_only_nonmin_members(spark):
     drop = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias("doc_id"))
     kept = sorted(r["doc_id"] for r in docs.join(drop, "doc_id", "left_anti").collect())
     assert kept == [1, 3]
+
+
+def test_langid_ngram_first_max_wins(spark):
+    from apde_etl_spark.operators.text import langid_ngram_scores
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the thing and the song"),   # en trigrams
+         Row(doc_id=2, text="der schone einband und"),   # de trigrams
+         Row(doc_id=3, text="zz"),                        # too short -> other
+         Row(doc_id=4, text="xxxxyyyy")]                  # no profile hits
+    )
+    out = {r["doc_id"]: r["predicted_lang"]
+           for r in langid_ngram_scores(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "other"
+    assert out[4] == "other"
