@@ -512,3 +512,56 @@ def ann_ivf_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def knn_label_vote(
+    df: DataFrame,
+    query_filter: Column,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """k-NN majority-vote classification: for every query row (selected
+    by ``query_filter``), the majority label among its k nearest
+    neighbors by cosine (query rows excluded from their own vote).
+    Ties: higher vote count wins, then smaller label; neighbor-set ties
+    break by (cosine desc, id asc).
+
+    Scale shape: the query side broadcasts; norms ride as scalars so the
+    per-candidate cosine is one fold + two scalar ops. Top-k runs in TWO
+    phases so no single reducer sees a whole query's candidate list:
+    phase 1 ranks within (query, salt) — ``salt_buckets`` spread-out
+    partitions per query, each emitting <= k survivors; phase 2 ranks the
+    k x salt_buckets survivors per query. The salt is a deterministic id
+    hash, and any true top-k row is also top-k within its salt bucket,
+    so the result is salt-invariant."""
+    e = (
+        df.select(F.col(id_col), as_double_array(vec_col).alias("v"), F.col(label_col))
+        .withColumn("n", l2_norm(F.col("v")))
+    )
+    q = e.filter(query_filter).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("n").alias("qn")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
+        .withColumn("c", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n")))
+        .withColumn("__salt", F.crc32(F.col(id_col).cast("string")) % salt_buckets)
+    )
+    w1 = Window.partitionBy("qid", "__salt").orderBy(F.desc("c"), F.asc(id_col))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc(id_col))
+    top = (
+        scored.withColumn("__r1", F.row_number().over(w1)).filter(F.col("__r1") <= k)
+        .withColumn("__r2", F.row_number().over(w2)).filter(F.col("__r2") <= k)
+    )
+    votes = top.groupBy("qid", label_col).agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc(label_col))
+    return (
+        votes.withColumn("__rv", F.row_number().over(wv)).filter(F.col("__rv") == 1)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col(label_col).alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )

@@ -846,3 +846,42 @@ def langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles at any scale."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return TX.langid_ngram_scores(docs, "text").drop("text")
+
+
+# ===========================================================================
+# k-NN label vote — the similarity-search application (classification)
+# ===========================================================================
+
+_KNN_VOTE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS n
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v AS qv, n AS qn FROM e WHERE vec_id < 20
+), scored AS (
+  SELECT q.qid, e.vec_id, e.label,
+         list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1]*p[2])) / (q.qn * e.n) AS c
+  FROM q JOIN e ON e.vec_id != q.qid
+), top AS (
+  SELECT qid, vec_id, label FROM scored
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) <= 10
+), votes AS (
+  SELECT qid, label, CAST(count(*) AS BIGINT) AS votes FROM top GROUP BY 1, 2
+)
+SELECT qid AS query_id, label AS predicted_label, votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) = 1
+"""
+
+
+@register("knn_label_vote", _KNN_VOTE_ORACLE)
+def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification of the first 20 vectors against
+    the corpus — the application layer over the ANN machinery. Two-phase
+    salted top-k (no reducer ever holds a full candidate list), broadcast
+    query side, scalar norm columns. The oracle computes the single-phase
+    truth; salt-invariance of the two-phase plan is part of what the hash
+    check proves."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.knn_label_vote(emb, F.col("vec_id") < 20, k=10)

@@ -258,3 +258,12 @@ def test_langid_ngram_first_max_wins(spark):
     assert out[2] == "de"
     assert out[3] == "other"
     assert out[4] == "other"
+
+
+def test_knn_label_vote_salt_invariant(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = SIM.knn_label_vote(emb, F.col("vec_id") < 5, k=7, salt_buckets=1)
+    many = SIM.knn_label_vote(emb, F.col("vec_id") < 5, k=7, salt_buckets=64)
+    assert ({tuple(r) for r in one.collect()} == {tuple(r) for r in many.collect()})
+    rows = one.collect()
+    assert len(rows) == 5 and all(r["votes"] <= 7 for r in rows)
