@@ -163,3 +163,64 @@ def test_stream_exact_dedup_matches_batch_distinct(spark, sf_dir):
         for r in spark.table("dedup_test_sink").collect()
     }
     assert got == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two stream runs over a shared checkpoint: run 1 advances the
+    watermark past an old window and finalizes it; run 2 (watermark
+    restored from the checkpoint) delivers a late event for that window.
+    The late row must NOT reopen or re-emit the finalized window — the
+    watermark contract."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    sink = str(tmp_path / "late_out")
+
+    def run():
+        schema = "event_id long, ts timestamp, value double"
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+            .select(F.col("win.start").alias("ws"), "n", "sv")
+        )
+        q = (
+            agg.writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    # run 1: events at hours 0..11 -> watermark ends at 11:00 - 1h =
+    # 10:00; windows ending <= 10:00 are finalized and emitted.
+    spark.createDataFrame(
+        [(i, base + datetime.timedelta(hours=i), float(i)) for i in range(12)],
+        "event_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    out1 = run()
+    hour1 = base + datetime.timedelta(hours=1)
+    rows1 = out1.collect()
+    got1 = {r["ws"]: (r["n"], r["sv"]) for r in rows1}
+    # hour-1 window finalized with exactly its one on-time event
+    assert got1[hour1] == (1, 1.0)
+
+    # run 2: a LATE event back inside the finalized hour-1 window, plus
+    # an on-time event at hour 12. Watermark (10:00) comes from the
+    # checkpoint, so the late row is dropped on arrival.
+    spark.createDataFrame(
+        [(100, base + datetime.timedelta(hours=1, minutes=30), 99.0),
+         (101, base + datetime.timedelta(hours=12), 12.0)],
+        "event_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    out2 = run()
+    rows2 = out2.collect()  # cumulative parquet sink: run 1 + run 2 rows
+    # the hour-1 window was NOT re-emitted (no reopening, no duplicate)
+    assert len([r for r in rows2 if r["ws"] == hour1]) == 1
+    # the late row (value 99.0) was dropped, not merged anywhere
+    assert all(r["sv"] != 99.0 and r["sv"] != 100.0 for r in rows2)
+    # run 2 did make progress (newly finalized window(s) appended)
+    assert len(rows2) > len(rows1)
