@@ -130,3 +130,28 @@ def test_all_missing_detector(spark):
          Row(time_period=2, varname="ok", proportion=0.5)]
     )
     assert [r["varname"] for r in all_missing_vars(df).collect()] == ["dead"]
+
+
+def test_gate_borderline_exact_recount(spark):
+    """The in-pipeline gate's borderline band: a column whose distinct
+    count sits within [0.7*thr, 1.5*thr) of the threshold must be decided
+    by the EXACT recount, not the HLL estimate. 10 distinct values with
+    threshold 11 -> est ~10 falls in [7.7, 16.5): the exact count (10 <
+    11) must demote it to categorical; threshold 10 must keep it
+    continuous."""
+    rows = [
+        Row(myyear=2011 + i % 4, borderline=float(i % 10), wide=float(i))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+
+    res_demote = run_qa_pipeline(df, QaConfig(time_var="myyear", distinct_threshold=11))
+    vt = {r["varname"]: r["vartype"] for r in
+          res_demote.values.select("varname", "vartype").distinct().collect()}
+    assert vt["borderline"] == "Categorical"
+    assert vt["wide"] == "Continuous"
+
+    res_keep = run_qa_pipeline(df, QaConfig(time_var="myyear", distinct_threshold=10))
+    vt2 = {r["varname"]: r["vartype"] for r in
+           res_keep.values.select("varname", "vartype").distinct().collect()}
+    assert vt2["borderline"] == "Continuous"
