@@ -171,3 +171,33 @@ def ingest_yearly_files(
             ).withColumn("load_year", F.lit(year))
         )
     return union_evolving(frames)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: str | list[str],
+    num_buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table — the co-located-join layout.
+
+    Two fact tables bucketed on their join key with the same bucket
+    count join WITHOUT a shuffle exchange on either side (Catalyst
+    reads the bucketing as a satisfied HashClusteredDistribution); with
+    ``sort_by`` the sort-merge join also skips the per-task sort. At
+    100 TB this turns every repeated key-equi-join/aggregation on the
+    bucket key from a full-network shuffle into a local stitch — the
+    lake counterpart of the reference's clustered index on the join key
+    (add_index.R:235-240), paid once at write time.
+    """
+    keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    sort = [sort_by] if isinstance(sort_by, str) else list(sort_by or keys)
+    (
+        df.write.mode(mode).format(file_format)
+        .bucketBy(num_buckets, *keys)
+        .sortBy(*sort)
+        .saveAsTable(name)
+    )

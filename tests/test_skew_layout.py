@@ -75,3 +75,26 @@ def test_write_analytic_table_layout(spark, events, tmp_path):
     one_day = ev.select("day").first()["day"]
     pruned = back.filter(F.col("day") == F.lit(one_day))
     assert pruned.count() == ev.filter(F.col("day") == F.lit(one_day)).count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, events):
+    """Both sides bucketed on the join key -> the physical plan must
+    contain NO shuffle exchange (bucketing satisfies the join's
+    distribution requirement) — the co-located-join contract."""
+    from apde_etl_spark.sources.lifecycle import write_bucketed_table
+
+    users = events.groupBy("user_id").count()
+    write_bucketed_table(events.select("user_id", "value"), "b_events",
+                         "user_id", num_buckets=8)
+    write_bucketed_table(users, "b_users", "user_id", num_buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_events").join(spark.table("b_users"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        n = joined.count()
+        assert n == events.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_events")
+        spark.sql("DROP TABLE IF EXISTS b_users")
