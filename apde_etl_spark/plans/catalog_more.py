@@ -641,12 +641,28 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_image_decode_features")  # no oracle: mapInPandas plumbing, rows-only check
+#: the fake decoder derives every field from md5(payload) bytes, so DuckDB
+#: reproduces it exactly -> the Python mapInPandas stage is FULLY
+#: hash-verified against SQL, not just rows-counted.
+_MM_DECODE_ORACLE = f"""
+WITH b AS (SELECT doc_id, md5(text) AS m FROM documents)
+SELECT doc_id,
+       CAST(64 + CAST(concat('0x', substr(m, 1, 2)) AS INTEGER) % 192 AS INTEGER) AS width,
+       CAST(64 + CAST(concat('0x', substr(m, 3, 2)) AS INTEGER) % 192 AS INTEGER) AS height,
+       ['jpeg', 'png', 'webp'][CAST(concat('0x', substr(m, 5, 2)) AS INTEGER) % 3 + 1] AS format,
+       {_sql_round("(CAST(concat('0x', substr(m, 1, 2)) AS INTEGER) / 255.0) * 2.0 - 1.0", 6)} AS feature_0
+FROM b
+"""
+
+
+@register("mm_image_decode_features", _MM_DECODE_ORACLE)
 def mm_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, Python half: Arrow-batched mapInPandas decode
     stage over the binary column using the deterministic fake decoder
     (real codecs are stubbed per container constraints — the schema,
-    batching and partition behavior are the real thing being tested)."""
+    batching and partition behavior are the real thing being tested).
+    The fake is md5-derived, so the oracle regenerates it in SQL and the
+    whole Arrow round-trip is value-hash-checked."""
     from apde_etl_spark.operators.multimodal import (
         decode_images,
         deterministic_fake_decoder,
@@ -721,12 +737,24 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_chunk_plan(docs, chunk_samples=16000, id_col="media_id")
 
 
-@register("mm_audio_decode_features")  # no oracle: mapInPandas plumbing, rows-only check
+_MM_AUDIO_DECODE_ORACLE = """
+WITH b AS (SELECT doc_id, md5(text) AS m FROM documents)
+SELECT doc_id,
+       CAST([8000, 16000, 44100][CAST(concat('0x', substr(m, 1, 2)) AS INTEGER) % 3 + 1] AS INTEGER) AS sample_rate,
+       CAST(8000 + CAST(concat('0x', substr(m, 3, 6)) AS BIGINT) % 48000 AS BIGINT) AS n_samples,
+       round(CAST(concat('0x', substr(m, 9, 2)) AS INTEGER) / 255.0, 6) AS rms
+FROM b
+"""
+
+
+@register("mm_audio_decode_features", _MM_AUDIO_DECODE_ORACLE)
 def mm_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio plumbing, Python half: Arrow-batched mapInPandas
     feature stage (sample_rate / n_samples / RMS) over the binary column
     with the deterministic fake codec — schema, batch shape and
-    partition behavior are the real thing under test."""
+    partition behavior are the real thing under test. The fake is
+    md5-derived, so the oracle regenerates it in SQL and the Arrow
+    round-trip is value-hash-checked."""
     from apde_etl_spark.operators.multimodal import (
         deterministic_fake_audio_decoder,
         extract_audio_features,
