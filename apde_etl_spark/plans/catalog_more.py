@@ -1020,3 +1020,48 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# ===========================================================================
+# Skew tooling as a driver-checked query — salted two-phase aggregation
+# ===========================================================================
+
+_SALTED_AGG_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("skew_salted_agg", _SALTED_AGG_ORACLE)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the skewed event_type key:
+    stage 1 groups by (key, salt) so a hot key spreads across
+    salt_buckets reducers, stage 2 recombines the algebraic partials.
+    The oracle is the PLAIN group-by — the hash check proves salting is
+    semantics-preserving, which is the whole point of the rewrite. The
+    sum runs in DECIMAL on both sides: decimal addition is exact and
+    order-independent, so the two-phase recombination is bit-identical
+    to the single-phase truth (double sums would differ in the last ulp
+    with addition order)."""
+    from apde_etl_spark.operators.skew import salted_agg
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "sum_value": ("sum", "value_dec"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_buckets=32,
+        salt_source="event_id",
+    )
+    return out.withColumn("sum_value", F.col("sum_value").cast("double"))
