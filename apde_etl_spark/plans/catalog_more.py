@@ -1065,3 +1065,41 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_source="event_id",
     )
     return out.withColumn("sum_value", F.col("sum_value").cast("double"))
+
+
+_REPL_JOIN_ORACLE = """
+WITH dim AS (
+  SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS type_weight
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(d.type_weight) AS BIGINT) AS sum_weight
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("skew_replicated_join", _REPL_JOIN_ORACLE)
+def skew_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated salted join for a skew-keyed fact against a
+    non-broadcastable dimension: the fact side salts on a deterministic
+    id hash, the dim replicates once per salt value, and the join key
+    becomes (key, salt) so the hot key spreads over 8 reducers. The
+    oracle is the PLAIN join — the hash check proves the salt/replicate
+    rewrite preserves join semantics exactly."""
+    from apde_etl_spark.operators.skew import replicated_salted_join
+
+    ev = load_events(spark, sf_dir)
+    w = Window.orderBy("event_type")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("type_weight", F.row_number().over(w).cast("long"))
+    )
+    joined = replicated_salted_join(
+        ev, dim, "event_type", salt_buckets=8, fact_salt_source="event_id"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("type_weight").cast("long").alias("sum_weight"),
+    )
