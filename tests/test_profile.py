@@ -155,3 +155,16 @@ def test_gate_borderline_exact_recount(spark):
     vt2 = {r["varname"]: r["vartype"] for r in
            res_keep.values.select("varname", "vartype").distinct().collect()}
     assert vt2["borderline"] == "Continuous"
+
+
+def test_top_k_dense_rank_ties_keep_all_members(spark):
+    """SURVEY §2.10.4: dense ranks 1..k with ties — every value sharing
+    the boundary rank survives (frankv ties.method='dense'), only ranks
+    > k roll into 'Other values'."""
+    counts = [10, 9, 8, 7, 6, 5, 4, 3, 3, 1]  # two values tied at rank 8
+    rows = [Row(time_period=1, varname="v", value=f"c{i}", count=c)
+            for i, c in enumerate(counts)]
+    freq = spark.createDataFrame(rows)
+    out = {r["value"]: r["count"] for r in P.top_k_with_other(freq, k=8).collect()}
+    assert out["c7"] == 3 and out["c8"] == 3  # both tied values kept
+    assert out["Other values"] == 1           # only rank 9 rolled up
