@@ -181,7 +181,12 @@ def missingness_profile(df: DataFrame, time_col: str | Column, cols: Sequence[st
 # A2/A3 — continuous stats with exact median (R :714-718; T-SQL :1264-1309)
 # ---------------------------------------------------------------------------
 
-def numeric_stats(df: DataFrame, time_col: str | Column, cols: Sequence[str]) -> DataFrame:
+def numeric_stats(
+    df: DataFrame,
+    time_col: str | Column,
+    cols: Sequence[str],
+    exact_median: bool = True,
+) -> DataFrame:
     """Per (time_period, varname): mean, exact median, min, max (doubles).
 
     Median uses exact interpolating ``percentile(col, 0.5)`` — R
@@ -197,17 +202,24 @@ def numeric_stats(df: DataFrame, time_col: str | Column, cols: Sequence[str]) ->
     sizes swap for ``approx_percentile`` via the ``exact_median`` flag.
     """
     t = F.col(time_col) if isinstance(time_col, str) else time_col
-    wide = df.groupBy(t.alias("time_period")).agg(*_numeric_aggs(cols))
+    wide = df.groupBy(t.alias("time_period")).agg(*_numeric_aggs(cols, exact_median))
     return _numeric_from_wide(wide, cols)
 
 
-def _numeric_aggs(cols: Sequence[str]) -> list[Column]:
+def _numeric_aggs(cols: Sequence[str], exact_median: bool = True) -> list[Column]:
     aggs: list[Column] = []
     for c in cols:
         d = F.col(c).cast("double")
+        if exact_median:
+            med = F.percentile(d, F.lit(0.5))
+        else:
+            # the 100 TB escape hatch: GK-sketch quantile, fixed-size
+            # state per (group x column) instead of all values buffered
+            # in the aggregate; rank error <= 1/accuracy of the group
+            med = F.percentile_approx(d, F.lit(0.5), F.lit(10000)).cast("double")
         aggs += [
             F.avg(d).alias(f"{c}__mean"),
-            F.percentile(d, F.lit(0.5)).alias(f"{c}__median"),
+            med.alias(f"{c}__median"),
             F.min(d).alias(f"{c}__min"),
             F.max(d).alias(f"{c}__max"),
         ]
@@ -379,6 +391,7 @@ def combined_profile(
     time_col: str | Column,
     classes: ColumnClasses,
     gate_cols: Sequence[str] | None = None,
+    exact_median: bool = True,
 ) -> CombinedProfile:
     """One groupBy(time) pass over ``df`` computing, per column family:
     null counts (all profiled columns), numeric mean/median/min/max, date
@@ -391,7 +404,7 @@ def combined_profile(
     gate = list(gate_cols if gate_cols is not None else classes.numeric + classes.datetime)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
     aggs += _miss_aggs(classes.profiled)
-    aggs += _numeric_aggs(classes.numeric)
+    aggs += _numeric_aggs(classes.numeric, exact_median)
     aggs += _date_aggs(classes.datetime)
     aggs += [
         F.hll_sketch_agg(F.col(c).cast("string")).alias(f"{c}__hll") for c in gate

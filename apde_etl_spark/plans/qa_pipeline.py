@@ -48,6 +48,8 @@ class QaConfig:
     top_k: int = 8                           # categorical cap (:1056)
     digits_mean: int = 2
     digits_prop: int = 3
+    exact_median: bool = True                # False -> GK-sketch quantile
+                                             # (fixed state per group at 100 TB)
     time_expr: Column | None = None          # optional derived time axis
     standards: DataFrame | None = None       # (varname, group) domain standard
                                              # -> chi_standards output (J8)
@@ -123,7 +125,10 @@ def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
     # columns the gate later demotes are discarded — wasted aggregate
     # buffers, but strictly cheaper than the extra scan they replace.
     gate_cols = classes.numeric + classes.datetime
-    prof = P.combined_profile(base, "__time", classes, gate_cols=gate_cols)
+    prof = P.combined_profile(
+        base, "__time", classes, gate_cols=gate_cols,
+        exact_median=config.exact_median,
+    )
 
     # A6 — demotion decision from the sketches (SURVEY §2.10.6): HLL rsd
     # ~2-5%, so estimates outside a 0.7x-1.5x band of the threshold are

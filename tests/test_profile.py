@@ -168,3 +168,23 @@ def test_top_k_dense_rank_ties_keep_all_members(spark):
     out = {r["value"]: r["count"] for r in P.top_k_with_other(freq, k=8).collect()}
     assert out["c7"] == 3 and out["c8"] == 3  # both tied values kept
     assert out["Other values"] == 1           # only rank 9 rolled up
+
+
+def test_approx_median_escape_hatch(synth):
+    """exact_median=False swaps the exact percentile for the GK sketch
+    (fixed aggregate state at 100 TB); at accuracy 10000 on a 4k-row
+    fixture the sketch result must agree with the exact one everywhere
+    else and be within tight tolerance on the median itself."""
+    exact = run_qa_pipeline(synth, QaConfig(time_var="myyear"))
+    approx = run_qa_pipeline(synth, QaConfig(time_var="myyear", exact_median=False))
+
+    def meds(res):
+        return {
+            (r["time_period"], r["varname"]): r["median"]
+            for r in res.values.filter(F.col("vartype") == "Continuous").collect()
+        }
+
+    me, ma = meds(exact), meds(approx)
+    assert set(me) == set(ma)
+    for k in me:
+        assert abs(me[k] - ma[k]) <= max(1.0, abs(me[k]) * 0.01)
