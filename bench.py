@@ -20,6 +20,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: trivially-small queries are excluded so the number reflects engine work.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_orders",
     "a1_missingness_orders",
     "a2_numeric_stats_lineitem",
     "a4_date_stats_orders",
