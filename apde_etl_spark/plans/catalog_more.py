@@ -1190,3 +1190,71 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__q").cast("double").alias("total_qty"),
         )
     )
+
+
+# ===========================================================================
+# Event analytics breadth — window frames and grouping sets (beyond the
+# reference's whole-partition/lag-1 windows and plain GROUP BY)
+# ===========================================================================
+
+_ROLLING_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, day_value, n_events,
+       CAST(AVG(day_value) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma7
+FROM d
+"""
+
+
+@register("rolling_daily_value", _ROLLING_ORACLE)
+def rolling_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily totals with a 7-day trailing moving average — a bounded
+    ROWS frame (the reference only ever needs whole-partition or lag-1
+    frames, SURVEY §2.6). Day sums are decimal-exact so the frame
+    average is deterministic. The day-grain aggregate is tiny; the
+    unpartitioned frame window over it is driver-safe at any raw scale."""
+    ev = load_events(spark, sf_dir)
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("__dv"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return d.select(
+        "day",
+        F.col("__dv").cast("double").alias("day_value"),
+        "n_events",
+        F.avg(F.col("__dv").cast("double")).over(w).cast("double").alias("ma7"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(year(ts) AS INTEGER) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(grouping(event_type) AS INTEGER) AS g_type,
+       CAST(grouping(year(ts)) AS INTEGER) AS g_yr
+FROM events
+GROUP BY ROLLUP(event_type, year(ts))
+"""
+
+
+@register("rollup_event_counts", _ROLLUP_ORACLE)
+def rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (type, year) with grouping flags —
+    grouping-set machinery the reference lacks entirely (SURVEY §2.5
+    'no grouping sets / cube / rollup'). One pass: Spark expands the
+    grouping sets before the shuffle and partial-aggregates each."""
+    ev = load_events(spark, sf_dir).withColumn("yr", F.year("ts").cast("int"))
+    return (
+        ev.rollup("event_type", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("yr").cast("int").alias("g_yr"),
+        )
+        .select("event_type", "yr", "n", "g_type", "g_yr")
+    )
