@@ -1258,3 +1258,42 @@ def rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "yr", "n", "g_type", "g_yr")
     )
+
+
+# ===========================================================================
+# Semi-structured column support — JSON property extraction (extension;
+# the reference has no JSON functions anywhere, SURVEY §2.9)
+# ===========================================================================
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(MIN(k) AS INTEGER) AS min_k,
+       CAST(MAX(k) AS INTEGER) AS max_k,
+       CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+@register("json_props_extract", _JSON_ORACLE)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads: extract a typed field from the JSON
+    ``props`` column (get_json_object — JVM-native JSON path, evaluated
+    in the scan stage) and aggregate per event type. Schema-on-read for
+    ragged payloads: a missing key is a NULL, not an error."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+        )
+    )
