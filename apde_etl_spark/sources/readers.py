@@ -63,6 +63,25 @@ def read_delimited(
     return df
 
 
+def enforce_error_budget(
+    df: DataFrame, max_errors: int, corrupt_col: str = "_corrupt_record"
+) -> DataFrame:
+    """COPY INTO's MAXERRORS contract (copy_into.R:33,64): tolerate up
+    to ``max_errors`` malformed rows, FAIL the load beyond that. One
+    cached pass counts the quarantined rows (Spark requires the cache
+    before filtering on the internal corrupt-record column); survivors
+    return with the quarantine column dropped."""
+    if corrupt_col not in df.columns:
+        return df
+    df = df.cache()
+    bad = df.filter(F.col(corrupt_col).isNotNull()).count()
+    if bad > max_errors:
+        raise ValueError(
+            f"load exceeded error budget: {bad} malformed rows > max_errors={max_errors}"
+        )
+    return df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+
+
 def read_lake_file(
     spark: SparkSession,
     path: str,
@@ -71,12 +90,14 @@ def read_lake_file(
     field_quote: str = '"',
     field_term: str = ",",
     first_row: int = 2,
-    max_errors: int = 100,
+    schema: T.StructType | None = None,
+    max_errors: int | None = 100,
 ) -> DataFrame:
     """COPY INTO analogue (copy_into.R:61-148): csv/parquet/orc with
-    compression + csv dialect options. PERMISSIVE mode plus a
-    ``_corrupt_record`` column plays the MAXERRORS role — bad rows are
-    quarantined in-band instead of aborting the load."""
+    compression + csv dialect options. With a declared ``schema``,
+    PERMISSIVE mode quarantines malformed rows into ``_corrupt_record``
+    and :func:`enforce_error_budget` applies the MAXERRORS contract —
+    up to ``max_errors`` bad rows are dropped, more aborts the load."""
     ft = file_type.lower()
     if ft == "parquet":
         return spark.read.parquet(path)
@@ -92,6 +113,14 @@ def read_lake_file(
         )
         if compression:
             reader = reader.option("compression", compression)
+        if schema is not None:
+            full = T.StructType(
+                list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+            )
+            df = reader.schema(full).csv(path)
+            if max_errors is not None:
+                df = enforce_error_budget(df, max_errors)
+            return df
         return reader.csv(path)
     raise ValueError(f"unsupported file_type {file_type!r} (csv/parquet/orc)")
 

@@ -185,3 +185,30 @@ def test_ingest_yearly_files_test_mode_caps(spark, tmp_path):
               "vars": {"id": "INT"}}
     out = ingest_yearly_files(spark, config, [2024], test_mode=True)
     assert out.count() == 1001
+
+
+def test_max_errors_budget_enforced(spark, tmp_path):
+    """COPY INTO MAXERRORS (copy_into.R:33,64): under-budget loads drop
+    the malformed rows; over-budget loads abort."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from apde_etl_spark.sources.readers import read_lake_file
+
+    p = tmp_path / "dirty.csv"
+    rows = ["1,alpha", "2,beta", "x,gamma", "y,delta", "5,epsilon"]
+    p.write_text("\n".join(rows) + "\n")
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+    ])
+
+    ok = read_lake_file(spark, str(p), "csv", first_row=1,
+                        schema=schema, max_errors=2)
+    got = sorted((r["id"], r["name"]) for r in ok.collect())
+    assert got == [(1, "alpha"), (2, "beta"), (5, "epsilon")]
+    assert "_corrupt_record" not in ok.columns
+
+    with pytest.raises(ValueError, match="exceeded error budget"):
+        read_lake_file(spark, str(p), "csv", first_row=1,
+                       schema=schema, max_errors=1)
