@@ -885,3 +885,55 @@ def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     check proves."""
     emb = load(spark, sf_dir, "embeddings")
     return SIM.knn_label_vote(emb, F.col("vec_id") < 20, k=10)
+
+
+# ===========================================================================
+# Pack manifest — the consumable output of the packing plan
+# ===========================================================================
+
+_PACK_MANIFEST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t
+), p AS (
+  SELECT source, CAST(FLOOR((cum - 1) / 2048) AS INTEGER) AS pack_id,
+         doc_id, n_tokens
+  FROM c
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM p GROUP BY source, pack_id
+"""
+
+
+@register("pack_manifest", _PACK_MANIFEST_ORACLE)
+def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumable form of the packing plan: one row per (source,
+    pack) with doc membership in stable order — what a physical packer
+    reads to concatenate documents into context windows. Same single
+    window pass as pack_sequences, then a groupBy on the pack grain;
+    the ordered membership list is array_sort(collect_list(...)), size-
+    bounded by the token budget so no group ever outgrows an executor."""
+    docs = load(spark, sf_dir, "documents")
+    plan = TX.pack_sequences(docs, "source", "doc_id", "text", token_budget=2048)
+    return (
+        plan.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+    )

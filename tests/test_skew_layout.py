@@ -98,3 +98,37 @@ def test_bucketed_join_has_no_shuffle(spark, events):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_events")
         spark.sql("DROP TABLE IF EXISTS b_users")
+
+
+def test_incremental_qa_refresh_matches_full_recompute(spark, tmp_path):
+    """Late-arriving rows land in the last period; refreshing periods >=
+    that one (with the lag warm-up period in the input) must reproduce
+    the full-recompute profile byte-for-byte, while untouched history
+    partitions keep their files."""
+    import random
+
+    from apde_etl_spark.plans.qa_pipeline import QaConfig, run_qa_pipeline
+    from apde_etl_spark.sources.lifecycle import (
+        incremental_qa_refresh,
+        overwrite_changed_partitions,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randint(2015, 2020), rng.gauss(100, 10), rng.choice("abc"))
+            for _ in range(3000)]
+    base = spark.createDataFrame(rows, "yr int, x double, cat string")
+    late = spark.createDataFrame(
+        [(2020, 500.0, "a") for _ in range(50)], "yr int, x double, cat string")
+    cfg = QaConfig(time_var="yr", distinct_threshold=5)
+    path = str(tmp_path / "values_tbl")
+
+    # initial full write, then late data arrives -> refresh 2020 only
+    overwrite_changed_partitions(run_qa_pipeline(base, cfg).values, path, "time_period")
+    combined = base.union(late)
+    incremental_qa_refresh(combined, cfg, path, from_period=2020)
+
+    got = spark.read.parquet(path)
+    want = run_qa_pipeline(combined, cfg).values
+    cols = sorted(want.columns)
+    assert set(map(tuple, got.select(*cols).collect())) == \
+           set(map(tuple, want.select(*cols).collect()))
