@@ -937,3 +937,61 @@ def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_ids"),
         )
     )
+
+
+# ===========================================================================
+# Holdout contamination — eval-hygiene check over the split
+# ===========================================================================
+
+_CONTAMINATION_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS INTEGER) < 50
+              THEN 'holdout' ELSE 'train' END AS split
+  FROM documents
+), toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (
+  SELECT s.doc_id, s.split, unnest(sub.g) AS shingle
+  FROM split s JOIN (SELECT doc_id, {_SQL_SHINGLES} AS g FROM toks) sub
+    ON s.doc_id = sub.doc_id
+), tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train')
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       {_sql_round("CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS contamination_ratio
+FROM sh h LEFT JOIN tr ON h.shingle = tr.shingle
+WHERE h.split = 'holdout'
+GROUP BY h.doc_id
+"""
+
+
+@register("holdout_contamination", _CONTAMINATION_ORACLE)
+def holdout_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene check: for every holdout document, the fraction of
+    its distinct 3-word shingles that also occur anywhere in the train
+    split — the n-gram-overlap contamination metric run after every
+    split. Scale shape: one explode pass builds (doc, split, shingle);
+    the train shingle vocabulary is a distinct on the shuffle key
+    (map-side combined), and the holdout probe is a shingle-keyed join —
+    no document ever meets another document directly, so cost is bounded
+    by vocabulary size, not corpus pairs."""
+    docs = load(spark, sf_dir, "documents")
+    split = TX.hash_split(docs, "doc_id", holdout_per_mille=50, buckets=1000)
+    sh = (
+        docs.select(
+            "doc_id", F.explode(SIM.word_shingles(F.col("text"), 3)).alias("shingle")
+        )
+        .join(split.select("doc_id", "split"), "doc_id")
+    )
+    train_vocab = (
+        sh.filter(F.col("split") == "train").select("shingle").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ho = sh.filter(F.col("split") == "holdout")
+    probed = ho.join(train_vocab, "shingle", "left")
+    ratio = F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1))
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        round_half_away(ratio, 6).alias("contamination_ratio"),
+    )
