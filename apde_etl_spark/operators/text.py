@@ -270,3 +270,34 @@ def langid_ngram_scores(
             (F.col(f"score_{la}") == best) & (best > 0), F.lit(la)
         ).otherwise(pred)
     return out.drop("__g").withColumn("predicted_lang", pred)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic stratified down-sampling — the corpus-mixing
+    primitive (rebalance over-represented sources to target rates).
+
+    Per-stratum keep rate in [0, 1]; a row survives iff its content-free
+    id-hash bucket falls under ``rate * buckets``. No RNG and no row
+    order dependence (unlike ``sampleBy``), so the same mixture
+    reproduces on every engine, run, and partitioning — and a rate
+    increase strictly grows the kept set (nested samples, the property
+    that lets you dial mixtures without resampling history). Pure
+    projection + filter: evaluated in the scan stage, zero shuffles."""
+    from apde_etl_spark.operators.similarity import hash60
+
+    bucket = hash60(F.col(id_col).cast("string")) % buckets
+    rate = F.coalesce(
+        *[
+            F.when(F.col(group_col) == g, F.lit(float(r)))
+            for g, r in rates.items()
+        ],
+        F.lit(float(default_rate)),
+    )
+    return df.filter(bucket < (rate * buckets).cast("long"))

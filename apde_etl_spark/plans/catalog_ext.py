@@ -995,3 +995,32 @@ def holdout_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_contaminated"),
         round_half_away(ratio, 6).alias("contamination_ratio"),
     )
+
+
+# ===========================================================================
+# Source-mixture sampling — deterministic stratified down-sampling
+# ===========================================================================
+
+_MIXTURE_ORACLE = """
+WITH b AS (
+  SELECT *, CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, source FROM b
+WHERE bucket < CAST(
+  CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.0
+  ELSE 1.0 END * 10000 AS BIGINT)
+"""
+
+
+@register("source_mixture_sample", _MIXTURE_ORACLE)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: keep 20% of src0, 50% of src1, none of src2, all
+    of everything else — by deterministic id-hash bucket, not RNG, so
+    the mixture is reproducible across engines/runs/partitionings and
+    samples nest as rates grow. Scan-stage filter; nothing shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    out = TX.stratified_hash_sample(
+        docs, {"src0": 0.2, "src1": 0.5, "src2": 0.0}, "source", "doc_id"
+    )
+    return out.select("doc_id", "source")

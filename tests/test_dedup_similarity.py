@@ -267,3 +267,20 @@ def test_knn_label_vote_salt_invariant(spark, sf_dir):
     assert ({tuple(r) for r in one.collect()} == {tuple(r) for r in many.collect()})
     rows = one.collect()
     assert len(rows) == 5 and all(r["votes"] <= 7 for r in rows)
+
+
+def test_stratified_sample_nests_and_is_deterministic(spark, sf_dir):
+    from apde_etl_spark.operators.text import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo = stratified_hash_sample(docs, {"src0": 0.2}, default_rate=0.5)
+    hi = stratified_hash_sample(docs, {"src0": 0.6}, default_rate=0.9)
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    hi_ids = {r["doc_id"] for r in hi.collect()}
+    assert lo_ids <= hi_ids  # nested: higher rates strictly grow the sample
+    again = {r["doc_id"] for r in
+             stratified_hash_sample(docs.orderBy("text"), {"src0": 0.2},
+                                    default_rate=0.5).collect()}
+    assert again == lo_ids  # order-independent
+    zero = stratified_hash_sample(docs, {}, default_rate=0.0)
+    assert zero.count() == 0
