@@ -301,3 +301,91 @@ def stratified_hash_sample(
         F.lit(float(default_rate)),
     )
     return df.filter(bucket < (rate * buckets).cast("long"))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — public heuristic, adapted):
+
+    - ``dup_token_frac``  = 1 - distinct_tokens / n_tokens
+    - ``top_bigram_frac`` = occurrences of the most frequent word 2-gram
+      / total 2-grams (0.0 when the doc has < 2 tokens)
+    - ``repetitive``      = dup_token_frac > 0.7 OR top_bigram_frac > 0.18
+
+    Entirely shuffle-free: the most-frequent-bigram count is the longest
+    run in the *sorted* bigram array, computed with
+    ``array_sort`` + ``aggregate`` inside the projection — no
+    explode/groupBy, so at 100 TB this is a pure map stage that scales
+    with input splits (vs. a bigram-explode shuffle whose volume is
+    ~n_tokens rows per doc)."""
+    toks = tokens(text_col)
+    bigrams = (
+        "CASE WHEN size(__toks__) < 2 THEN array() "
+        "ELSE transform(slice(__toks__, 1, size(__toks__) - 1), "
+        "(x, i) -> concat(x, ' ', __toks__[i + 1])) END"
+    )
+    # longest run of equal elements in the sorted array == max multiplicity
+    top_count = (
+        "aggregate(array_sort(__bg__), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run',  IF(x <=> acc.prev, acc.run + 1, 1L), "
+        "  'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))), "
+        "acc -> acc.best)"
+    )
+    out = (
+        df.withColumn("__toks__", toks)
+        .withColumn("n_tokens", F.size("__toks__").cast("long"))
+        .withColumn("__bg__", F.expr(bigrams))
+        .withColumn(
+            "dup_token_frac",
+            1.0 - F.size(F.array_distinct("__toks__")) / F.col("n_tokens"),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(F.size("__bg__") == 0, F.lit(0.0)).otherwise(
+                F.expr(top_count) / F.size("__bg__")
+            ),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("dup_token_frac") > 0.7) | (F.col("top_bigram_frac") > 0.18),
+        )
+    )
+    return out.select(id_col, "n_tokens", "dup_token_frac", "top_bigram_frac",
+                      "repetitive")
+
+
+def tfidf_top_terms(df: DataFrame, group_col: str = "source",
+                    text_col: str = "text", k: int = 5) -> DataFrame:
+    """Top-k salient terms per group by tf-idf (tf = raw term count in
+    the group's corpus; idf = ln(n_groups / n_groups_containing_term)).
+
+    Shape at scale: one explode -> two keyed aggregations. The
+    (group, term) counts and the per-term document frequency share the
+    ``term`` shuffle key, and the group count is a broadcast scalar, so
+    the whole plan is two shuffles regardless of corpus size; the final
+    top-k is a bounded per-group window over the (small) per-group
+    vocabulary."""
+    terms = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("grp").alias("df_term"))
+    n_groups = df.select(F.countDistinct(group_col).alias("n_groups"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_groups") / F.col("df_term")))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term",
+                F.col("tf").cast("long").alias("tf"), "tfidf",
+                F.col("rank").cast("int").alias("rank"))
+    )

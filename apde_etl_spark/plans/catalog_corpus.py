@@ -1,0 +1,238 @@
+"""Corpus-analytics catalog extensions (round-1 continuation): the
+standard large-corpus curation signals that were still missing from the
+training-data surface — Gopher-style repetition filters, per-source
+tf-idf salience, exact length deciles, z-score anomaly detection, and a
+sliding-window Structured Streaming aggregate.
+
+Registered into the same :data:`~apde_etl_spark.plans.catalog.QUERIES` /
+:data:`~apde_etl_spark.plans.catalog.ORACLES` registry; imported for its
+side effects by ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apde_etl_spark.functions.core import round_half_away
+from apde_etl_spark.operators import text as TX
+from apde_etl_spark.plans.catalog import _sql_round, load, load_events, register
+
+# ===========================================================================
+# Gopher-style repetition metrics (dup-token + top-bigram fractions)
+# ===========================================================================
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_BIGRAMS = (
+    "list_transform(range(1, len(toks)), "
+    "i -> concat(toks[CAST(i AS INTEGER)], ' ', toks[CAST(i AS INTEGER) + 1]))"
+)
+
+_REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_frac,
+         {_BIGRAMS} AS bg
+  FROM t
+),
+topbg AS (
+  SELECT doc_id, max(c) AS top_cnt
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(bg) AS g FROM base)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+j AS (
+  SELECT b.doc_id, b.n_tokens, b.dup_frac,
+         CASE WHEN len(b.bg) = 0 THEN 0.0
+              ELSE CAST(COALESCE(tb.top_cnt, 0) AS DOUBLE) / len(b.bg) END AS top_frac
+  FROM base b LEFT JOIN topbg tb USING (doc_id)
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       {_sql_round('dup_frac', 6)} AS dup_token_frac,
+       {_sql_round('top_frac', 6)} AS top_bigram_frac,
+       (dup_frac > 0.7 OR top_frac > 0.18) AS repetitive
+FROM j
+"""
+
+
+@register("repetition_gopher_metrics", _REPETITION_ORACLE)
+def repetition_gopher_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (public heuristic, Rae et al. 2021
+    arXiv:2112.11446 §A1.1): duplicate-token fraction and most-frequent-
+    bigram fraction per document, plus the pass/fail flag. The Spark path
+    is a pure projection (sorted-run max multiplicity, zero shuffles);
+    the oracle recomputes the bigram mode relationally."""
+    docs = load(spark, sf_dir, "documents")
+    out = TX.repetition_metrics(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        round_half_away(F.col("dup_token_frac"), 6).alias("dup_token_frac"),
+        round_half_away(F.col("top_bigram_frac"), 6).alias("top_bigram_frac"),
+        "repetitive",
+    )
+
+
+# ===========================================================================
+# tf-idf top terms per source
+# ===========================================================================
+
+_TFIDF_ORACLE = f"""
+WITH terms AS (
+  SELECT source AS grp,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT grp, term, count(*) AS tf FROM terms GROUP BY grp, term),
+dfreq AS (SELECT term, count(DISTINCT grp) AS df_term FROM tf GROUP BY term),
+ng AS (SELECT count(DISTINCT source) AS n_groups FROM documents),
+scored AS (
+  SELECT grp, term, tf,
+         tf * ln(CAST(n_groups AS DOUBLE) / df_term) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN ng
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT grp AS source, term, CAST(tf AS BIGINT) AS tf,
+       {_sql_round('tfidf', 6)} AS tfidf, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per source by tf-idf: explode -> two keyed
+    aggregations sharing the ``term`` shuffle key, broadcast scalar for
+    the group count, bounded per-group window for the top-k."""
+    docs = load(spark, sf_dir, "documents")
+    out = TX.tfidf_top_terms(docs, "source", "text", k=5)
+    return out.select(
+        "source", "term", "tf",
+        round_half_away(F.col("tfidf"), 6).alias("tfidf"),
+        "rank",
+    )
+
+
+# ===========================================================================
+# Exact length deciles per source
+# ===========================================================================
+
+_DECILES = [i / 10.0 for i in range(1, 10)]
+
+_DECILES_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT source, CAST({d} AS DOUBLE) AS decile, "
+    f"{_sql_round(f'quantile_cont(n_chars, {d})', 6)} AS n_chars_q "
+    f"FROM documents GROUP BY source"
+    for d in _DECILES
+)
+
+
+@register("length_deciles_by_source", _DECILES_ORACLE)
+def length_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated deciles of document length per source —
+    one grouped ``percentile`` pass computing all nine cutpoints, then a
+    posexplode to long form. At 100 TB the same shape swaps
+    ``percentile`` for ``approx_percentile`` (bounded-memory GK sketch)
+    without touching the plan; the exact version stays as the oracle-
+    checkable truth at test scale."""
+    docs = load(spark, sf_dir, "documents")
+    q = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.array(*[F.lit(d) for d in _DECILES])).alias("qs")
+    )
+    return q.select(
+        "source", F.posexplode("qs").alias("pos", "q")
+    ).select(
+        "source",
+        ((F.col("pos") + 1) / F.lit(10.0)).alias("decile"),
+        round_half_away(F.col("q"), 6).alias("n_chars_q"),
+    )
+
+
+# ===========================================================================
+# z-score anomaly detection over events.value
+# ===========================================================================
+
+_ZSCORE_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       {_sql_round('(value - m) / sd', 6)} AS zscore
+FROM events e JOIN s USING (event_type)
+WHERE value IS NOT NULL AND abs((value - m) / sd) > 3
+"""
+
+
+@register("zscore_anomalies_events", _ZSCORE_ORACLE)
+def zscore_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3): one grouped aggregate over
+    event_type (a handful of rows) broadcast back onto the fact scan —
+    no window sort over the full table, so the plan is scan + map-side
+    join at any scale."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 3)
+        .select("event_id", "event_type", "value",
+                round_half_away(F.col("zscore"), 6).alias("zscore"))
+    )
+
+
+# ===========================================================================
+# Sliding-window streaming counts (1 h window / 30 min slide)
+# ===========================================================================
+
+_SLIDING_ORACLE = """
+WITH off AS (SELECT unnest([0, 1]) AS k)
+SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+       time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+         + INTERVAL '1 hour' AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM events CROSS JOIN off
+GROUP BY 1, 2, 3
+"""
+
+
+@register("stream_sliding_event_counts", _SLIDING_ORACLE)
+def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h / 30 min) per-type counts as a real Structured
+    Streaming run (file source -> window -> availableNow -> memory sink);
+    the oracle expands each event into its two covering windows
+    relationally (epoch-aligned slide starts, same as Spark's window
+    assignment)."""
+    from apde_etl_spark.streaming.profile_stream import windowed_sliding_counts
+
+    load_events(spark, sf_dir)  # sets nanosAsLong conf for the schema read
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes)["ts"] == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = windowed_sliding_counts(
+        src, "ts", "event_type", window="1 hour", slide="30 minutes",
+        watermark="2 hours",
+    )
+    name = "stream_sliding_event_counts_sink"
+    q = (
+        counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start", "window_end", "event_type", "count"
+    )

@@ -112,3 +112,35 @@ def stream_exact_dedup(
     else:
         deduped = df.dropDuplicates(list(key_cols))
     return deduped.select(*key_cols)
+
+
+def windowed_sliding_counts(
+    df: DataFrame,
+    event_time: str,
+    group_col: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-group counts over *sliding* event-time windows (extension,
+    SURVEY §2.12 — the reference has no streaming at all).
+
+    Each event lands in ``window/slide`` overlapping windows; Spark
+    expands them at the window operator, so state is bounded by
+    (windows-in-watermark x groups), independent of stream length."""
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(event_time, watermark)
+    return (
+        src.groupBy(
+            F.window(event_time, window, slide).alias("win"),
+            F.col(group_col),
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            group_col,
+            "count",
+        )
+    )

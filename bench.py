@@ -48,6 +48,8 @@ HEADLINE = [
     "corpus_pipeline_end2end",
     "split_train_holdout",
     "pack_sequences",
+    "repetition_gopher_metrics",
+    "tfidf_top_terms",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Behavioral tests for the corpus-analytics extensions: Gopher-style
+repetition metrics, tf-idf salience, exact deciles, z-score anomalies,
+and sliding-window counts (batch semantics of the streaming helper)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators.text import repetition_metrics, tfidf_top_terms
+from apde_etl_spark.streaming.profile_stream import windowed_sliding_counts
+
+
+def test_repetition_metrics_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),                       # fully repetitive
+            (2, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # fully distinct
+            (3, "hello"),                          # single token: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4
+    assert abs(r1["dup_token_frac"] - 0.75) < 1e-12      # 1 - 1/4
+    assert abs(r1["top_bigram_frac"] - 1.0) < 1e-12      # "a a" x3 of 3
+    assert r1["repetitive"] is True
+
+    r2 = rows[2]
+    assert r2["dup_token_frac"] == 0.0
+    assert abs(r2["top_bigram_frac"] - 1.0 / 9.0) < 1e-12
+    assert r2["repetitive"] is False
+
+    r3 = rows[3]
+    assert r3["n_tokens"] == 1
+    assert r3["top_bigram_frac"] == 0.0
+    assert r3["repetitive"] is False
+
+
+def test_repetition_metrics_is_shuffle_free(spark):
+    docs = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    plan = repetition_metrics(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_tfidf_top_terms_ranks_distinctive_term_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique common common", "A"),
+            (2, "common common other", "B"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = tfidf_top_terms(docs, "source", "text", k=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    a = sorted(by_src["A"], key=lambda r: r["rank"])
+    assert a[0]["term"] == "unique" and a[0]["tfidf"] > 0
+    # 'common' appears in both sources -> idf = ln(1) = 0
+    common = [r for r in out if r["term"] == "common"]
+    assert all(r["tfidf"] == 0.0 for r in common)
+    # ranks are 1..k without gaps inside each group
+    for rows in by_src.values():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_percentile_deciles_linear_interpolation(spark):
+    # n_chars = 0..10 -> decile p is exactly p*10 under linear interpolation
+    docs = spark.createDataFrame([("s", i) for i in range(11)],
+                                 ["source", "n_chars"])
+    qs = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]))
+        .alias("qs")
+    ).collect()[0]["qs"]
+    assert qs == [float(i) for i in range(1, 10)]
+
+
+def test_zscore_anomalies_catalog_entry(spark, sf_dir):
+    import __spark_entry__ as e
+
+    out = e.queries()["zscore_anomalies_events"](spark, sf_dir)
+    rows = out.collect()
+    assert out.columns == ["event_id", "event_type", "value", "zscore"]
+    # every flagged row really is beyond 3 sigma (rounded to 6 dp)
+    assert all(abs(r["zscore"]) > 2.999999 for r in rows)
+
+
+def test_sliding_window_counts_batch_semantics(spark):
+    t0 = datetime.datetime(2024, 1, 1, 10, 15)   # -> [9:30,10:30) + [10:00,11:00)
+    t1 = datetime.datetime(2024, 1, 1, 10, 45)   # -> [10:00,11:00) + [10:30,11:30)
+    ev = spark.createDataFrame(
+        [(t0, "click"), (t1, "click"), (t1, "view")], ["ts", "event_type"]
+    )
+    out = windowed_sliding_counts(ev, "ts", "event_type").collect()
+    # each event is in exactly two 1h/30min windows
+    assert sum(r["count"] for r in out) == 2 * 3
+    click = {
+        (r["window_start"].strftime("%H:%M"), r["count"])
+        for r in out if r["event_type"] == "click"
+    }
+    assert click == {("09:30", 1), ("10:00", 2), ("10:30", 1)}
