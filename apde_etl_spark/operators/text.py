@@ -363,21 +363,20 @@ def tfidf_top_terms(df: DataFrame, group_col: str = "source",
     """Top-k salient terms per group by tf-idf (tf = raw term count in
     the group's corpus; idf = ln(n_groups / n_groups_containing_term)).
 
-    Shape at scale: one explode -> two keyed aggregations. The
-    (group, term) counts and the per-term document frequency share the
-    ``term`` shuffle key, and the group count is a broadcast scalar, so
-    the whole plan is two shuffles regardless of corpus size; the final
-    top-k is a bounded per-group window over the (small) per-group
-    vocabulary."""
+    Shape at scale: ONE full-text scan. ``tf`` rows are unique per
+    (group, term), so the per-term document frequency is a plain
+    ``count(*)`` window over the vocab-sized aggregate — no second
+    corpus scan and no self-join. The group count is the only other
+    input and reads just the ``group_col`` column (column-pruned
+    parquet scan), then broadcasts as a scalar."""
     terms = df.select(
         F.col(group_col).alias("grp"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = terms.groupBy("grp", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.countDistinct("grp").alias("df_term"))
     n_groups = df.select(F.countDistinct(group_col).alias("n_groups"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df_term", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_groups))
         .withColumn("tfidf", F.col("tf") * F.log(F.col("n_groups") / F.col("df_term")))
     )
