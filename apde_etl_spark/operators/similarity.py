@@ -565,3 +565,69 @@ def knn_label_vote(
             F.col("votes").cast("long").alias("votes"),
         )
     )
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Set-containment similarity join C(A,B) = |A∩B| / |A| >= threshold
+    over k-word shingle sets, with PPJoin-style *prefix filtering*
+    (Xiao et al., WWW'08 — public algorithm) instead of a quadratic
+    cross join.
+
+    Pigeonhole guarantee: order every document's shingles by global
+    rarity (document frequency asc, shingle asc — a total order). If B
+    contains NONE of A's first ``floor((1-t)*|A|) + 1`` shingles, then A
+    misses more than ``(1-t)*|A|`` elements, so C(A,B) < t. Hence
+    joining A-prefixes against the full inverted index is LOSSLESS —
+    the output equals the brute-force result exactly, which is what the
+    DuckDB oracle recomputes.
+
+    Scale shape: candidate volume is bounded by the index lists of the
+    *rarest* shingles of each doc (prefix tokens are chosen rarest-
+    first), so hot shingles never drive the join; the exact verification
+    runs once per distinct candidate pair.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"),
+                  word_shingles(F.col(text_col), k).alias("s"))
+        .filter(F.size("s") > 0)
+    )
+    # (id, shingles, prefix_len); persisted — feeds the inverted index,
+    # the prefix extraction, and both sides of the verification join
+    sized = sh.withColumn(
+        "plen",
+        (F.floor((1.0 - threshold) * F.size("s")) + 1).cast("int"),
+    ).persist()
+
+    ex = sized.select("id", "plen", F.explode("s").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix = (
+        ex.join(dfreq, "shingle")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= F.col("plen"))
+        .select(F.col("id").alias("id_a"), "shingle")
+    )
+    inverted = ex.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        prefix.join(inverted, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sized.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    b = sized.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sa", "sb")).cast("double") / F.size("sa"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

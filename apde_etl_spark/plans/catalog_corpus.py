@@ -236,3 +236,154 @@ def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "window_start", "window_end", "event_type", "count"
     )
+
+
+# ===========================================================================
+# Set-containment similarity join with prefix filtering (PPJoin-style)
+# ===========================================================================
+
+from apde_etl_spark.plans.catalog_ext import _SQL_SHINGLES, _SQL_TOKS  # noqa: E402
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {_sql_round('CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)', 6)} AS containment
+FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.6
+"""
+
+
+@register("containment_shingle_pairs", _CONTAINMENT_ORACLE)
+def containment_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A,B) = |A∩B|/|A| >= 0.6 over 3-word
+    shingles, computed with lossless PPJoin-style prefix filtering (join
+    A's rarest-shingle prefix against the inverted index instead of the
+    quadratic cross join the oracle runs). Catches quote/subset near-dups
+    that symmetric Jaccard underweights."""
+    from apde_etl_spark.operators.similarity import containment_prefix_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    out = containment_prefix_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    return out.select(
+        "id_a", "id_b",
+        round_half_away(F.col("containment"), 6).alias("containment"),
+    )
+
+
+# ===========================================================================
+# Robust (median/MAD) per-type stats with modified-z outlier counts
+# ===========================================================================
+
+_MAD_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, e.value, s.med, abs(e.value - s.med) AS adev
+  FROM events e JOIN s USING (event_type) WHERE e.value IS NOT NULL
+),
+m AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY event_type)
+SELECT d.event_type,
+       {_sql_round('min(d.med)', 6)} AS median_value,
+       {_sql_round('min(m.mad)', 6)} AS mad,
+       CAST(SUM(CASE WHEN m.mad > 0
+                      AND abs(0.6745 * (d.value - d.med) / m.mad) > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d JOIN m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register("robust_mad_stats", _MAD_ORACLE)
+def robust_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust stats + Iglewicz-Hoaglin modified-z outlier
+    counts (|0.6745*(x-med)/MAD| > 3.5) per event_type — the robust
+    sibling of zscore_anomalies_events, immune to the outliers it hunts.
+    Three column-pruned scans of (event_type, value) with the tiny
+    per-type medians broadcast between passes; at 100 TB each exact
+    ``percentile`` swaps for ``approx_percentile`` without changing the
+    plan shape."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    mz = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            round_half_away(F.min("med"), 6).alias("median_value"),
+            round_half_away(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when((F.col("mad") > 0) & (F.abs(mz) > 3.5), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+# ===========================================================================
+# SCD2 dimension merge (type-2 history upgrade of the archive/stage swap)
+# ===========================================================================
+
+_SCD2_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, DATE '1995-01-01' AS valid_from
+  FROM customer WHERE c_custkey % 7 != 0
+),
+snap AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+  FROM customer
+),
+j AS (
+  SELECT c.c_custkey,
+         c.c_mktsegment AS cm, c.c_acctbal AS ca, c.valid_from,
+         s.c_mktsegment AS sm, s.c_acctbal AS sa
+  FROM cur c JOIN snap s USING (c_custkey)
+)
+SELECT c_custkey, cm AS c_mktsegment, ca AS c_acctbal, valid_from,
+       CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+FROM j WHERE cm IS NOT DISTINCT FROM sm AND ca IS NOT DISTINCT FROM sa
+UNION ALL
+SELECT c_custkey, cm, ca, valid_from, DATE '1996-01-01', FALSE
+FROM j WHERE cm IS DISTINCT FROM sm OR ca IS DISTINCT FROM sa
+UNION ALL
+SELECT c_custkey, sm, sa, DATE '1996-01-01', CAST(NULL AS DATE), TRUE
+FROM j WHERE cm IS DISTINCT FROM sm OR ca IS DISTINCT FROM sa
+UNION ALL
+SELECT s.c_custkey, s.c_mktsegment, s.c_acctbal, DATE '1996-01-01',
+       CAST(NULL AS DATE), TRUE
+FROM snap s WHERE s.c_custkey NOT IN (SELECT c_custkey FROM cur)
+"""
+
+
+@register("scd2_customer_merge", _SCD2_ORACLE)
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge of a simulated customer snapshot (every 5th key changes
+    c_acctbal; every 7th key is new) onto the current dimension: one
+    full-outer join, changed keys emit close+open rows via an exploded
+    struct array in the same projection (no union-of-branches re-join).
+    Upgrades the reference's wholesale archive/stage swap
+    (load_table_from_sql.R:378-395) to history-keeping form."""
+    from apde_etl_spark.sources.lifecycle import scd2_merge
+
+    cust = load(spark, sf_dir, "customer")
+    current = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+    )
+    snapshot = cust.select(
+        "c_custkey", "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    return scd2_merge(current, snapshot, "c_custkey",
+                      ["c_mktsegment", "c_acctbal"], "1996-01-01")

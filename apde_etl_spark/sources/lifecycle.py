@@ -252,3 +252,80 @@ def incremental_qa_refresh(
     res = run_qa_pipeline(sliced, config)
     out = res.values.filter(F.col("time_period") >= from_period)
     overwrite_changed_partitions(out, path, "time_period")
+
+
+def scd2_merge(
+    current: DataFrame,
+    snapshot: DataFrame,
+    key: str,
+    attrs: list[str],
+    as_of: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: reconcile the current
+    dimension history with a new snapshot as of ``as_of`` (ISO date).
+
+    The reference's archive/stage swap (load_table_from_sql.R:378-395)
+    replaces history wholesale; SCD2 is the warehouse-idiomatic upgrade
+    that keeps it. Semantics per key:
+
+    - attrs unchanged  -> current row passes through untouched
+    - attrs changed    -> current row closed (valid_to = as_of,
+      is_current = false) PLUS a new open row with the snapshot attrs
+    - key only in snapshot (new)     -> one open row from as_of
+    - key only in current (deleted)  -> row closed at as_of
+
+    Single full-outer join; both output rows of a changed key are built
+    as an array of structs exploded in the SAME projection, so the join
+    runs once (no union-of-branches recomputation) and the whole merge
+    is one shuffle per side at any scale.
+    """
+    as_of_col = F.lit(as_of).cast("date")
+    cur = current.select(
+        F.col(key), *[F.col(a).alias(f"__c_{a}") for a in attrs],
+        F.col("valid_from").alias("__c_valid_from"),
+    )
+    cur = cur.withColumn("__c_present", F.lit(True))
+    snap = snapshot.select(
+        F.col(key), *[F.col(a).alias(f"__s_{a}") for a in attrs],
+        F.lit(True).alias("__s_present"),
+    )
+    j = cur.join(snap, key, "full_outer")
+
+    # explicit presence markers: an attr (or valid_from) that is
+    # legitimately NULL must not make the key look absent
+    in_cur = F.col("__c_present").isNotNull()
+    in_snap = F.col("__s_present").isNotNull()
+    # null-safe attr equality across all compared attrs
+    same = F.lit(True)
+    for a in attrs:
+        same = same & F.col(f"__c_{a}").eqNullSafe(F.col(f"__s_{a}"))
+
+    def row(from_cur: bool, valid_from, valid_to, is_current):
+        return F.struct(
+            *[
+                (F.col(f"__c_{a}") if from_cur else F.col(f"__s_{a}")).alias(a)
+                for a in attrs
+            ],
+            valid_from.alias("valid_from"),
+            valid_to.cast("date").alias("valid_to"),
+            F.lit(is_current).alias("is_current"),
+        )
+
+    unchanged = row(True, F.col("__c_valid_from"), F.lit(None), True)
+    closed = row(True, F.col("__c_valid_from"), as_of_col, False)
+    opened = row(False, as_of_col, F.lit(None), True)
+
+    rows = (
+        F.when(in_cur & in_snap & same, F.array(unchanged))
+        .when(in_cur & in_snap, F.array(closed, opened))
+        .when(in_cur, F.array(closed))          # deleted from snapshot
+        .otherwise(F.array(opened))             # brand new key
+    )
+    out = j.select(F.col(key), F.explode(rows).alias("__r"))
+    return out.select(
+        key,
+        *[F.col(f"__r.{a}").alias(a) for a in attrs],
+        F.col("__r.valid_from").alias("valid_from"),
+        F.col("__r.valid_to").alias("valid_to"),
+        F.col("__r.is_current").alias("is_current"),
+    )

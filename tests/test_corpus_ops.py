@@ -103,3 +103,87 @@ def test_sliding_window_counts_batch_semantics(spark):
         for r in out if r["event_type"] == "click"
     }
     assert click == {("09:30", 1), ("10:00", 2), ("10:30", 1)}
+
+
+def test_containment_prefix_filter_detects_subset_doc(spark):
+    from apde_etl_spark.operators.similarity import containment_prefix_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4"),                # subset of doc 2
+            (2, "w1 w2 w3 w4 w5 w6"),
+            (3, "x1 x2 x3 x4 x5"),             # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_prefix_pairs(docs, threshold=0.6).collect()}
+    # C(1,2) = 2/2 = 1.0; C(2,1) = 2/4 = 0.5 < 0.6 is excluded
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)] == 1.0
+
+
+def test_containment_prefix_filter_is_lossless(spark, sf_dir):
+    """Prefix filtering must reproduce the brute-force result exactly
+    (pigeonhole argument) — checked on the real documents table."""
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators.similarity import (
+        containment_prefix_pairs, word_shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = {
+        (r["id_a"], r["id_b"]): round(r["containment"], 9)
+        for r in containment_prefix_pairs(docs, threshold=0.6).collect()
+    }
+    sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("s")) \
+             .filter(F.size("s") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    cont = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size("sa")
+    brute = {
+        (r["id_a"], r["id_b"]): round(r["containment"], 9)
+        for r in a.join(b, F.col("id_a") != F.col("id_b"))
+                  .withColumn("containment", cont)
+                  .filter(F.col("containment") >= 0.6)
+                  .select("id_a", "id_b", "containment").collect()
+    }
+    assert fast == brute
+
+
+def test_scd2_merge_all_four_cases(spark):
+    import datetime
+
+    from apde_etl_spark.sources.lifecycle import scd2_merge
+
+    d0 = datetime.date(1995, 1, 1)
+    cur = spark.createDataFrame(
+        [(1, "A", d0), (2, "B", d0), (3, "C", d0)],
+        ["k", "attr", "valid_from"],
+    )
+    snap = spark.createDataFrame(
+        [(1, "A"), (2, "B2"), (4, "D")],   # 1 unchanged, 2 changed, 3 deleted, 4 new
+        ["k", "attr"],
+    )
+    out = scd2_merge(cur, snap, "k", ["attr"], "1996-01-01")
+    rows = sorted(
+        (r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "A", "1995-01-01", "None", True),           # unchanged
+        (2, "B", "1995-01-01", "1996-01-01", False),    # closed
+        (2, "B2", "1996-01-01", "None", True),          # re-opened
+        (3, "C", "1995-01-01", "1996-01-01", False),    # deleted -> closed
+        (4, "D", "1996-01-01", "None", True),           # new
+    ]
+
+
+def test_robust_mad_stats_entry(spark, sf_dir):
+    import __spark_entry__ as e
+
+    out = e.queries()["robust_mad_stats"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["mad"] >= 0 and 0 <= r["n_outliers"] <= r["n"]
