@@ -387,3 +387,160 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scd2_merge(current, snapshot, "c_custkey",
                       ["c_mktsegment", "c_acctbal"], "1996-01-01")
+
+
+# ===========================================================================
+# As-of join (purchase -> latest prior view per user)
+# ===========================================================================
+
+_ASOF_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts, CAST(NULL AS BIGINT) AS vid, CAST(NULL AS TIMESTAMP) AS vts,
+         event_id, 1 AS tag
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, ts, NULL, 0
+  FROM events WHERE event_type = 'view'
+),
+w AS (
+  SELECT *,
+         last_value(vid IGNORE NULLS) OVER win AS view_event_id,
+         last_value(vts IGNORE NULLS) OVER win AS view_ts
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, vid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_event_id, user_id, ts, view_event_id, view_ts,
+       epoch_us(ts) - epoch_us(view_ts) AS gap_us
+FROM w WHERE tag = 1
+"""
+
+
+@register("asof_join_purchase_view", _ASOF_ORACLE)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (inclusive): every purchase picks the user's latest
+    view at-or-before it, via the union + carry-forward-window algorithm
+    (one shuffle on user_id, no per-row subquery, no range self-join);
+    deterministic tie-breaks on (ts, stream tag, view event_id). The
+    oracle replays the same carry-forward relationally."""
+    from apde_etl_spark.operators.temporal import asof_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_event_id", "view_ts"], tie_col="view_event_id",
+        suffix="",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts",
+        "view_event_id", "view_ts",
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+# ===========================================================================
+# Point-in-interval range join (events.value -> tier table)
+# ===========================================================================
+
+_RANGE_ORACLE = """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('bronze', 0.0, 100.0), ('silver', 100.0, 250.0), ('gold', 250.0, 500.0)
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY tier
+"""
+
+
+@register("range_join_value_tiers", _RANGE_ORACLE)
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join rewritten as an equi-join: tiers explode into the
+    50-unit bins they cover, facts compute their bin in the projection,
+    and a residual filter trims bin-boundary spill. Stays a hash join at
+    any interval-table size (the oracle's inequality join is the
+    O(n x m) nested loop this replaces)."""
+    from apde_etl_spark.operators.temporal import range_join_binned
+
+    tiers = spark.createDataFrame(
+        [("bronze", 0.0, 100.0), ("silver", 100.0, 250.0), ("gold", 250.0, 500.0)],
+        ["tier", "lo", "hi"],
+    )
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull()).select("value")
+    joined = range_join_binned(ev, F.broadcast(tiers), "value", bin_width=50.0)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+# ===========================================================================
+# Ordered funnel: signup -> first later view -> first later purchase
+# ===========================================================================
+
+_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > t1.ts1 GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS stage_idx, 'signup' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+UNION ALL
+SELECT 2, 'view_after_signup', COUNT(*) FROM t2
+UNION ALL
+SELECT 3, 'purchase_after_view', COUNT(*) FROM t3
+"""
+
+
+@register("funnel_signup_view_purchase", _FUNNEL_ORACLE)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: users whose first view follows
+    their first signup, then whose first purchase follows that view.
+    Each stage is one keyed aggregate joined broadcast onto the next
+    stage's filtered scan — per-stage cost is a pruned pass over
+    (user_id, ts, event_type), never a cross join of event sequences."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    t1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("ts1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(t1), "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id").agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id").agg(F.min("ts").alias("ts3"))
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage(1, "signup", t1)
+        .unionByName(stage(2, "view_after_signup", t2))
+        .unionByName(stage(3, "purchase_after_view", t3))
+    )

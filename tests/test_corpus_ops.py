@@ -187,3 +187,58 @@ def test_robust_mad_stats_entry(spark, sf_dir):
     assert len(out) > 0
     for r in out:
         assert r["mad"] >= 0 and 0 <= r["n_outliers"] <= r["n"]
+
+
+def test_asof_join_inclusive_and_null_when_no_prior(spark):
+    import datetime
+
+    from apde_etl_spark.operators.temporal import asof_join
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(101, 7, t(2)), (102, 7, t(3)), (103, 7, t(0)), (104, 8, t(5))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(7, t(1), 201), (7, t(3), 202)], ["user_id", "ts", "rid"]
+    )
+    out = {r["event_id"]: r["rid"]
+           for r in asof_join(left, right, on="user_id",
+                              right_cols=["rid"], suffix="").collect()}
+    assert out[101] == 201    # latest right at-or-before t=2
+    assert out[102] == 202    # inclusive: right at exactly t=3 matches
+    assert out[103] is None   # no right row at-or-before t=0
+    assert out[104] is None   # no right rows for this key at all
+
+
+def test_asof_join_tie_break_is_deterministic(spark):
+    import datetime
+
+    from apde_etl_spark.operators.temporal import asof_join
+
+    ts = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, 5, ts)], ["event_id", "user_id", "ts"])
+    # two right rows at the identical timestamp: highest tie_col wins
+    right = spark.createDataFrame(
+        [(5, ts, 300), (5, ts, 301)], ["user_id", "ts", "rid"]
+    )
+    out = asof_join(left, right, on="user_id", right_cols=["rid"],
+                    tie_col="rid", suffix="").collect()
+    assert out[0]["rid"] == 301
+
+
+def test_range_join_binned_boundaries(spark):
+    from apde_etl_spark.operators.temporal import range_join_binned
+
+    facts = spark.createDataFrame(
+        [(0.0,), (99.99,), (100.0,), (249.9,), (499.99,), (500.0,)], ["value"]
+    )
+    tiers = spark.createDataFrame(
+        [("lo", 0.0, 100.0), ("mid", 100.0, 250.0), ("hi", 250.0, 500.0)],
+        ["tier", "lo", "hi"],
+    )
+    got = sorted((r["value"], r["tier"]) for r in
+                 range_join_binned(facts, tiers, "value", bin_width=50.0).collect())
+    # lo inclusive, hi exclusive; 500.0 falls outside every tier
+    assert got == [(0.0, "lo"), (99.99, "lo"), (100.0, "mid"),
+                   (249.9, "mid"), (499.99, "hi")]
