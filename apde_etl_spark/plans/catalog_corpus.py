@@ -544,3 +544,79 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(2, "view_after_signup", t2))
         .unionByName(stage(3, "purchase_after_view", t3))
     )
+
+
+# ===========================================================================
+# Pivot — the inverse of the reference's signature melt (R1)
+# ===========================================================================
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = (
+    "SELECT CAST(ts AS DATE) AS day, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1"
+)
+
+
+@register("pivot_event_type_daily", _PIVOT_ORACLE)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot of daily event counts — the inverse of the
+    reference's melt (SURVEY §2.3 R1). Pivot values are passed
+    explicitly, so Spark skips the extra distinct-scan job it otherwise
+    runs to discover them, and the plan is a single groupBy with one
+    conditional count per column."""
+    ev = load_events(spark, sf_dir)
+    out = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot leaves NULL for absent (day, type) combos; the oracle's
+    # conditional SUM yields 0 — align on 0
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                 for t in _EVENT_TYPES]
+    )
+
+
+# ===========================================================================
+# Cumulative distinct users per day (first-touch aggregation, not
+# per-day COUNT(DISTINCT) over growing windows)
+# ===========================================================================
+
+_CUMUSERS_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+d AS (SELECT day, count(*) AS n_new_users FROM f GROUP BY day)
+SELECT day, CAST(n_new_users AS BIGINT) AS n_new_users,
+       CAST(SUM(n_new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
+@register("cumulative_distinct_users_daily", _CUMUSERS_ORACLE)
+def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per day via FIRST-TOUCH aggregation:
+    one groupBy(user) for the first-seen day, one tiny groupBy(day), and
+    a prefix-sum window over the per-day rows. The naive per-day
+    COUNT(DISTINCT) over an expanding window is O(days x users) state
+    and re-shuffles the fact table once per day bucket; this shape is
+    two keyed aggregations + a window over #days rows (the
+    single-partition window is over days, not facts — bounded)."""
+    ev = load_events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("n_new_users").cast("long").alias("n_new_users"),
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    )
