@@ -604,19 +604,36 @@ def containment_prefix_pairs(
         (F.floor((1.0 - threshold) * F.size("s")) + 1).cast("int"),
     ).persist()
 
-    ex = sized.select("id", "plen", F.explode("s").alias("shingle"))
+    ex = sized.select("id", "plen", F.size("s").alias("sz"),
+                      F.explode("s").alias("shingle"))
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # one global total order (df asc, shingle asc) ranks BOTH sides, so
+    # the smallest common element of any pair has consistent ranks
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
-    prefix = (
-        ex.join(dfreq, "shingle")
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= F.col("plen"))
-        .select(F.col("id").alias("id_a"), "shingle")
+    ranked = ex.join(dfreq, "shingle").withColumn("r", F.row_number().over(w))
+    prefix = ranked.filter(F.col("r") <= F.col("plen")).select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
+        F.col("r").alias("r_a"), "shingle",
     )
-    inverted = ex.select(F.col("id").alias("id_b"), "shingle")
+    inverted = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"), F.col("r").alias("r_b"), "shingle",
+    )
+    # PPJoin pruning, both lossless (a true pair always survives via its
+    # smallest-ranked common shingle):
+    #   length:   |A∩B| <= |B|            -> need sz_b >= t*sz_a
+    #   position: |A∩B| <= min(sz_a - r_a, sz_b - r_b) + 1 at the first
+    #             common element (all other common elements rank later
+    #             on both sides under the shared global order)
     cand = (
         prefix.join(inverted, "shingle")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("sz_b") >= threshold * F.col("sz_a"))
+            & (F.least(F.col("sz_a") - F.col("r_a"),
+                       F.col("sz_b") - F.col("r_b")) + 1
+               >= threshold * F.col("sz_a"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
