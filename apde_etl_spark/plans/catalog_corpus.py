@@ -620,3 +620,53 @@ def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("n_new_users").cast("long").alias("n_new_users"),
         F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+# ===========================================================================
+# Stream-static join: streaming events enriched with a batch cohort dim
+# ===========================================================================
+
+_STREAM_STATIC_ORACLE = """
+WITH c AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+)
+SELECT time_bucket(INTERVAL '1 day', e.ts) AS window_start,
+       c.cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM events e JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("stream_static_cohort_counts", _STREAM_STATIC_ORACLE)
+def stream_static_cohort_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming event feed joins a batch-derived
+    per-user cohort dimension (first-touch day), then aggregates daily
+    counts per cohort. The static side re-evaluates per micro-batch and
+    broadcasts (it is user-sized, not event-sized); state is bounded by
+    (watermarked windows x cohorts)."""
+    ev_batch = load_events(spark, sf_dir)
+    cohorts = ev_batch.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes)["ts"] == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    joined = src.withWatermark("ts", "2 hours").join(F.broadcast(cohorts), "user_id")
+    counts = (
+        joined.groupBy(F.window("ts", "1 day").alias("win"), "cohort_day")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(F.col("win.start").alias("window_start"), "cohort_day", "count")
+    )
+    name = "stream_static_cohort_counts_sink"
+    q = (
+        counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("window_start", "cohort_day", "count")

@@ -74,3 +74,58 @@ def test_top_k_with_other_preserves_mass_and_caps_labels(spark):
     # proportions sum to 1 per group
     sums = out.groupBy("time_period", "varname").agg(F.sum("proportion").alias("p")).collect()
     assert all(abs(r["p"] - 1.0) < 1e-9 for r in sums)
+
+
+def test_asof_join_matches_bruteforce_on_random_inputs(spark):
+    """asof_join (tagged-union carry-forward) == per-left-row argmax of
+    right rows with ts <= left.ts, broken by (ts, tie) — the definition,
+    computed independently in Python. Randomized keys/timestamps with
+    deliberate collisions."""
+    import datetime
+
+    from apde_etl_spark.operators.temporal import asof_join
+
+    rng = random.Random(99)
+    base = datetime.datetime(2024, 1, 1)
+    t = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    # small second-range forces plenty of equal-ts ties across streams
+    left = [(i, rng.randint(0, 4), t(rng.randint(0, 20)))
+            for i in range(120)]
+    right = [(rng.randint(0, 4), t(rng.randint(0, 20)), 1000 + j)
+             for j in range(80)]
+
+    out = asof_join(
+        spark.createDataFrame(left, ["event_id", "k", "ts"]),
+        spark.createDataFrame(right, ["k", "ts", "rid"]),
+        on="k", right_cols=["rid"], tie_col="rid", suffix="",
+    ).collect()
+    got = {r["event_id"]: r["rid"] for r in out}
+    assert len(out) == len(left)
+
+    for event_id, k, ts in left:
+        cands = [(rts, rid) for (rk, rts, rid) in right
+                 if rk == k and rts <= ts]
+        expect = max(cands)[1] if cands else None
+        assert got[event_id] == expect, (event_id, k, ts, got[event_id], expect)
+
+
+def test_range_join_binned_matches_inequality_join(spark):
+    """Binned equi-join + residual filter == the naive inequality join,
+    on random values and random (possibly overlapping) intervals that do
+    not align with bin boundaries."""
+    from apde_etl_spark.operators.temporal import range_join_binned
+
+    rng = random.Random(31)
+    facts = [(round(rng.uniform(-50, 450), 2),) for _ in range(300)]
+    ivs = []
+    for i in range(12):
+        lo = round(rng.uniform(-60, 400), 2)
+        ivs.append((f"iv{i}", lo, round(lo + rng.uniform(0.5, 180), 2)))
+
+    fdf = spark.createDataFrame(facts, ["value"])
+    idf = spark.createDataFrame(ivs, ["tier", "lo", "hi"])
+    got = sorted((r["value"], r["tier"]) for r in
+                 range_join_binned(fdf, idf, "value", bin_width=37.0).collect())
+    expect = sorted((v, tier) for (v,) in facts for (tier, lo, hi) in ivs
+                    if lo <= v < hi)
+    assert got == expect
