@@ -329,3 +329,62 @@ def scd2_merge(
         F.col("__r.valid_to").alias("valid_to"),
         F.col("__r.is_current").alias("is_current"),
     )
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative integer columns —
+    the clustering key that makes min/max row-group skipping effective
+    on BOTH dimensions at once (sort by this before writing parquet;
+    same idea as Delta OPTIMIZE ZORDER, built from native bitwise ops).
+
+    Each input is truncated to ``bits`` low bits; output bit 2i holds
+    ``col_a`` bit i, bit 2i+1 holds ``col_b`` bit i. Pure projection
+    (shiftright/and/or), no UDF, evaluated inside codegen.
+    """
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    a = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    b = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        out = out.bitwiseOR(F.shiftleft(abit, 2 * i)) \
+                 .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
+    return out
+
+
+def write_zordered_table(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    target_files: int = 8,
+) -> None:
+    """Write parquet clustered by the Z-order key of two columns:
+    repartitionByRange on the key (range partitioning keeps key ranges
+    disjoint across files) then sortWithinPartitions, so every file
+    covers a compact rectangle of (col_a, col_b) space and min/max
+    stats prune on either predicate."""
+    # normalize both dims to the full bit width first: raw interleave of
+    # unequal-width keys degenerates (every top Morton bit comes from the
+    # wider key, so range splits never constrain the narrower one)
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def scaled(c, lo, hi):
+        span = max(hi - lo, 1)
+        return ((F.col(c) - F.lit(lo)).cast("double") * top / span).cast("long")
+
+    key = zorder_key(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b),
+                     bits).alias("__zkey")
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(target_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite").parquet(path)
+    )

@@ -132,3 +132,74 @@ def test_incremental_qa_refresh_matches_full_recompute(spark, tmp_path):
     cols = sorted(want.columns)
     assert set(map(tuple, got.select(*cols).collect())) == \
            set(map(tuple, want.select(*cols).collect()))
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.sources.lifecycle import zorder_key
+
+    def py_morton(a: int, b: int, bits: int = 16) -> int:
+        a &= (1 << bits) - 1
+        b &= (1 << bits) - 1
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rng = random.Random(5)
+    rows = [(rng.randint(0, 1 << 20), rng.randint(0, 1 << 20)) for _ in range(200)]
+    rows += [(0, 0), (65535, 65535), (1, 0), (0, 1)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select("a", "b", zorder_key("a", "b").alias("z")).collect()
+    for r in got:
+        assert r["z"] == py_morton(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zordered_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """After Z-order clustering, a narrow predicate on EITHER key touches
+    a strict subset of files (random layout touches all of them)."""
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.sources.lifecycle import write_zordered_table
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = str(tmp_path / "zli")
+    write_zordered_table(li, path, "l_orderkey", "l_partkey", target_files=8)
+
+    back = spark.read.parquet(path)
+    n_files = back.select(F.input_file_name()).distinct().count()
+    assert n_files >= 4
+
+    ok_max = li.agg(F.max("l_orderkey")).collect()[0][0]
+    pk_max = li.agg(F.max("l_partkey")).collect()[0][0]
+    for col, hi in (("l_orderkey", ok_max), ("l_partkey", pk_max)):
+        touched = (
+            back.filter(F.col(col) <= hi * 0.10)
+            .select(F.input_file_name()).distinct().count()
+        )
+        assert touched < n_files, (col, touched, n_files)
+
+
+def test_hll_sketch_daily_rollup_approximates_exact(spark):
+    """The mergeable-sketch pattern for 100 TB distinct counts: daily
+    HLL sketches union into the period estimate without re-touching the
+    facts; estimate within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.plans.catalog import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
