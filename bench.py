@@ -50,6 +50,8 @@ HEADLINE = [
     "pack_sequences",
     "repetition_gopher_metrics",
     "tfidf_top_terms",
+    "asof_join_purchase_view",
+    "scd2_customer_merge",
 ]
 
 
