@@ -29,45 +29,49 @@ def asof_join(
 
     Algorithm (the scalable one — no per-row subquery, no range
     self-join): tag and union both inputs, then one window pass per key
-    ordered by (ts, tag, tie_col) carrying ``last(right value, ignore
+    ordered by (ts, tag, tie_col) carrying ``last(right row, ignore
     nulls)`` forward; left rows read the carried values. One shuffle on
     the key, state per row is O(carried columns). Ties are broken
     deterministically: right rows sort before left rows at equal
     timestamps (inclusive match), and ``tie_col`` (default: the first
     carried column) totally orders equal-timestamp right rows so the
     result never depends on partitioning.
+
+    Row atomicity: ALL carried right columns are packed into ONE struct
+    and carried with a single ``last(struct, ignorenulls=True)``, so the
+    output row is exactly the latest matching right row — a NULL inside
+    one attribute of that row stays NULL rather than being backfilled
+    from an older right row (which per-column carries would do).
     """
     right_cols = right_cols or [c for c in right.columns
                                 if c not in (on, right_ts)]
     tie = tie_col or right_cols[0]
 
     lt = left.withColumn("__tag", F.lit(1))
+    # One struct per right row: null-free at the struct level (the struct
+    # itself is non-null for right rows, absent for left rows), so
+    # last(ignorenulls) skips left rows but keeps nulls INSIDE the row.
     rt = right.select(
         F.col(on),
-        F.col(right_ts).alias(left_ts) if right_ts != left_ts else F.col(left_ts),
-        *[F.col(c) for c in right_cols],
+        (F.col(right_ts).alias(left_ts) if right_ts != left_ts
+         else F.col(left_ts)),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     ).withColumn("__tag", F.lit(0))
 
-    carried = [f"__r_{c}" for c in right_cols]
-    u = lt.unionByName(
-        rt.select(
-            on, left_ts, "__tag",
-            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        ),
-        allowMissingColumns=True,
-    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    order_cols = [F.col(left_ts).asc(), F.col("__tag").asc()]
+    if len(right_cols) > 0:
+        order_cols.append(F.col("__r")[tie].asc_nulls_first())
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(left_ts).asc(), F.col("__tag").asc(),
-                 F.col(f"__r_{tie}").asc_nulls_first())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in right_cols:
-        u = u.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
     out = u.filter(F.col("__tag") == 1).drop("__tag")
     for c in right_cols:
-        out = out.withColumnRenamed(f"__r_{c}", f"{c}{suffix}")
-    return out
+        out = out.withColumn(f"{c}{suffix}", F.col("__r")[c])
+    return out.drop("__r")
 
 
 def range_join_binned(

@@ -278,8 +278,23 @@ def scd2_merge(
     as an array of structs exploded in the SAME projection, so the join
     runs once (no union-of-branches recomputation) and the whole merge
     is one shuffle per side at any scale.
+
+    ``current`` may be either just the open rows or a FULL SCD2 table:
+    when an ``is_current`` column is present, closed history rows
+    (is_current = false) are split off untouched and only the open rows
+    join the snapshot — so already-closed history is never re-closed or
+    duplicated. Without an ``is_current`` column the input must contain
+    at most one open row per key.
     """
     as_of_col = F.lit(as_of).cast("date")
+    history = None
+    if "is_current" in current.columns:
+        history = current.filter(~F.col("is_current")).select(
+            key, *attrs, "valid_from",
+            F.col("valid_to").cast("date").alias("valid_to"),
+            "is_current",
+        )
+        current = current.filter(F.col("is_current"))
     cur = current.select(
         F.col(key), *[F.col(a).alias(f"__c_{a}") for a in attrs],
         F.col("valid_from").alias("__c_valid_from"),
@@ -322,13 +337,16 @@ def scd2_merge(
         .otherwise(F.array(opened))             # brand new key
     )
     out = j.select(F.col(key), F.explode(rows).alias("__r"))
-    return out.select(
+    merged = out.select(
         key,
         *[F.col(f"__r.{a}").alias(a) for a in attrs],
         F.col("__r.valid_from").alias("valid_from"),
         F.col("__r.valid_to").alias("valid_to"),
         F.col("__r.is_current").alias("is_current"),
     )
+    if history is not None:
+        merged = history.unionByName(merged)
+    return merged
 
 
 def zorder_key(col_a, col_b, bits: int = 16):

@@ -68,17 +68,24 @@ def enforce_error_budget(
 ) -> DataFrame:
     """COPY INTO's MAXERRORS contract (copy_into.R:33,64): tolerate up
     to ``max_errors`` malformed rows, FAIL the load beyond that. One
-    cached pass counts the quarantined rows (Spark requires the cache
-    before filtering on the internal corrupt-record column); survivors
-    return with the quarantine column dropped."""
+    cached pass counts the quarantined rows (Spark disallows a query
+    whose only required column is the internal corrupt-record column
+    unless the source is cached); the cache is released before
+    returning so no executor storage outlives the budget check. The
+    survivors query projects every data column, which IS legal on the
+    raw source, so it recomputes fine uncached."""
     if corrupt_col not in df.columns:
         return df
     df = df.cache()
-    bad = df.filter(F.col(corrupt_col).isNotNull()).count()
-    if bad > max_errors:
-        raise ValueError(
-            f"load exceeded error budget: {bad} malformed rows > max_errors={max_errors}"
-        )
+    try:
+        bad = df.filter(F.col(corrupt_col).isNotNull()).count()
+        if bad > max_errors:
+            raise ValueError(
+                f"load exceeded error budget: {bad} malformed rows"
+                f" > max_errors={max_errors}"
+            )
+    finally:
+        df.unpersist()
     return df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
 
 

@@ -104,6 +104,14 @@ def stream_exact_dedup(
     ``dropDuplicates`` on non-event-time keys would grow state forever).
     On a batch frame the same call site computes plain DISTINCT, which is
     how the oracle checks it.
+
+    Caveat (the price of bounded state): "first time seen" holds only
+    WITHIN the watermark. A key recurring more than ``watermark`` after
+    its last occurrence has had its state evicted and is emitted AGAIN,
+    so the streaming output diverges from the batch DISTINCT oracle on
+    data whose duplicates are spaced wider than the watermark. Size
+    ``watermark`` to the maximum expected duplicate spacing, or use the
+    batch path when exact global dedup is required.
     """
     if df.isStreaming:
         deduped = df.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(

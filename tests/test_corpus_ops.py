@@ -211,6 +211,57 @@ def test_asof_join_inclusive_and_null_when_no_prior(spark):
     assert out[104] is None   # no right rows for this key at all
 
 
+def test_asof_join_carries_right_row_atomically(spark):
+    """A NULL inside a carried attribute of the LATEST matching right
+    row must stay NULL — not be backfilled per-column from an older
+    right row (row-atomic struct carry)."""
+    import datetime
+
+    from apde_etl_spark.operators.temporal import asof_join
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([(1, 7, t(10))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(7, t(1), 201, 5), (7, t(9), 202, None)],
+        "user_id int, ts timestamp, rid int, b int",
+    )
+    out = asof_join(left, right, on="user_id",
+                    right_cols=["rid", "b"], suffix="").collect()
+    assert out[0]["rid"] == 202
+    assert out[0]["b"] is None   # NOT 5 from the older right row
+
+
+def test_scd2_merge_full_table_input_passes_closed_rows_through(spark):
+    """Feeding a FULL SCD2 table (open + closed history rows): closed
+    rows pass through untouched; only open rows merge with the
+    snapshot."""
+    import datetime
+
+    from apde_etl_spark.sources.lifecycle import scd2_merge
+
+    d0, d1 = datetime.date(1994, 1, 1), datetime.date(1995, 1, 1)
+    full = spark.createDataFrame(
+        [
+            (1, "A0", d0, d1, False),    # closed history row for key 1
+            (1, "A1", d1, None, True),   # open row, will change -> close
+            (2, "B", d0, None, True),    # open row, unchanged
+        ],
+        "k int, attr string, valid_from date, valid_to date, is_current boolean",
+    )
+    snap = spark.createDataFrame([(1, "A2"), (2, "B")], ["k", "attr"])
+    out = scd2_merge(full, snap, "k", ["attr"], "1996-01-01")
+    rows = sorted(
+        (r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "A0", "1994-01-01", "1995-01-01", False),   # history untouched
+        (1, "A1", "1995-01-01", "1996-01-01", False),   # open row closed
+        (1, "A2", "1996-01-01", "None", True),          # new open row
+        (2, "B", "1994-01-01", "None", True),           # unchanged
+    ]
+
+
 def test_asof_join_tie_break_is_deterministic(spark):
     import datetime
 
