@@ -44,18 +44,33 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to session-time-zone TIMESTAMP
+    regardless of how the parquet writer encoded it:
+
+    - parquet TIMESTAMP(NANOS) read as bigint (legacy conf) — truncate to
+      micros with integer ``div`` (double division loses precision on
+      1.7e18-scale nano values; 53-bit mantissa);
+    - TIMESTAMP_NTZ — cast to TIMESTAMP (identical wall clock under the
+      UTC session tz, and required by ``withWatermark``, which rejects
+      NTZ event-time columns).
+    """
+    dt = dict(df.dtypes)[ts_col]
+    if dt == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read nanos as long (legacy conf) and truncate to
-    microseconds — exactly what DuckDB does when it reads the same file,
-    so both engines see identical timestamps."""
+    """``events.ts`` has been written as parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects — read nanos as long via the legacy
+    conf) or TIMESTAMP(MICROS) NTZ, depending on the generator version.
+    Either way, normalize to micros TIMESTAMP — exactly what DuckDB sees
+    when it reads the same file, so both engines agree."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        # integer `div`, not `/`: double division loses precision on
-        # 1.7e18-scale nano values (53-bit mantissa)
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _sql_round(expr: str, digits: int) -> str:

@@ -17,7 +17,8 @@ from pyspark.sql.window import Window
 
 from apde_etl_spark.functions.core import round_half_away
 from apde_etl_spark.operators import text as TX
-from apde_etl_spark.plans.catalog import _sql_round, load, load_events, register
+from apde_etl_spark.plans.catalog import (_sql_round, load, load_events,
+                                           normalize_ts, register)
 
 # ===========================================================================
 # Gopher-style repetition metrics (dup-token + top-bigram fractions)
@@ -221,8 +222,7 @@ def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(src.dtypes)["ts"] == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = normalize_ts(src)
     counts = windowed_sliding_counts(
         src, "ts", "event_type", window="1 hour", slide="30 minutes",
         watermark="2 hours",
@@ -655,8 +655,7 @@ def stream_static_cohort_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(src.dtypes)["ts"] == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = normalize_ts(src)
     joined = src.withWatermark("ts", "2 hours").join(F.broadcast(cohorts), "user_id")
     counts = (
         joined.groupBy(F.window("ts", "1 day").alias("win"), "cohort_day")

@@ -785,10 +785,14 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text", n_tok.cast("int").alias("n_tokens"))
 
     w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    # persisted: feeds BOTH the near-dup stage and the final anti-join —
+    # without it the full scan + filter + md5-window shuffle runs twice
+    # (MEMORY_AND_DISK, so at 100 TB the hot partitions spill, not OOM)
     dedup = (
         corpus.withColumn("__min", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("__min"))
         .drop("__min")
+        .persist()
     )
     pairs = SIM.minhash_lsh_pairs(
         dedup, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.2

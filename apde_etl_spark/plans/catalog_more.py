@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from apde_etl_spark.functions.core import round_half_away
-from apde_etl_spark.plans.catalog import _sql_round, load, load_events, register
+from apde_etl_spark.plans.catalog import (_sql_round, load, load_events,
+                                           normalize_ts, register)
 
 # ===========================================================================
 # S1/S2 — full scan and schema-only peek
@@ -596,8 +597,7 @@ def stream_hourly_missingness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(src.dtypes)["ts"] == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = normalize_ts(src)
     src = src.withColumn(
         "value_gated", F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value"))
     )
@@ -892,8 +892,7 @@ def stream_hourly_event_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(src.dtypes)["ts"] == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = normalize_ts(src)
     freq = windowed_categorical_freq(src, "ts", "event_type", window="1 hour",
                                      watermark="2 hours")
     name = "stream_hourly_event_freq_sink"
@@ -934,8 +933,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(src.dtypes)["ts"] == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = normalize_ts(src)
     src = src.withColumn("event_type", F.col("event_type").cast("string"))
     deduped = stream_exact_dedup(src, "ts", ["user_id", "event_type"],
                                  watermark="2 hours")

@@ -16,22 +16,22 @@ from apde_etl_spark.streaming.profile_stream import (
 @pytest.fixture(scope="module")
 def events_batch(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from apde_etl_spark.plans.catalog import normalize_ts
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 @pytest.fixture(scope="module")
 def events_stream(spark, sf_dir, events_batch):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ev = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/")
-    # the sf dir has many tables; restrict by pathGlobFilter instead
+    # the sf dir has many tables; restrict by pathGlobFilter
     ev = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(f"{sf_dir}/")
     )
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from apde_etl_spark.plans.catalog import normalize_ts
+    return normalize_ts(ev)
 
 
 def _run_stream(spark, sdf, name):
@@ -150,8 +150,8 @@ def test_stream_exact_dedup_matches_batch_distinct(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(src.dtypes)["ts"] == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from apde_etl_spark.plans.catalog import normalize_ts
+    src = normalize_ts(src)
     deduped = stream_exact_dedup(src, "ts", ["user_id", "event_type"])
     q = (
         deduped.writeStream.format("memory").queryName("dedup_test_sink")
