@@ -40,8 +40,48 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+#: above this size the source brings enough native splits (or a shuffle
+#: would be too expensive to pay blindly) — skip rebalancing
+_REBALANCE_MAX_BYTES = 1 << 30
+
+
+def ensure_min_parallelism(df: DataFrame, path: str | None = None) -> DataFrame:
+    """Rebalance an under-split source so CPU-heavy map-side work (string
+    metrics, shingling, percentile/sketch partials) uses every core.
+
+    A parquet row group is the unit of split: a table written as one file
+    with one row group scans as ONE task no matter how many executor
+    cores exist, serializing everything upstream of the first exchange.
+    For a small source (< 1 GiB on disk) insert a round-robin repartition
+    to the session's parallelism — the shuffle is pennies next to the
+    serialized map work it unlocks. For a large source the native splits
+    (many files / row groups — the production case) already feed every
+    core, so this is a no-op.
+
+    The size probe is ``os.stat`` on the path — deliberately NOT
+    ``df.rdd.getNumPartitions()``, which forces physical planning plus an
+    RDD conversion round-trip per query (~1s of pure overhead, measured).
+    Column pruning pushes through the repartition, so only the columns
+    the query reads are shuffled."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_REBALANCE"):
+        return df
+    if path is not None:
+        try:
+            if os.stat(path).st_size > _REBALANCE_MAX_BYTES:
+                return df
+        except OSError:
+            return df
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str,
+         rebalance: bool = False) -> DataFrame:
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    return ensure_min_parallelism(df, path) if rebalance else df
 
 
 def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -63,14 +103,17 @@ def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_events(spark: SparkSession, sf_dir: str,
+                rebalance: bool = False) -> DataFrame:
     """``events.ts`` has been written as parquet TIMESTAMP(NANOS) (which
     Spark's vectorized reader rejects — read nanos as long via the legacy
     conf) or TIMESTAMP(MICROS) NTZ, depending on the generator version.
     Either way, normalize to micros TIMESTAMP — exactly what DuckDB sees
     when it reads the same file, so both engines agree."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    path = f"{sf_dir}/events.parquet"
+    ev = normalize_ts(spark.read.parquet(path))
+    return ensure_min_parallelism(ev, path) if rebalance else ev
 
 
 def _sql_round(expr: str, digits: int) -> str:
