@@ -1,0 +1,271 @@
+"""Round-2 extension entries: privacy-preserving anonymization,
+C4-style boilerplate removal, a true stream-stream interval join, and
+temperature-based source mixture weights.
+
+The anonymization family is on-theme for the reference (a public-health
+ETL toolkit: PHI never leaves the warehouse unmasked); the rest extend
+the training-data pipeline surface (SURVEY.md §7.1 step 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apde_etl_spark.functions.core import round_half_away
+from apde_etl_spark.plans.catalog import (_sql_round, load, load_events,
+                                          normalize_ts, register)
+
+# ===========================================================================
+# Anonymization — pseudonymize + generalize + k-anonymity suppression
+# ===========================================================================
+
+_KANON_ORACLE = """
+WITH b AS (
+  SELECT c_custkey, sha256(c_name) AS pseudonym, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) * 1000 AS INTEGER) AS bal_band
+  FROM customer
+), g AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band) AS BIGINT) AS group_n
+  FROM b
+)
+SELECT c_custkey, pseudonym, c_nationkey, c_mktsegment, bal_band, group_n,
+       group_n < 5 AS suppressed
+FROM g
+"""
+
+
+@register("anonymize_kanon_customers", _KANON_ORACLE)
+def anonymize_kanon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy pipeline over a person-level dimension: deterministic
+    pseudonym (SHA-256 of the identifying name — same releases join,
+    nothing reverses), quasi-identifier generalization (account balance
+    -> 1000-wide band), and a k-anonymity audit: every row carries its
+    (nation, segment, band) equivalence-class size, and classes smaller
+    than k=5 are flagged for suppression.
+
+    Scale shape: one hash-window over the quasi-identifier tuple — the
+    shuffle key IS the equivalence class, so class-size counting is one
+    exchange; the hash and banding are scan-stage projections. Mirrors
+    what the reference's PHI handling would need on Spark (its tables
+    live behind SQL Server RLS; here masking is an operator)."""
+    cust = load(spark, sf_dir, "customer")
+    band = (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("int")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+    return (
+        cust.select(
+            "c_custkey",
+            F.sha2(F.col("c_name"), 256).alias("pseudonym"),
+            "c_nationkey",
+            "c_mktsegment",
+            band.alias("bal_band"),
+        )
+        .withColumn("group_n", F.count(F.lit(1)).over(w))
+        .withColumn("suppressed", F.col("group_n") < 5)
+    )
+
+
+# ===========================================================================
+# C4-style boilerplate segment removal (cross-document repeated spans)
+# ===========================================================================
+
+_SEG_K = 4          # tokens per segment
+_SEG_MIN_DOCS = 3   # a segment in >= this many docs is boilerplate
+
+_BOILER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), seg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(FLOOR(len(toks) / {_SEG_K}) AS BIGINT)),
+                i -> array_to_string(toks[CAST(i * {_SEG_K} + 1 AS INTEGER):CAST(i * {_SEG_K} + {_SEG_K} AS INTEGER)], ' '))) AS seg
+  FROM t
+), boiler AS (
+  SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM seg GROUP BY seg)
+  WHERE n_docs >= {_SEG_MIN_DOCS}
+), perdoc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS INTEGER) AS n_segments,
+         CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_boilerplate
+  FROM seg s LEFT JOIN boiler b USING (seg) GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       COALESCE(p.n_segments, 0) AS n_segments,
+       COALESCE(p.n_boilerplate, 0) AS n_boilerplate,
+       CAST(len(toks) - {_SEG_K} * COALESCE(p.n_boilerplate, 0) AS INTEGER) AS n_clean_tokens
+FROM t LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+@register("boilerplate_segment_dedup", _BOILER_ORACLE)
+def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal, the C4/CCNet move: chunk every
+    document into fixed {_SEG_K}-token segments, count how many distinct
+    documents each segment appears in, call a segment boilerplate when it
+    recurs in >= {_SEG_MIN_DOCS} docs (headers, footers, license blocks,
+    templated spans), and report per-doc how many tokens survive.
+
+    Scale shape: the corpus-wide shuffle carries (segment, doc_id) pairs
+    with map-side partial aggregation; the boilerplate set — tiny
+    relative to the corpus by construction — broadcasts back for the
+    per-doc count, and the final per-doc aggregation keys on doc_id.
+    Document bodies never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nseg = F.floor(F.size(toks) / _SEG_K).cast("int")
+    segs = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * _SEG_K + 1, _SEG_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select(
+        "doc_id", F.size(toks).cast("int").alias("n_tokens"), segs.alias("segs")
+    )
+    seg = base.select("doc_id", F.explode("segs").alias("seg"))
+    boiler = (
+        seg.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= _SEG_MIN_DOCS)
+        .select("seg")
+    )
+    perdoc = (
+        seg.join(F.broadcast(boiler.withColumn("__b", F.lit(1))), "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+            F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0)).cast("int").alias("n_boilerplate"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+            (F.col("n_tokens") - _SEG_K * F.coalesce("n_boilerplate", F.lit(0)))
+            .cast("int")
+            .alias("n_clean_tokens"),
+        )
+    )
+
+
+# ===========================================================================
+# Stream-stream interval join (view -> purchase attribution window)
+# ===========================================================================
+
+_SS_JOIN_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
+@register("stream_stream_interval_join", _SS_JOIN_ORACLE)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-stream join — the attribution classic: every purchase
+    joined to the views by the same user in the preceding hour. Both
+    sides are watermarked streams; the event-time range condition bounds
+    the join state (views older than watermark + 1h are evicted), so
+    state is O(events per user-hour), not O(stream).
+
+    Runs as a real two-source Structured Streaming query (file source x2
+    -> interval inner join -> availableNow -> memory sink); the batch
+    self-join is the oracle. Inner-join semantics are replay-exact: no
+    emitted row depends on watermark timing, only state eviction does."""
+    load_events(spark, sf_dir)  # sets nanosAsLong conf for the schema read
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        src = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return normalize_ts(src)
+
+    views = (
+        stream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.col("p_ts").alias("purchase_ts"),
+    )
+    name = "stream_stream_interval_join_sink"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "view_id", "purchase_id", "purchase_ts")
+
+
+# ===========================================================================
+# Temperature-based source mixture weights (multilingual-style sampling)
+# ===========================================================================
+
+_TEMP_ALPHA = 0.5
+
+_TEMP_MIX_ORACLE = f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       {_sql_round('n_docs / SUM(n_docs) OVER ()', 6)} AS raw_share,
+       {_sql_round(f'POW(n_docs, {_TEMP_ALPHA}) / SUM(POW(n_docs, {_TEMP_ALPHA})) OVER ()', 6)} AS temp_weight
+FROM s
+"""
+
+
+@register("temperature_source_mixture", _TEMP_MIX_ORACLE)
+def temperature_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened sampling weights per source (alpha = 0.5):
+    the standard move for rebalancing a multi-source corpus so
+    low-resource sources are up-sampled without drowning the head.
+    w_s = n_s^alpha / sum(n_s^alpha), next to the raw share for
+    comparison. One count-by-source aggregate; the normalizing window is
+    over the per-source aggregate (sources, not documents)."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    pw = F.pow(F.col("n_docs"), F.lit(_TEMP_ALPHA))
+    return per.select(
+        "source",
+        "n_docs",
+        round_half_away(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("raw_share"),
+        round_half_away(pw / F.sum(pw).over(w), 6).alias("temp_weight"),
+    )
