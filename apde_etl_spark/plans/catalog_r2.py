@@ -235,6 +235,96 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Streaming upsert sink — foreachBatch merge into a keyed state table
+# ===========================================================================
+
+_FB_UPSERT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), cnt AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id
+)
+SELECT r.user_id, r.event_type AS last_event_type, r.ts AS last_ts, c.n_events
+FROM ranked r JOIN cnt c USING (user_id)
+WHERE rn = 1
+"""
+
+
+def run_foreachbatch_upsert(src: DataFrame, workdir: str) -> DataFrame:
+    """Run the foreachBatch upsert over any streaming source: each
+    micro-batch reduces to one row per user (count + max event struct),
+    merges with the existing state table by re-aggregating the union —
+    an associative merge, so the result is identical however the stream
+    is micro-batched — and atomically replaces the target directory
+    (stage-then-swap; at scale the same shape is a Delta/Iceberg MERGE
+    INTO instead of rewrite-all)."""
+    spark = src.sparkSession
+    target = f"{workdir}/state"
+    ckpt = f"{workdir}/ckpt"
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spk = batch_df.sparkSession
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("latest"),
+        )
+        try:
+            existing = spk.read.parquet(target)
+            part = (
+                existing.unionByName(part)
+                .groupBy("user_id")
+                .agg(F.sum("n_events").alias("n_events"), F.max("latest").alias("latest"))
+            )
+        except Exception:
+            pass  # first batch: no state yet
+        import os
+        import shutil
+
+        staged = f"{workdir}/state_epoch{epoch_id}"
+        part.write.mode("overwrite").parquet(staged)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(staged, target)
+
+    q = (
+        src.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("latest.event_type").alias("last_event_type"),
+        F.col("latest.ts").alias("last_ts"),
+        "n_events",
+    )
+
+
+@register("stream_foreachbatch_upsert", _FB_UPSERT_ORACLE)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming-sink pattern the built-in sinks don't
+    cover: ``foreachBatch`` upserting a keyed state table (per-user
+    latest event + lifetime event count) in a lake directory — see
+    :func:`run_foreachbatch_upsert` for the merge contract. The batch
+    latest-per-user + count query is the oracle;
+    tests/test_r2_ops.py proves micro-batch invariance by replaying the
+    same events one file per batch."""
+    import tempfile
+
+    load_events(spark, sf_dir)  # sets nanosAsLong conf for the schema read
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = normalize_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return run_foreachbatch_upsert(src, tempfile.mkdtemp(prefix="fb_upsert_"))
+
+
+# ===========================================================================
 # Temperature-based source mixture weights (multilingual-style sampling)
 # ===========================================================================
 

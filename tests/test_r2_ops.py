@@ -96,6 +96,49 @@ def test_temperature_weights_flatten_the_mixture(spark, sf_dir):
         assert tail["temp_weight"] > tail["raw_share"] - 1e-9
 
 
+def test_foreachbatch_upsert_is_microbatch_invariant(spark, tmp_path):
+    """Split the same events across two files and force one-file
+    micro-batches: the upsert target must equal the single-pass batch
+    answer — the associative-merge property the sink's docstring
+    promises."""
+    import datetime
+
+    from apde_etl_spark.plans.catalog_r2 import run_foreachbatch_upsert
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), i % 5, ["view", "purchase"][i % 2], float(i), "{}")
+        for i in range(40)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    df = spark.createDataFrame(rows, schema)
+    src_dir = str(tmp_path / "ev")
+    df.filter(F.col("event_id") < 20).coalesce(1).write.mode("append").parquet(src_dir)
+    df.filter(F.col("event_id") >= 20).coalesce(1).write.mode("append").parquet(src_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force one file per micro-batch
+        .parquet(src_dir)
+    )
+    got = run_foreachbatch_upsert(src, str(tmp_path / "fb"))
+
+    expected = (
+        df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("latest"),
+        )
+        .select(
+            "user_id",
+            F.col("latest.event_type").alias("last_event_type"),
+            F.col("latest.ts").alias("last_ts"),
+            "n_events",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
 @pytest.mark.parametrize("k", [2, 5])
 def test_kanon_threshold_is_parametric_in_spirit(spark, sf_dir, k):
     # the suppression rule is group_n < 5 in the entry; re-derive the
