@@ -52,6 +52,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "asof_join_purchase_view",
     "scd2_customer_merge",
+    "boilerplate_segment_dedup",
+    "anonymize_kanon_customers",
 ]
 
 
