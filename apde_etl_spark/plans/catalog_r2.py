@@ -325,6 +325,57 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Custom Python Data Source (Spark 4) — registered function-sourced scan
+# ===========================================================================
+
+_PYDS_ROWS = 20000
+
+_PYDS_ORACLE = f"""
+WITH g AS (
+  SELECT i, md5(CAST(i AS VARCHAR)) AS h FROM range(0, {_PYDS_ROWS}) t(i)
+), e AS (
+  SELECT i AS event_id,
+         (['view', 'purchase', 'signup', 'error'])[(CAST(concat('0x', substr(h, 1, 2)) AS INTEGER) % 4) + 1] AS event_type,
+         CAST(CAST(concat('0x', substr(h, 3, 8)) AS BIGINT) % 10000 AS BIGINT) AS value_cents
+  FROM g
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+       CAST(MIN(event_id) AS BIGINT) AS first_id
+FROM e GROUP BY event_type
+"""
+
+
+@register("pyds_synthetic_events_agg", _PYDS_ORACLE)
+def pyds_synthetic_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S8 modernized: the reference dispatches to a named R
+    data-access function at plan time
+    (getFromNamespace(...), R/etl_qa_run_pipeline.R:856-861); here the
+    function source is a REGISTERED Spark data source (Python Data
+    Source API) — ``spark.read.format("apde_synthetic_events")`` plans
+    partitioned parallel reads on executors, with no driver-side
+    materialization. Rows derive deterministically from md5(row index),
+    so DuckDB reproduces the whole table from ``range()`` with the same
+    arithmetic — proving the connector feeds the engine byte-identical
+    data. Sums aggregate integral cents, so no float-order concerns."""
+    from apde_etl_spark.sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("apde_synthetic_events")
+        .option("rows", str(_PYDS_ROWS))
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("total_cents"),
+        F.min("event_id").alias("first_id"),
+    )
+
+
+# ===========================================================================
 # Temperature-based source mixture weights (multilingual-style sampling)
 # ===========================================================================
 

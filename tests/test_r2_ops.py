@@ -139,6 +139,29 @@ def test_foreachbatch_upsert_is_microbatch_invariant(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
 
 
+def test_pyds_source_partitions_and_determinism(spark):
+    from apde_etl_spark.sources.pydatasource import register_synthetic_source, synth_row
+
+    register_synthetic_source(spark)
+
+    def read(parts):
+        return (
+            spark.read.format("apde_synthetic_events")
+            .option("rows", "1000")
+            .option("partitions", str(parts))
+            .load()
+        )
+
+    df8 = read(8)
+    # the source plans one task per declared partition
+    assert df8.rdd.getNumPartitions() == 8
+    rows8 = sorted(map(tuple, df8.collect()))
+    rows3 = sorted(map(tuple, read(3).collect()))
+    assert rows8 == rows3  # partitioning never changes content
+    assert len(rows8) == 1000
+    assert rows8[7] == synth_row(7)  # executor rows match the driver formula
+
+
 @pytest.mark.parametrize("k", [2, 5])
 def test_kanon_threshold_is_parametric_in_spirit(spark, sf_dir, k):
     # the suppression rule is group_n < 5 in the entry; re-derive the
