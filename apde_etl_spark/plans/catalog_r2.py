@@ -325,6 +325,40 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# CUBE grouping sets (all 2^k subtotal combinations)
+# ===========================================================================
+
+_CUBE_ORACLE = """
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INTEGER) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY CUBE(event_type, CAST(ts AS DATE))
+"""
+
+
+@register("cube_event_day_counts", _CUBE_ORACLE)
+def cube_event_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four subtotal combinations in one
+    pass (per-cell, per-type, per-day, grand total), with grouping_id
+    disambiguating subtotal NULLs from data NULLs — the full grouping-set
+    family next to the ROLLUP entry. One Expand + one hash aggregate;
+    shuffle rows ~= cells x 4, not raw rows, thanks to map-side partial
+    aggregation."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .cube("event_type", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "day", "gid", "n")
+    )
+
+
+# ===========================================================================
 # Custom Python Data Source (Spark 4) — registered function-sourced scan
 # ===========================================================================
 
@@ -372,6 +406,75 @@ def pyds_synthetic_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value_cents").alias("total_cents"),
         F.min("event_id").alias("first_id"),
+    )
+
+
+# ===========================================================================
+# Custom streaming source — offset-managed micro-batches with resume
+# ===========================================================================
+
+_PYDS_STREAM_ROWS = 2000
+
+_PYDS_STREAM_ORACLE = f"""
+WITH g AS (
+  SELECT i, md5(CAST(i AS VARCHAR)) AS h FROM range(0, {_PYDS_STREAM_ROWS}) t(i)
+), e AS (
+  SELECT i AS event_id,
+         (['view', 'purchase', 'signup', 'error'])[(CAST(concat('0x', substr(h, 1, 2)) AS INTEGER) % 4) + 1] AS event_type,
+         CAST(CAST(concat('0x', substr(h, 3, 8)) AS BIGINT) % 10000 AS BIGINT) AS value_cents
+  FROM g
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS total_cents
+FROM e GROUP BY event_type
+"""
+
+
+@register("pyds_stream_resume_agg", _PYDS_STREAM_ORACLE)
+def pyds_stream_resume_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source (Python Data Source API simple stream
+    reader) driven to completion across restarts: offsets are row
+    indices; each availableNow run processes one prefetched micro-batch
+    into a durable parquet sink, then the next run resumes from the
+    committed checkpoint offset. The loop IS the demonstration —
+    exactly-once across query restarts, no row lost or doubled — and
+    the oracle regenerates the full table from the same md5 formula, so
+    the hash check proves it."""
+    import tempfile
+
+    from apde_etl_spark.sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    workdir = tempfile.mkdtemp(prefix="pyds_stream_")
+    out, ckpt = f"{workdir}/out", f"{workdir}/ckpt"
+    src = (
+        spark.readStream.format("apde_synthetic_events")
+        .option("rows", str(_PYDS_STREAM_ROWS))
+        .option("batchRows", "500")
+        .load()
+    )
+    for _ in range(16):  # 2000 rows / 500 per batch -> 4 runs + slack
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            if spark.read.parquet(out).count() >= _PYDS_STREAM_ROWS:
+                break
+        except Exception:
+            continue  # first run produced no files yet
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("total_cents"),
+        )
     )
 
 

@@ -18,7 +18,9 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 
 #: event-type alphabet, indexed by hash byte
 EVENT_TYPES = ("view", "purchase", "signup", "error")
@@ -74,6 +76,33 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source: offsets are plain row indices,
+    each micro-batch emits the next ``batch_rows`` rows of the identical
+    deterministic sequence (so the streamed table content equals the
+    batch read — the unified-API oracle). ``readBetweenOffsets`` replays
+    a committed range exactly, which is what checkpoint recovery
+    requires of a source."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", "1000"))
+        self.batch_rows = int(options.get("batchRows", "250"))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        lo = start["index"]
+        hi = min(lo + self.batch_rows, self.rows)
+        return iter([synth_row(i) for i in range(lo, hi)]), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_row(i) for i in range(start["index"], end["index"])])
 
 
 def register_synthetic_source(spark) -> None:
