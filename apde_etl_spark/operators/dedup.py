@@ -102,15 +102,21 @@ def connected_components(
     driver headroom, while the distributed loop remains the fallback for
     genuinely huge duplicate graphs.
     """
+    # NULL endpoints carry no connectivity (the distributed path's joins
+    # would drop them); filter once so both paths agree.
+    pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
+
     # Fast-path probe: ONE job, no shuffle — union-find is insensitive to
     # duplicate or directed edges, so the raw pair list is collected as-is
-    # (limit thr+1 detects overflow without a separate count job).
-    probe = (
+    # (limit thr+1 detects overflow without a separate count job). Arrow
+    # transfer keeps 2M edges at ~32 MB of packed ints on the driver, not
+    # hundreds of MB of Row objects.
+    probe_tbl = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .limit(driver_edge_threshold + 1)
-        .collect()
+        .toArrow()
     )
-    if len(probe) <= driver_edge_threshold:
+    if probe_tbl.num_rows <= driver_edge_threshold:
         parent: dict = {}
 
         def find(x):
@@ -121,7 +127,9 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for a, b in probe:
+        for a, b in zip(
+            probe_tbl.column("src").to_pylist(), probe_tbl.column("dst").to_pylist()
+        ):
             if a not in parent:
                 parent[a] = a
             if b not in parent:

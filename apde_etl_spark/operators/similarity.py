@@ -152,6 +152,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.2,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with exact
     Jaccard: shingle -> sign -> band -> bucket self-join -> verify.
@@ -161,7 +162,12 @@ def minhash_lsh_pairs(
     bounded by bucket sizes, AQE splits skewed buckets); candidate pairs
     are distinct'd before the exact-Jaccard verification join so each
     pair is verified once.
-    """
+
+    ``materialize=True`` eagerly computes the (small) verified pair list
+    via ``localCheckpoint`` and releases the internal shingle cache
+    before returning — for pipeline compositions that hold the session
+    long after consuming the pairs. Default off: lazy callers keep the
+    cache alive until their own first action."""
     rows = num_hashes // bands
     base = (
         df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh"))
@@ -191,6 +197,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+    if materialize:
+        verified = verified.localCheckpoint(eager=True)
+        base.unpersist()
     return verified
 
 

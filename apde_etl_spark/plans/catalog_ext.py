@@ -564,7 +564,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pairs = SIM.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16,
-                                  bands=4, threshold=0.2)
+                                  bands=4, threshold=0.2, materialize=True)
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("id").alias("doc_id"), "component")
 
@@ -712,7 +712,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pairs = SIM.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16,
-                                  bands=4, threshold=0.2)
+                                  bands=4, threshold=0.2, materialize=True)
     comp = connected_components(pairs, "id_a", "id_b")
     drop = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
@@ -795,7 +795,8 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     pairs = SIM.minhash_lsh_pairs(
-        dedup, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.2
+        dedup, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.2,
+        materialize=True,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     drop = comp.filter(F.col("id") != F.col("component")).select(
@@ -803,11 +804,18 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = dedup.join(F.broadcast(drop), "doc_id", "left_anti")
     bucket = hash60(F.col("doc_id").cast("string")) % 1000
-    return final.select(
+    result = final.select(
         "doc_id",
         "n_tokens",
         F.when(bucket < 50, F.lit("holdout")).otherwise(F.lit("train")).alias("split"),
     )
+    # materialize the (tiny: ids + split tags) result eagerly so the
+    # corpus-sized dedup cache can be RELEASED before returning — without
+    # this every invocation pins a deduped-corpus copy for the session
+    # lifetime (the enforce_error_budget leak class, fixed in round 1)
+    result = result.localCheckpoint(eager=True)
+    dedup.unpersist()
+    return result
 
 
 # ===========================================================================

@@ -182,7 +182,8 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> interval inner join -> availableNow -> memory sink); the batch
     self-join is the oracle. Inner-join semantics are replay-exact: no
     emitted row depends on watermark timing, only state eviction does."""
-    load_events(spark, sf_dir)  # sets nanosAsLong conf for the schema read
+    # TIMESTAMP(NANOS) parquet needs the legacy conf before the schema read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def stream():
@@ -254,39 +255,59 @@ WHERE rn = 1
 
 def run_foreachbatch_upsert(src: DataFrame, workdir: str) -> DataFrame:
     """Run the foreachBatch upsert over any streaming source: each
-    micro-batch reduces to one row per user (count + max event struct),
-    merges with the existing state table by re-aggregating the union —
-    an associative merge, so the result is identical however the stream
-    is micro-batched — and atomically replaces the target directory
-    (stage-then-swap; at scale the same shape is a Delta/Iceberg MERGE
-    INTO instead of rewrite-all)."""
+    micro-batch reduces to one row per user (count + max event struct)
+    and merges with the existing state table by re-aggregating the union
+    — an associative merge, so the result is identical however the
+    stream is micro-batched.
+
+    foreachBatch is at-least-once, so the sink supplies the missing
+    idempotence itself: every state version records the epoch that
+    produced it (an ``_applied_epoch`` marker — underscore files are
+    invisible to the parquet reader), and a replayed epoch <= the marker
+    is skipped instead of double-counted. The swap renames the live
+    state aside before renaming the staged version in (two renames, no
+    delete-then-rename window that could drop the table), then removes
+    the old version. At scale the same shape is a Delta/Iceberg MERGE
+    INTO, which supplies the versioned-swap + idempotence for free."""
+    import os
+
     spark = src.sparkSession
     target = f"{workdir}/state"
     ckpt = f"{workdir}/ckpt"
 
+    def applied_epoch() -> int:
+        try:
+            with open(f"{target}/_applied_epoch") as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
+
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= applied_epoch():
+            return  # replayed epoch: already folded into the state
         spk = batch_df.sparkSession
         part = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.max(F.struct("ts", "event_id", "event_type")).alias("latest"),
         )
-        try:
+        if os.path.exists(target):
             existing = spk.read.parquet(target)
             part = (
                 existing.unionByName(part)
                 .groupBy("user_id")
                 .agg(F.sum("n_events").alias("n_events"), F.max("latest").alias("latest"))
             )
-        except Exception:
-            pass  # first batch: no state yet
-        import os
-        import shutil
-
         staged = f"{workdir}/state_epoch{epoch_id}"
         part.write.mode("overwrite").parquet(staged)
+        with open(f"{staged}/_applied_epoch", "w") as fh:
+            fh.write(str(epoch_id))
+        import shutil
+
+        old = f"{workdir}/state_old_{epoch_id}"
         if os.path.exists(target):
-            shutil.rmtree(target)
+            os.rename(target, old)
         os.rename(staged, target)
+        shutil.rmtree(old, ignore_errors=True)
 
     q = (
         src.writeStream.foreachBatch(merge_batch)
@@ -312,16 +333,21 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-per-user + count query is the oracle;
     tests/test_r2_ops.py proves micro-batch invariance by replaying the
     same events one file per batch."""
+    import atexit
+    import shutil
     import tempfile
 
-    load_events(spark, sf_dir)  # sets nanosAsLong conf for the schema read
+    # TIMESTAMP(NANOS) parquet needs the legacy conf before the schema read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = normalize_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return run_foreachbatch_upsert(src, tempfile.mkdtemp(prefix="fb_upsert_"))
+    workdir = tempfile.mkdtemp(prefix="fb_upsert_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return run_foreachbatch_upsert(src, workdir)
 
 
 # ===========================================================================
@@ -447,6 +473,10 @@ def pyds_stream_resume_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_synthetic_source(spark)
     workdir = tempfile.mkdtemp(prefix="pyds_stream_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     out, ckpt = f"{workdir}/out", f"{workdir}/ckpt"
     src = (
         spark.readStream.format("apde_synthetic_events")

@@ -160,12 +160,3 @@ def test_pyds_source_partitions_and_determinism(spark):
     assert rows8 == rows3  # partitioning never changes content
     assert len(rows8) == 1000
     assert rows8[7] == synth_row(7)  # executor rows match the driver formula
-
-
-@pytest.mark.parametrize("k", [2, 5])
-def test_kanon_threshold_is_parametric_in_spirit(spark, sf_dir, k):
-    # the suppression rule is group_n < 5 in the entry; re-derive the
-    # flag at other k from group_n to confirm the audit column composes
-    out = anonymize_kanon_customers(spark, sf_dir)
-    n_bad = out.filter((F.col("group_n") < k) != (F.col("group_n") < F.lit(k))).count()
-    assert n_bad == 0
