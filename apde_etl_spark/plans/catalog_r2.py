@@ -351,6 +351,71 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Variant semi-structured extraction (Spark 4 VariantType)
+# ===========================================================================
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("variant_props_stats", _VARIANT_ORACLE)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through VariantType (Spark 4): the JSON
+    props column parses ONCE into the binary variant encoding, and typed
+    path extraction (``try_variant_get``) runs on that — at scale this
+    beats per-expression ``get_json_object`` re-parsing, and unlike a
+    fixed struct schema it tolerates heterogeneous/evolving payloads.
+    DuckDB's json_extract is the oracle."""
+    ev = load_events(spark, sf_dir).filter(F.col("props").isNotNull())
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+# ===========================================================================
+# LATERAL correlated subquery (top-1-per-group via decorrelation)
+# ===========================================================================
+
+_LATERAL_SQL = """
+SELECT n.n_name, s.c_custkey AS top_custkey, s.c_acctbal AS top_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 1
+) s
+"""
+
+
+@register("lateral_top_customer_per_nation", _LATERAL_SQL)
+def lateral_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — top customer per nation written as
+    the SQL-standard per-row subquery; Catalyst decorrelates it into a
+    join + windowed top-1 rather than executing per-nation loops (the
+    same physical plan the DataFrame window recipe produces). The
+    identical SQL text runs on DuckDB as the oracle — the cross-engine
+    SQL-surface check."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ===========================================================================
 # CUBE grouping sets (all 2^k subtotal combinations)
 # ===========================================================================
 
