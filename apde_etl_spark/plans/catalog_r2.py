@@ -351,6 +351,42 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Multimodal resize stage (Arrow-batched binary in -> binary out)
+# ===========================================================================
+
+_MM_RESIZE_ORACLE = """
+SELECT doc_id,
+       hex('64x64:'::BLOB || unhex(md5(text))) AS resized_hex,
+       CAST(64 AS INTEGER) AS width,
+       CAST(64 AS INTEGER) AS height
+FROM documents
+"""
+
+
+@register("mm_image_resize", _MM_RESIZE_ORACLE)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: Arrow-batched mapInPandas binary->binary
+    transform setting target dims (real codec stubbed per container
+    constraints; the deterministic fake keeps md5 lineage). No shuffle —
+    the stage pipelines directly after the scan at corpus scale. The
+    oracle regenerates the fake's exact bytes in SQL, so the whole Arrow
+    round-trip is value-hash-checked like the decode stages."""
+    from apde_etl_spark.operators.multimodal import (
+        deterministic_fake_resizer,
+        resize_images,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    resized = resize_images(docs, "content", target_w=64, target_h=64,
+                            resizer=deterministic_fake_resizer)
+    return resized.select(
+        "doc_id", F.hex("content").alias("resized_hex"), "width", "height"
+    )
+
+
+# ===========================================================================
 # Variant semi-structured extraction (Spark 4 VariantType)
 # ===========================================================================
 
