@@ -129,3 +129,46 @@ def test_range_join_binned_matches_inequality_join(spark):
     expect = sorted((v, tier) for (v,) in facts for (tier, lo, hi) in ivs
                     if lo <= v < hi)
     assert got == expect
+
+
+def test_connected_components_both_paths_match_bruteforce(spark):
+    """Random edge lists through BOTH implementations — the driver
+    union-find fast path and the distributed min-label loop (forced via
+    driver_edge_threshold=0) — must produce the brute-force transitive
+    closure's min-reachable label for every node."""
+    from apde_etl_spark.operators.dedup import connected_components
+
+    rng = random.Random(98104)
+    for trial in range(3):
+        n_nodes = rng.randint(5, 40)
+        n_edges = rng.randint(3, 60)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        # brute force: adjacency + BFS per node over the undirected graph
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expected = {}
+        for start in adj:
+            seen, stack = {start}, [start]
+            while stack:
+                x = stack.pop()
+                for y in adj.get(x, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            expected[start] = min(seen)
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        dist = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, driver_edge_threshold=0).collect()
+        }
+        assert fast == expected, f"fast path diverged (trial {trial})"
+        assert dist == expected, f"distributed path diverged (trial {trial})"
