@@ -1,0 +1,181 @@
+"""Scale stress: drive the heavy operators at 10-20x the bench scale
+factor on generated-in-place data, proving the plans hold past sf0.1
+(the "would this survive a scale-up?" check, with numbers).
+
+Generates synthetic tables in /tmp with pure Spark expressions (no
+Python row loop, no driver materialization):
+
+- ``documents_big``: N unique docs, ~60 tokens each from a 40-word
+  vocabulary (hash-derived, deterministic), plus a 1% exact-duplicate
+  tail and a 0.5% near-duplicate tail so the dedup path has real work.
+- ``lineitem_big``: M rows with 7 ship years, 4 return flags, skewed
+  numeric columns and nulls, for the fused QA profile.
+
+Then times, at that scale: the fused combined profile (missingness +
+stats + exact medians + HLL gate), categorical frequency + top-8,
+MinHash near-dup pairs + clustering, boilerplate segment removal, and
+the full corpus pipeline. Prints one JSON line.
+
+Usage: python tools/scale_stress.py [n_docs] [n_lineitem]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark line "
+    "sort window column join small customer query big the data group filter "
+    "vector stream order a an of to in on with for and or"
+).split()
+
+
+def gen_documents(spark, n_docs: int, path: str) -> None:
+    from pyspark.sql import functions as F
+
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    n_tok = (F.pmod(F.hash(F.col("id") * 7919), 41) + 30).alias("n_tok")
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), n_tok),
+                lambda i: F.element_at(
+                    vocab, F.pmod(F.hash(F.col("doc_id") * 104729 + i), len(VOCAB)) + 1
+                ),
+            ),
+        ).alias("text"),
+        F.concat(F.lit("src"), F.pmod(F.col("id"), 20).cast("string")).alias("source"),
+        F.lit("en").alias("lang"),
+    )
+    # 1% exact duplicates + 0.5% near duplicates (same text, one token
+    # appended) with fresh ids after the unique range
+    dup = base.filter(F.pmod("doc_id", 100) == 0).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"), "text", "source", "lang"
+    )
+    near = base.filter(F.pmod("doc_id", 200) == 0).select(
+        (F.col("doc_id") + 2 * n_docs).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+        "source",
+        "lang",
+    )
+    full = base.unionByName(dup).unionByName(near)
+    full.write.mode("overwrite").parquet(path)
+
+
+def gen_lineitem(spark, n_rows: int, path: str) -> None:
+    from pyspark.sql import functions as F
+
+    spark.range(n_rows).select(
+        F.col("id").alias("l_orderkey"),
+        F.pmod(F.hash("id"), 200000).cast("long").alias("l_partkey"),
+        (F.pmod(F.hash(F.col("id") * 31), 2500) / 100.0 + 1.0).alias("l_quantity"),
+        (F.pmod(F.hash(F.col("id") * 37), 900000) / 10.0 + 900.0).alias("l_extendedprice"),
+        (F.pmod(F.hash(F.col("id") * 41), 11) / 100.0).alias("l_discount"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("N"), F.lit("R")), F.pmod(F.hash(F.col("id") * 43), 3) + 1
+        ).alias("l_returnflag"),
+        F.when(F.pmod(F.hash(F.col("id") * 47), 50) == 0, None)
+        .otherwise(F.element_at(F.array(F.lit("O"), F.lit("F")), F.pmod(F.hash(F.col("id") * 53), 2) + 1))
+        .alias("l_linestatus"),
+        F.date_add(
+            F.lit("1992-01-01").cast("date"), F.pmod(F.hash(F.col("id") * 59), 2520)
+        ).alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators import profile as P
+    from apde_etl_spark.operators import similarity as SIM
+    from apde_etl_spark.operators import text as TX
+    from apde_etl_spark.operators.dedup import connected_components
+    from apde_etl_spark.session import get_spark
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_li = int(sys.argv[2]) if len(sys.argv) > 2 else 6_000_000
+    spark = get_spark("scale-stress")
+    work = tempfile.mkdtemp(prefix="scale_stress_")
+    t: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    gen_documents(spark, n_docs, f"{work}/documents.parquet")
+    gen_lineitem(spark, n_li, f"{work}/lineitem.parquet")
+    t["generate"] = round(time.perf_counter() - t0, 2)
+
+    docs = spark.read.parquet(f"{work}/documents.parquet")
+    li = spark.read.parquet(f"{work}/lineitem.parquet")
+
+    # fused QA profile at n_li rows
+    t0 = time.perf_counter()
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
+            "l_linestatus", "l_shipdate"]
+    base = li.select(F.year("l_shipdate").cast("int").alias("__time"), *cols)
+    classes = P.classify_columns(base, cols)
+    prof = P.combined_profile(base, "__time", classes,
+                              gate_cols=classes.numeric + classes.datetime)
+    prof.gate_estimates()
+    t["qa_fused_profile"] = round(time.perf_counter() - t0, 2)
+    prof.unpersist()
+
+    t0 = time.perf_counter()
+    freq = P.categorical_freq(base, "__time", ["l_returnflag", "l_linestatus"])
+    P.top_k_with_other(freq, 8).count()
+    t["qa_categorical_top8"] = round(time.perf_counter() - t0, 2)
+
+    # text metrics + boilerplate at n_docs
+    t0 = time.perf_counter()
+    TX.quality_metrics(docs).agg(F.sum("n_tokens")).collect()
+    t["text_quality"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    from apde_etl_spark.plans.catalog_r2 import boilerplate_segment_dedup
+
+    boilerplate_segment_dedup(spark, work).agg(F.sum("n_boilerplate")).collect()
+    t["boilerplate_segments"] = round(time.perf_counter() - t0, 2)
+
+    # minhash near-dup + clustering at n_docs
+    t0 = time.perf_counter()
+    pairs = SIM.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16,
+                                  bands=4, threshold=0.2, materialize=True)
+    n_pairs = pairs.count()
+    comp = connected_components(pairs, "id_a", "id_b")
+    n_clustered = comp.count()
+    t["minhash_cluster"] = round(time.perf_counter() - t0, 2)
+
+    # exact dedup keeper at n_docs
+    t0 = time.perf_counter()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    kept = (
+        docs.withColumn("__min", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min"))
+        .count()
+    )
+    t["exact_dedup"] = round(time.perf_counter() - t0, 2)
+
+    print(json.dumps({
+        "n_docs": n_docs + n_docs // 100 + n_docs // 200,
+        "n_lineitem": n_li,
+        "n_neardup_pairs": n_pairs,
+        "n_clustered_nodes": n_clustered,
+        "n_after_exact_dedup": kept,
+        "times_sec": t,
+    }))
+
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
