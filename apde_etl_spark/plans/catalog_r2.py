@@ -133,8 +133,12 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= _SEG_MIN_DOCS)
         .select("seg")
     )
+    # no broadcast HINT: the boilerplate set is usually tiny (AQE will
+    # broadcast it), but its size is data-dependent — a templated corpus
+    # can have a huge one, and a forced broadcast would pin it in every
+    # executor; AQE downgrades to a shuffled join in that case
     perdoc = (
-        seg.join(F.broadcast(boiler.withColumn("__b", F.lit(1))), "seg", "left")
+        seg.join(boiler.withColumn("__b", F.lit(1)), "seg", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_segments"),

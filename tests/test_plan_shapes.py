@@ -61,3 +61,28 @@ def test_qa_values_reads_only_profiled_columns(spark, sf_dir, qs):
     assert "l_comment" not in plan  # not in the table at all (sanity)
     exec_plan = _plan(df)
     assert "ReadSchema" in exec_plan
+
+
+def test_kanon_is_single_exchange(spark, sf_dir, qs):
+    # the quasi-identifier window is the only shuffle; hashing/banding
+    # are scan-stage projections
+    plan = _plan(qs["anonymize_kanon_customers"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_variant_parses_once_and_prunes_scan(spark, sf_dir, qs):
+    df = qs["variant_props_stats"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the parse must appear exactly once (parse-once, extract-typed),
+    # not once per extracted field; Catalyst renders it as a
+    # static_invoke of VariantExpressionEvalUtils.parseJson
+    assert opt.count("parseJson") == 1
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+
+
+def test_lateral_is_decorrelated_not_looped(spark, sf_dir, qs):
+    # Catalyst must rewrite the per-nation LATERAL subquery into a
+    # join + windowed top-1 — no nested-loop-per-row execution
+    plan = _plan(qs["lateral_top_customer_per_nation"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
