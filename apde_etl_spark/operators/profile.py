@@ -236,6 +236,53 @@ def _numeric_from_wide(wide: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.select("time_period", F.expr(stack))
 
 
+def exact_median_histogram(
+    df: DataFrame,
+    time_col: str | Column,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Exact interpolating median per (time_period, varname) computed as
+    a distributed value histogram — the 100 TB path for exact medians.
+
+    ``percentile`` buffers every group value inside one aggregate buffer
+    (state = O(group size) on a single reducer per group); this instead
+    shuffles (time, varname, value) COUNTS — map-side combined, hashed
+    across all partitions — then finds the two middle ranks with a
+    cumulative-sum window over the *distinct* values of each group. The
+    only per-group serial work is a sort+cumsum over compressed counts,
+    which the window operator spills to disk instead of holding in an
+    aggregation buffer. Same R ``stats::median`` semantics as
+    :func:`numeric_stats` (SURVEY §2.10.1): mean of the two middle
+    values for even N, the middle value for odd N.
+    """
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    long = melt_long(
+        df.select(t.alias("time_period"), *cols),
+        ["time_period"], list(cols), value_type="double",
+    ).filter(F.col("value").isNotNull())
+    hist = long.groupBy("time_period", "varname", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    g = Window.partitionBy("time_period", "varname")
+    w = g.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(g)
+    )
+    lo = F.floor((F.col("total") + 1) / 2)
+    hi = F.ceil((F.col("total") + 1) / 2)
+    # a histogram row covers ranks (cum-cnt+1 .. cum); keep rows touching
+    # either middle rank, then average the value at each
+    sel = ranked.filter((F.col("cum") >= lo) & (F.col("cum") - F.col("cnt") < hi))
+    covers_lo = (F.col("cum") >= lo) & (F.col("cum") - F.col("cnt") < lo)
+    covers_hi = (F.col("cum") >= hi) & (F.col("cum") - F.col("cnt") < hi)
+    return sel.groupBy("time_period", "varname").agg(
+        (
+            (F.min(F.when(covers_lo, F.col("value")))
+             + F.min(F.when(covers_hi, F.col("value")))) / 2
+        ).alias("median")
+    )
+
+
 # ---------------------------------------------------------------------------
 # A4 — date stats with midpoint median (R :733-739; T-SQL :1369-1416)
 # ---------------------------------------------------------------------------
@@ -357,15 +404,44 @@ class CombinedProfile:
     num_cols: list[str]
     date_cols: list[str]
     gate_cols: list[str]
+    #: "buffer" (in-agg exact percentile), "sketch" (GK approx), or
+    #: "histogram" (exact via a second distributed value-count pass —
+    #: bounded aggregate state, the 100 TB exact path)
+    median_mode: str = "buffer"
+    base: DataFrame | None = None  # only kept for histogram mode
 
     def missingness(self) -> DataFrame:
         return _miss_from_wide(self.wide, self.miss_cols)
 
     def numeric_stats(self, cols: Sequence[str] | None = None) -> DataFrame:
-        return _numeric_from_wide(self.wide, list(cols or self.num_cols))
+        cols = list(cols or self.num_cols)
+        if self.median_mode != "histogram":
+            return _numeric_from_wide(self.wide, cols)
+        pairs = ", ".join(f"'{c}', `{c}__mean`, `{c}__min`, `{c}__max`" for c in cols)
+        stack = f"stack({len(cols)}, {pairs}) as (varname, mean, min, max)"
+        partial = self.wide.select("time_period", F.expr(stack))
+        med = exact_median_histogram(self.base, "__time", cols)
+        return partial.join(med, ["time_period", "varname"], "left").select(
+            "time_period", "varname", "mean", "median", "min", "max"
+        )
 
     def date_stats(self, cols: Sequence[str] | None = None) -> DataFrame:
-        return _date_from_wide(self.wide, list(cols or self.date_cols))
+        cols = list(cols or self.date_cols)
+        if self.median_mode != "histogram":
+            return _date_from_wide(self.wide, cols)
+        pairs = ", ".join(f"'{c}', `{c}__min`, `{c}__max`" for c in cols)
+        stack = f"stack({len(cols)}, {pairs}) as (varname, min_date, max_date)"
+        partial = self.wide.select("time_period", F.expr(stack))
+        epoch = F.lit(_EPOCH).cast("date")
+        days = self.base.select(
+            "__time",
+            *[F.datediff(F.col(c).cast("date"), epoch).cast("double").alias(c) for c in cols],
+        )
+        med = exact_median_histogram(days, "__time", cols).select(
+            "time_period", "varname",
+            F.date_add(epoch, F.floor("median").cast("int")).alias("median_date"),
+        )
+        return partial.join(med, ["time_period", "varname"], "left")
 
     def gate_estimates(self) -> dict[str, int]:
         """Union the per-time-period HLL sketches -> one global distinct
@@ -392,6 +468,7 @@ def combined_profile(
     classes: ColumnClasses,
     gate_cols: Sequence[str] | None = None,
     exact_median: bool = True,
+    median_mode: str | None = None,
 ) -> CombinedProfile:
     """One groupBy(time) pass over ``df`` computing, per column family:
     null counts (all profiled columns), numeric mean/median/min/max, date
@@ -399,21 +476,58 @@ def combined_profile(
     to string: the sketch needs a hashable physical type and distinctness
     is type-independent). The aggregated frame has one row per time
     period — persisting it is O(periods x columns), never O(data).
+
+    Median strategies (``median_mode``, defaulting from ``exact_median``):
+
+    - ``"buffer"`` — exact ``percentile`` inside the fused aggregate.
+      One pass, but the aggregate buffers every group value AND drags
+      the whole fused aggregate into non-codegen object mode — fine up
+      to millions of rows per period.
+    - ``"sketch"`` — GK approx percentile in the fused pass (fixed
+      state; not exact).
+    - ``"histogram"`` — EXACT medians from a second distributed
+      value-count pass (:func:`exact_median_histogram`): the fused pass
+      drops its median aggregates (smaller object-agg state), and
+      median memory is bounded by distinct values per partition. The
+      scale path when periods hold billions of rows. Costs one extra
+      base scan, pruned to (time, numeric+date columns).
     """
+    mode = median_mode or ("buffer" if exact_median else "sketch")
+    if mode not in ("buffer", "sketch", "histogram"):
+        raise ValueError(f"unknown median_mode {mode!r}")
     t = F.col(time_col) if isinstance(time_col, str) else time_col
     gate = list(gate_cols if gate_cols is not None else classes.numeric + classes.datetime)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
     aggs += _miss_aggs(classes.profiled)
-    aggs += _numeric_aggs(classes.numeric, exact_median)
-    aggs += _date_aggs(classes.datetime)
+    if mode == "histogram":
+        for c in classes.numeric:
+            d = F.col(c).cast("double")
+            aggs += [
+                F.avg(d).alias(f"{c}__mean"),
+                F.min(d).alias(f"{c}__min"),
+                F.max(d).alias(f"{c}__max"),
+            ]
+        for c in classes.datetime:
+            d = F.col(c).cast("date")
+            aggs += [F.min(d).alias(f"{c}__min"), F.max(d).alias(f"{c}__max")]
+    else:
+        aggs += _numeric_aggs(classes.numeric, mode == "buffer")
+        aggs += _date_aggs(classes.datetime)
     aggs += [
         F.hll_sketch_agg(F.col(c).cast("string")).alias(f"{c}__hll") for c in gate
     ]
     wide = df.groupBy(t.alias("time_period")).agg(*aggs).persist()
+    base = None
+    if mode == "histogram":
+        base = df.select(
+            t.alias("__time"), *dict.fromkeys(classes.numeric + classes.datetime)
+        )
     return CombinedProfile(
         wide=wide,
         miss_cols=classes.profiled,
         num_cols=classes.numeric,
         date_cols=classes.datetime,
         gate_cols=gate,
+        median_mode=mode,
+        base=base,
     )

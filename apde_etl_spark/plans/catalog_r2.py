@@ -355,6 +355,42 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Histogram-mode exact median (bounded-state A3 for huge groups)
+# ===========================================================================
+
+_HIST_MEDIAN_ORACLE = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS time_period,
+       'l_extendedprice' AS varname,
+       median(CAST(l_extendedprice AS DOUBLE)) AS median
+FROM lineitem GROUP BY 1
+UNION ALL
+SELECT CAST(year(l_shipdate) AS INTEGER),
+       'l_quantity',
+       median(CAST(l_quantity AS DOUBLE))
+FROM lineitem GROUP BY 1
+"""
+
+
+@register("a3_median_histogram_mode", _HIST_MEDIAN_ORACLE)
+def a3_median_histogram_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3's scale-out variant: exact interpolating medians computed as a
+    distributed value histogram + cumulative-rank window instead of the
+    in-aggregate ``percentile`` buffer. Same R median semantics, but
+    aggregate state is bounded by distinct values per partition (the
+    window spills), so it survives periods with billions of rows where
+    the buffering percentile cannot. DuckDB ``median`` is the oracle."""
+    from apde_etl_spark.operators.profile import exact_median_histogram
+
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.year("l_shipdate").cast("int").alias("__time"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return exact_median_histogram(base, "__time", ["l_extendedprice", "l_quantity"])
+
+
+# ===========================================================================
 # Multimodal resize stage (Arrow-batched binary in -> binary out)
 # ===========================================================================
 

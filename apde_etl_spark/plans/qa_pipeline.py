@@ -49,7 +49,9 @@ class QaConfig:
     digits_mean: int = 2
     digits_prop: int = 3
     exact_median: bool = True                # False -> GK-sketch quantile
-                                             # (fixed state per group at 100 TB)
+    median_mode: str | None = None           # "buffer" | "sketch" | "histogram"
+                                             # (histogram: exact medians with
+                                             # bounded state — the 100 TB path)
     time_expr: Column | None = None          # optional derived time axis
     standards: DataFrame | None = None       # (varname, group) domain standard
                                              # -> chi_standards output (J8)
@@ -127,7 +129,7 @@ def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
     gate_cols = classes.numeric + classes.datetime
     prof = P.combined_profile(
         base, "__time", classes, gate_cols=gate_cols,
-        exact_median=config.exact_median,
+        exact_median=config.exact_median, median_mode=config.median_mode,
     )
 
     # A6 — demotion decision from the sketches (SURVEY §2.10.6): HLL rsd

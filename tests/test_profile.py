@@ -188,3 +188,29 @@ def test_approx_median_escape_hatch(synth):
     assert set(me) == set(ma)
     for k in me:
         assert abs(me[k] - ma[k]) <= max(1.0, abs(me[k]) * 0.01)
+
+
+def test_median_modes_agree_where_exact(spark, lineitem):
+    """buffer and histogram modes must produce IDENTICAL stats (both are
+    exact); sketch mode matches on everything except the median column."""
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators import profile as P
+
+    cols = ["l_quantity", "l_extendedprice", "l_shipdate"]
+    base = lineitem.select(F.year("l_shipdate").cast("int").alias("__time"), *cols)
+    classes = P.classify_columns(base, cols)
+
+    def stats(mode):
+        prof = P.combined_profile(base, "__time", classes, gate_cols=[],
+                                  median_mode=mode)
+        num = sorted(map(tuple, prof.numeric_stats().collect()))
+        dat = sorted(map(tuple, prof.date_stats().collect()))
+        prof.unpersist()
+        return num, dat
+
+    num_b, dat_b = stats("buffer")
+    num_h, dat_h = stats("histogram")
+    assert num_b == num_h
+    assert dat_b == dat_h
+    assert len(num_b) > 0 and len(dat_b) > 0
