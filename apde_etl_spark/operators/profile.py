@@ -206,20 +206,23 @@ def numeric_stats(
     return _numeric_from_wide(wide, cols)
 
 
-def _numeric_aggs(cols: Sequence[str], exact_median: bool = True) -> list[Column]:
+def _numeric_aggs(
+    cols: Sequence[str], exact_median: bool = True, include_median: bool = True
+) -> list[Column]:
     aggs: list[Column] = []
     for c in cols:
         d = F.col(c).cast("double")
-        if exact_median:
-            med = F.percentile(d, F.lit(0.5))
-        else:
-            # the 100 TB escape hatch: GK-sketch quantile, fixed-size
-            # state per (group x column) instead of all values buffered
-            # in the aggregate; rank error <= 1/accuracy of the group
-            med = F.percentile_approx(d, F.lit(0.5), F.lit(10000)).cast("double")
+        aggs.append(F.avg(d).alias(f"{c}__mean"))
+        if include_median:
+            if exact_median:
+                med = F.percentile(d, F.lit(0.5))
+            else:
+                # the 100 TB escape hatch: GK-sketch quantile, fixed-size
+                # state per (group x column) instead of all values buffered
+                # in the aggregate; rank error <= 1/accuracy of the group
+                med = F.percentile_approx(d, F.lit(0.5), F.lit(10000)).cast("double")
+            aggs.append(med.alias(f"{c}__median"))
         aggs += [
-            F.avg(d).alias(f"{c}__mean"),
-            med.alias(f"{c}__median"),
             F.min(d).alias(f"{c}__min"),
             F.max(d).alias(f"{c}__max"),
         ]
@@ -272,9 +275,9 @@ def exact_median_histogram(
     hi = F.ceil((F.col("total") + 1) / 2)
     # a histogram row covers ranks (cum-cnt+1 .. cum); keep rows touching
     # either middle rank, then average the value at each
-    sel = ranked.filter((F.col("cum") >= lo) & (F.col("cum") - F.col("cnt") < hi))
     covers_lo = (F.col("cum") >= lo) & (F.col("cum") - F.col("cnt") < lo)
     covers_hi = (F.col("cum") >= hi) & (F.col("cum") - F.col("cnt") < hi)
+    sel = ranked.filter(covers_lo | covers_hi)
     return sel.groupBy("time_period", "varname").agg(
         (
             (F.min(F.when(covers_lo, F.col("value")))
@@ -303,7 +306,7 @@ def date_stats(df: DataFrame, time_col: str | Column, cols: Sequence[str]) -> Da
     return _date_from_wide(wide, cols)
 
 
-def _date_aggs(cols: Sequence[str]) -> list[Column]:
+def _date_aggs(cols: Sequence[str], include_median: bool = True) -> list[Column]:
     epoch = F.lit(_EPOCH).cast("date")
     aggs: list[Column] = []
     for c in cols:
@@ -312,8 +315,11 @@ def _date_aggs(cols: Sequence[str]) -> list[Column]:
         aggs += [
             F.min(d).alias(f"{c}__min"),
             F.max(d).alias(f"{c}__max"),
-            F.floor(F.percentile(days, F.lit(0.5))).cast("int").alias(f"{c}__meddays"),
         ]
+        if include_median:
+            aggs.append(
+                F.floor(F.percentile(days, F.lit(0.5))).cast("int").alias(f"{c}__meddays")
+            )
     return aggs
 
 
@@ -409,9 +415,41 @@ class CombinedProfile:
     #: bounded aggregate state, the 100 TB exact path)
     median_mode: str = "buffer"
     base: DataFrame | None = None  # only kept for histogram mode
+    _med: DataFrame | None = field(default=None, repr=False)
 
     def missingness(self) -> DataFrame:
         return _miss_from_wide(self.wide, self.miss_cols)
+
+    def _medians(self) -> DataFrame:
+        """ONE histogram pass for every median the profile needs —
+        numeric columns as doubles, date columns as epoch-day offsets —
+        persisted (it is periods x varnames rows), so numeric_stats and
+        date_stats share it instead of each re-scanning the base."""
+        if self._med is None:
+            epoch = F.lit(_EPOCH).cast("date")
+            proj = self.base.select(
+                "__time",
+                *[F.col(c).cast("double").alias(c) for c in self.num_cols],
+                *[
+                    F.datediff(F.col(c).cast("date"), epoch).cast("double").alias(c)
+                    for c in self.date_cols
+                ],
+            )
+            self._med = exact_median_histogram(
+                proj, "__time", self.num_cols + self.date_cols
+            ).persist()
+        return self._med
+
+    def _join_medians(self, partial: DataFrame, med: DataFrame) -> DataFrame:
+        # null-safe on time_period: a NULL time group is a real group in
+        # the fused aggregate, and buffer mode computes its median in-row
+        # — a plain EqualTo join would silently drop it here
+        cond = partial["time_period"].eqNullSafe(med["time_period"]) & (
+            partial["varname"] == med["varname"]
+        )
+        return partial.join(med, cond, "left").drop(med["time_period"]).drop(
+            med["varname"]
+        )
 
     def numeric_stats(self, cols: Sequence[str] | None = None) -> DataFrame:
         cols = list(cols or self.num_cols)
@@ -420,8 +458,7 @@ class CombinedProfile:
         pairs = ", ".join(f"'{c}', `{c}__mean`, `{c}__min`, `{c}__max`" for c in cols)
         stack = f"stack({len(cols)}, {pairs}) as (varname, mean, min, max)"
         partial = self.wide.select("time_period", F.expr(stack))
-        med = exact_median_histogram(self.base, "__time", cols)
-        return partial.join(med, ["time_period", "varname"], "left").select(
+        return self._join_medians(partial, self._medians()).select(
             "time_period", "varname", "mean", "median", "min", "max"
         )
 
@@ -433,15 +470,11 @@ class CombinedProfile:
         stack = f"stack({len(cols)}, {pairs}) as (varname, min_date, max_date)"
         partial = self.wide.select("time_period", F.expr(stack))
         epoch = F.lit(_EPOCH).cast("date")
-        days = self.base.select(
-            "__time",
-            *[F.datediff(F.col(c).cast("date"), epoch).cast("double").alias(c) for c in cols],
-        )
-        med = exact_median_histogram(days, "__time", cols).select(
+        med = self._medians().select(
             "time_period", "varname",
             F.date_add(epoch, F.floor("median").cast("int")).alias("median_date"),
         )
-        return partial.join(med, ["time_period", "varname"], "left")
+        return self._join_medians(partial, med)
 
     def gate_estimates(self) -> dict[str, int]:
         """Union the per-time-period HLL sketches -> one global distinct
@@ -460,6 +493,8 @@ class CombinedProfile:
 
     def unpersist(self) -> None:
         self.wide.unpersist()
+        if self._med is not None:
+            self._med.unpersist()
 
 
 def combined_profile(
@@ -499,20 +534,9 @@ def combined_profile(
     gate = list(gate_cols if gate_cols is not None else classes.numeric + classes.datetime)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
     aggs += _miss_aggs(classes.profiled)
-    if mode == "histogram":
-        for c in classes.numeric:
-            d = F.col(c).cast("double")
-            aggs += [
-                F.avg(d).alias(f"{c}__mean"),
-                F.min(d).alias(f"{c}__min"),
-                F.max(d).alias(f"{c}__max"),
-            ]
-        for c in classes.datetime:
-            d = F.col(c).cast("date")
-            aggs += [F.min(d).alias(f"{c}__min"), F.max(d).alias(f"{c}__max")]
-    else:
-        aggs += _numeric_aggs(classes.numeric, mode == "buffer")
-        aggs += _date_aggs(classes.datetime)
+    with_median = mode != "histogram"
+    aggs += _numeric_aggs(classes.numeric, mode == "buffer", include_median=with_median)
+    aggs += _date_aggs(classes.datetime, include_median=with_median)
     aggs += [
         F.hll_sketch_agg(F.col(c).cast("string")).alias(f"{c}__hll") for c in gate
     ]

@@ -214,3 +214,36 @@ def test_median_modes_agree_where_exact(spark, lineitem):
     assert num_b == num_h
     assert dat_b == dat_h
     assert len(num_b) > 0 and len(dat_b) > 0
+
+
+def test_median_modes_agree_on_null_time_period(spark):
+    """A NULL time value forms a real group; histogram mode's median
+    join must be null-safe so that group keeps its (exact) median, same
+    as buffer mode computes in-row."""
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators import profile as P
+
+    rows = [(None if i % 3 == 0 else i % 2, float(i), f"2024-01-{(i % 27) + 1:02d}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "tp int, x double, d string").withColumn(
+        "d", F.col("d").cast("date")
+    )
+    classes = P.classify_columns(df, ["x", "d"])
+
+    def stats(mode):
+        prof = P.combined_profile(df, "tp", classes, gate_cols=[], median_mode=mode)
+        num = sorted(map(tuple, prof.numeric_stats().collect()),
+                     key=lambda r: (r[0] is None, r))
+        dat = sorted(map(tuple, prof.date_stats().collect()),
+                     key=lambda r: (r[0] is None, r))
+        prof.unpersist()
+        return num, dat
+
+    num_b, dat_b = stats("buffer")
+    num_h, dat_h = stats("histogram")
+    assert num_b == num_h
+    assert dat_b == dat_h
+    # the NULL period is present and has a non-null median in both modes
+    null_rows = [r for r in num_h if r[0] is None]
+    assert null_rows and all(r[3] is not None for r in null_rows)

@@ -164,7 +164,8 @@ def main() -> None:
     t["exact_dedup"] = round(time.perf_counter() - t0, 2)
 
     print(json.dumps({
-        "n_docs": n_docs + n_docs // 100 + n_docs // 200,
+        # ceil-counts: id 0 always matches pmod == 0
+        "n_docs": n_docs + -(-n_docs // 100) + -(-n_docs // 200),
         "n_lineitem": n_li,
         "n_neardup_pairs": n_pairs,
         "n_clustered_nodes": n_clustered,
