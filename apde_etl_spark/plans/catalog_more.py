@@ -153,6 +153,32 @@ def s7_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# S13 (ext) — JSON-lines lake round-trip (beyond the reference's formats)
+# ===========================================================================
+
+_S13_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("s13_json_roundtrip", _S13_ORACLE)
+def s13_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension past the reference's csv/parquet/orc COPY INTO
+    (copy_into.R:61): JSON-lines with gzip compression through the same
+    lake-reader path — declared schema, PERMISSIVE corrupt-record
+    quarantine, MAXERRORS budget. Values must survive the round-trip
+    byte-exactly (the oracle reads the original table)."""
+    from apde_etl_spark.sources.readers import read_lake_file
+
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = tempfile.mkdtemp(prefix="apde_s13_") + "/nation_json"
+    nation.write.mode("overwrite").option("compression", "gzip").json(path)
+    out = read_lake_file(spark, path, file_type="json",
+                         schema=nation.schema, max_errors=10)
+    return out.select("n_nationkey", "n_name", "n_regionkey")
+
+
+# ===========================================================================
 # S8 — function-sourced dataset registry
 # ===========================================================================
 

@@ -129,7 +129,25 @@ def read_lake_file(
                 df = enforce_error_budget(df, max_errors)
             return df
         return reader.csv(path)
-    raise ValueError(f"unsupported file_type {file_type!r} (csv/parquet/orc)")
+    if ft == "json":
+        # JSON-lines: same PERMISSIVE + corrupt-record + MAXERRORS
+        # contract as csv (an engine extension — the reference's COPY
+        # INTO stops at csv/parquet/orc, copy_into.R:61)
+        reader = spark.read.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+        if compression:
+            reader = reader.option("compression", compression)
+        if schema is not None:
+            full = T.StructType(
+                list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+            )
+            df = reader.schema(full).json(path)
+            if max_errors is not None:
+                df = enforce_error_budget(df, max_errors)
+            return df
+        return reader.json(path)
+    raise ValueError(f"unsupported file_type {file_type!r} (csv/parquet/orc/json)")
 
 
 class SourceRegistry:
