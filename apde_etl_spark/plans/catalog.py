@@ -1079,6 +1079,31 @@ def qa_values_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.values
 
 
+@register("qa_values_histogram_mode", _QA_VALUES_ORACLE)
+def qa_values_histogram_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same complete ``values`` contract as qa_values_full, but with
+    median_mode="histogram" — exact medians from the distributed
+    value-count pass instead of in-aggregate percentile buffers. Sharing
+    qa_values_full's oracle makes the driver gate itself prove the two
+    exact strategies agree through the whole pipeline (grid completion,
+    change flags, rounding and all)."""
+    from apde_etl_spark.plans.qa_pipeline import QaConfig, run_qa_pipeline
+
+    li = load(spark, sf_dir, "lineitem")
+    cfg = QaConfig(
+        time_var="l_shipdate",
+        time_expr=F.year("l_shipdate").cast("int"),
+        cols=_QA_NUM + _QA_CAT + ["l_shipdate"],
+        distinct_threshold=60,
+        abs_threshold=3.0,
+        rel_threshold=10.0,
+        digits_mean=2,
+        digits_prop=3,
+        median_mode="histogram",
+    )
+    return run_qa_pipeline(li, cfg).values
+
+
 @register("r2_template_completion", _R2_ORACLE)
 def r2_template_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY R2/J5: dense (year x value) grid cross-join, left-join
