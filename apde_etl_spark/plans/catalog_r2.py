@@ -355,6 +355,64 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Overlapping token-window chunker (RAG / context-window preparation)
+# ===========================================================================
+
+_CHUNK_W = 32   # tokens per chunk
+_CHUNK_S = 24   # stride (8-token overlap)
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), spans AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         unnest(range(0, CASE WHEN len(toks) <= {_CHUNK_W} THEN 1
+                              ELSE CAST(CEIL((len(toks) - {_CHUNK_W}) / {_CHUNK_S}.0) AS BIGINT) + 1 END)) AS chunk_idx,
+         toks
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_S} AS INTEGER) AS start_token,
+       CAST(least(chunk_idx * {_CHUNK_S} + {_CHUNK_W}, n_tokens) AS INTEGER) AS end_token,
+       array_to_string(toks[CAST(chunk_idx * {_CHUNK_S} + 1 AS INTEGER):CAST(least(chunk_idx * {_CHUNK_S} + {_CHUNK_W}, n_tokens) AS INTEGER)], ' ') AS chunk_text
+FROM spans
+"""
+
+
+@register("chunk_documents_overlap", _CHUNK_ORACLE)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunker — the RAG / context-window prep
+    op: {_CHUNK_W}-token chunks at stride {_CHUNK_S} (so consecutive
+    chunks share {_CHUNK_W - _CHUNK_S} tokens), every token covered, the
+    final chunk truncated at the document end. Native sequence +
+    transform + explode: the chunk count per doc is
+    ceil((n - w) / s) + 1, computed in the scan stage — no shuffle at
+    all until a downstream op groups the chunks."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= _CHUNK_W, F.lit(1)).otherwise(
+        F.ceil((n - _CHUNK_W) / F.lit(float(_CHUNK_S))).cast("int") + 1
+    )
+    chunks = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_S
+    end = F.least(start + _CHUNK_W, F.col("n_tokens"))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_token"),
+        end.cast("int").alias("end_token"),
+        F.concat_ws(" ", F.slice("toks", start + 1, end - start)).alias("chunk_text"),
+    )
+
+
+# ===========================================================================
 # Histogram-mode exact median (bounded-state A3 for huge groups)
 # ===========================================================================
 

@@ -160,3 +160,34 @@ def test_pyds_source_partitions_and_determinism(spark):
     assert rows8 == rows3  # partitioning never changes content
     assert len(rows8) == 1000
     assert rows8[7] == synth_row(7)  # executor rows match the driver formula
+
+
+def test_chunker_covers_every_token_with_overlap(spark, sf_dir):
+    from apde_etl_spark.plans.catalog_r2 import (
+        _CHUNK_S,
+        _CHUNK_W,
+        chunk_documents_overlap,
+    )
+
+    rows = chunk_documents_overlap(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: len(r["text"].strip().split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = docs[doc_id]
+        # contiguous indices, stride starts, full coverage, proper tails
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["start_token"] == i * _CHUNK_S
+            assert c["end_token"] - c["start_token"] <= _CHUNK_W
+            assert len(c["chunk_text"].split()) == c["end_token"] - c["start_token"]
+        assert chunks[0]["start_token"] == 0
+        assert chunks[-1]["end_token"] == n
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_token"] < a["end_token"]  # overlap, no gaps
