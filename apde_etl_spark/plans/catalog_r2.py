@@ -355,6 +355,44 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# W6 (ext) — the remaining rank-family window functions in one pass
+# ===========================================================================
+
+_RANK_FAMILY_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(rank() OVER w AS BIGINT) AS price_rank,
+       percent_rank() OVER w AS price_percent_rank,
+       cume_dist() OVER w AS price_cume_dist,
+       CAST(ntile(4) OVER w AS INTEGER) AS price_quartile
+FROM orders
+WINDOW w AS (PARTITION BY year(o_orderdate) ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("w6_rank_family", _RANK_FAMILY_ORACLE)
+def w6_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-family window functions the reference never needed but an
+    engine must have: rank (gapped), percent_rank, cume_dist, ntile
+    quartiles — one window, one shuffle on the partition key. The sort
+    key includes the unique order key so ntile's tie assignment is
+    deterministic across engines (ntile splits ties by row position)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy(F.year("o_orderdate"))
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.rank().over(w).cast("bigint").alias("price_rank"),
+        F.percent_rank().over(w).alias("price_percent_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+    )
+
+
+# ===========================================================================
 # Overlapping token-window chunker (RAG / context-window preparation)
 # ===========================================================================
 
