@@ -1055,6 +1055,25 @@ FROM datestats
 """
 
 
+def _qa_lineitem_cfg(median_mode: str | None = None):
+    """ONE config for the full-values entries: qa_values_full and
+    qa_values_histogram_mode must profile the IDENTICAL pipeline (their
+    shared oracle is the same-result proof), so the config lives here."""
+    from apde_etl_spark.plans.qa_pipeline import QaConfig
+
+    return QaConfig(
+        time_var="l_shipdate",
+        time_expr=F.year("l_shipdate").cast("int"),
+        cols=_QA_NUM + _QA_CAT + ["l_shipdate"],
+        distinct_threshold=60,
+        abs_threshold=3.0,
+        rel_threshold=10.0,
+        digits_mean=2,
+        digits_prop=3,
+        median_mode=median_mode,
+    )
+
+
 @register("qa_values_full", _QA_VALUES_ORACLE)
 def qa_values_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete ``values`` contract — the reference's primary exported
@@ -1062,46 +1081,25 @@ def qa_values_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense grid + lag change flags + half-away rounding, stacked with
     vartype tags (U3). One query exercises A2-A8, W2/W3, R2, O2, F2-F5,
     U3 together, end-to-end through run_qa_pipeline."""
-    from apde_etl_spark.plans.qa_pipeline import QaConfig, run_qa_pipeline
+    from apde_etl_spark.plans.qa_pipeline import run_qa_pipeline
 
     li = load(spark, sf_dir, "lineitem")
-    cfg = QaConfig(
-        time_var="l_shipdate",
-        time_expr=F.year("l_shipdate").cast("int"),
-        cols=_QA_NUM + _QA_CAT + ["l_shipdate"],
-        distinct_threshold=60,
-        abs_threshold=3.0,
-        rel_threshold=10.0,
-        digits_mean=2,
-        digits_prop=3,
-    )
-    res = run_qa_pipeline(li, cfg)
-    return res.values
+    return run_qa_pipeline(li, _qa_lineitem_cfg()).values
 
 
 @register("qa_values_histogram_mode", _QA_VALUES_ORACLE)
 def qa_values_histogram_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same complete ``values`` contract as qa_values_full, but with
-    median_mode="histogram" — exact medians from the distributed
-    value-count pass instead of in-aggregate percentile buffers. Sharing
-    qa_values_full's oracle makes the driver gate itself prove the two
-    exact strategies agree through the whole pipeline (grid completion,
-    change flags, rounding and all)."""
-    from apde_etl_spark.plans.qa_pipeline import QaConfig, run_qa_pipeline
+    """The same complete ``values`` contract as qa_values_full — SAME
+    config via _qa_lineitem_cfg — but with median_mode="histogram":
+    exact medians from the distributed value-count pass instead of
+    in-aggregate percentile buffers. Sharing qa_values_full's oracle
+    makes the driver gate itself prove the two exact strategies agree
+    through the whole pipeline (grid completion, change flags, rounding
+    and all)."""
+    from apde_etl_spark.plans.qa_pipeline import run_qa_pipeline
 
     li = load(spark, sf_dir, "lineitem")
-    cfg = QaConfig(
-        time_var="l_shipdate",
-        time_expr=F.year("l_shipdate").cast("int"),
-        cols=_QA_NUM + _QA_CAT + ["l_shipdate"],
-        distinct_threshold=60,
-        abs_threshold=3.0,
-        rel_threshold=10.0,
-        digits_mean=2,
-        digits_prop=3,
-        median_mode="histogram",
-    )
-    return run_qa_pipeline(li, cfg).values
+    return run_qa_pipeline(li, _qa_lineitem_cfg("histogram")).values
 
 
 @register("r2_template_completion", _R2_ORACLE)

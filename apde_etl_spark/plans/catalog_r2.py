@@ -102,10 +102,10 @@ FROM t LEFT JOIN perdoc p USING (doc_id)
 @register("boilerplate_segment_dedup", _BOILER_ORACLE)
 def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate removal, the C4/CCNet move: chunk every
-    document into fixed {_SEG_K}-token segments, count how many distinct
+    document into fixed 4-token segments, count how many distinct
     documents each segment appears in, call a segment boilerplate when it
-    recurs in >= {_SEG_MIN_DOCS} docs (headers, footers, license blocks,
-    templated spans), and report per-doc how many tokens survive.
+    recurs in >= 3 docs (headers, footers, license blocks, templated
+    spans), and report per-doc how many tokens survive.
 
     Scale shape: the corpus-wide shuffle carries (segment, doc_id) pairs
     with map-side partial aggregation; the boilerplate set — tiny
@@ -361,34 +361,39 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANK_FAMILY_ORACLE = """
 SELECT o_orderkey,
        CAST(year(o_orderdate) AS INTEGER) AS order_year,
-       CAST(rank() OVER w AS BIGINT) AS price_rank,
-       percent_rank() OVER w AS price_percent_rank,
-       cume_dist() OVER w AS price_cume_dist,
-       CAST(ntile(4) OVER w AS INTEGER) AS price_quartile
+       CAST(rank() OVER wr AS BIGINT) AS priority_rank,
+       percent_rank() OVER wr AS priority_percent_rank,
+       cume_dist() OVER wr AS priority_cume_dist,
+       CAST(ntile(4) OVER wn AS INTEGER) AS price_quartile
 FROM orders
-WINDOW w AS (PARTITION BY year(o_orderdate) ORDER BY o_totalprice, o_orderkey)
+WINDOW wr AS (PARTITION BY year(o_orderdate) ORDER BY o_orderpriority),
+       wn AS (PARTITION BY year(o_orderdate) ORDER BY o_totalprice, o_orderkey)
 """
 
 
 @register("w6_rank_family", _RANK_FAMILY_ORACLE)
 def w6_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rank-family window functions the reference never needed but an
-    engine must have: rank (gapped), percent_rank, cume_dist, ntile
-    quartiles — one window, one shuffle on the partition key. The sort
-    key includes the unique order key so ntile's tie assignment is
-    deterministic across engines (ntile splits ties by row position)."""
+    engine must have, with their tie semantics actually exercised: rank /
+    percent_rank / cume_dist order by the 5-value order priority, so
+    every peer group is large (gapped ranks, shared cume_dist — these
+    functions are tie-invariant, no tiebreaker needed or wanted); ntile
+    orders by (price, unique key) because ntile splits peers by row
+    POSITION and would otherwise be nondeterministic. Both windows share
+    the partition key, so one shuffle feeds both."""
     o = load(spark, sf_dir, "orders")
-    w = (
+    wr = Window.partitionBy(F.year("o_orderdate")).orderBy("o_orderpriority")
+    wn = (
         Window.partitionBy(F.year("o_orderdate"))
         .orderBy("o_totalprice", "o_orderkey")
     )
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").cast("int").alias("order_year"),
-        F.rank().over(w).cast("bigint").alias("price_rank"),
-        F.percent_rank().over(w).alias("price_percent_rank"),
-        F.cume_dist().over(w).alias("price_cume_dist"),
-        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.rank().over(wr).cast("bigint").alias("priority_rank"),
+        F.percent_rank().over(wr).alias("priority_percent_rank"),
+        F.cume_dist().over(wr).alias("priority_cume_dist"),
+        F.ntile(4).over(wn).cast("int").alias("price_quartile"),
     )
 
 
@@ -421,9 +426,9 @@ FROM spans
 @register("chunk_documents_overlap", _CHUNK_ORACLE)
 def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunker — the RAG / context-window prep
-    op: {_CHUNK_W}-token chunks at stride {_CHUNK_S} (so consecutive
-    chunks share {_CHUNK_W - _CHUNK_S} tokens), every token covered, the
-    final chunk truncated at the document end. Native sequence +
+    op: 32-token chunks at stride 24 (so consecutive chunks share 8
+    tokens), every token covered, the final chunk truncated at the
+    document end. Native sequence +
     transform + explode: the chunk count per doc is
     ceil((n - w) / s) + 1, computed in the scan stage — no shuffle at
     all until a downstream op groups the chunks."""

@@ -93,15 +93,16 @@ def read_lake_file(
     spark: SparkSession,
     path: str,
     file_type: str = "parquet",
-    compression: str | None = None,
     field_quote: str = '"',
     field_term: str = ",",
     first_row: int = 2,
     schema: T.StructType | None = None,
     max_errors: int | None = 100,
 ) -> DataFrame:
-    """COPY INTO analogue (copy_into.R:61-148): csv/parquet/orc with
-    compression + csv dialect options. With a declared ``schema``,
+    """COPY INTO analogue (copy_into.R:61-148): csv/parquet/orc/json with
+    csv dialect options (read-side decompression is automatic by file
+    extension — the reference's compression parameter is a write-side
+    concern here). With a declared ``schema``,
     PERMISSIVE mode quarantines malformed rows into ``_corrupt_record``
     and :func:`enforce_error_budget` applies the MAXERRORS contract —
     up to ``max_errors`` bad rows are dropped, more aborts the load."""
@@ -110,43 +111,30 @@ def read_lake_file(
         return spark.read.parquet(path)
     if ft == "orc":
         return spark.read.orc(path)
-    if ft == "csv":
-        reader = (
-            spark.read.option("sep", field_term)
-            .option("quote", field_quote)
-            .option("header", first_row > 1)
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", "_corrupt_record")
-        )
-        if compression:
-            reader = reader.option("compression", compression)
-        if schema is not None:
-            full = T.StructType(
-                list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
-            )
-            df = reader.schema(full).csv(path)
-            if max_errors is not None:
-                df = enforce_error_budget(df, max_errors)
-            return df
-        return reader.csv(path)
-    if ft == "json":
-        # JSON-lines: same PERMISSIVE + corrupt-record + MAXERRORS
-        # contract as csv (an engine extension — the reference's COPY
-        # INTO stops at csv/parquet/orc, copy_into.R:61)
+    if ft in ("csv", "json"):
+        # one PERMISSIVE + corrupt-record + MAXERRORS contract for both
+        # text formats (json is an engine extension — the reference's
+        # COPY INTO stops at csv/parquet/orc, copy_into.R:61); read-side
+        # decompression is codec-by-file-extension, no option needed
         reader = spark.read.option("mode", "PERMISSIVE").option(
             "columnNameOfCorruptRecord", "_corrupt_record"
         )
-        if compression:
-            reader = reader.option("compression", compression)
+        if ft == "csv":
+            reader = (
+                reader.option("sep", field_term)
+                .option("quote", field_quote)
+                .option("header", first_row > 1)
+            )
+        load_fn = reader.csv if ft == "csv" else reader.json
         if schema is not None:
             full = T.StructType(
                 list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
             )
-            df = reader.schema(full).json(path)
+            df = reader.schema(full).csv(path) if ft == "csv" else reader.schema(full).json(path)
             if max_errors is not None:
                 df = enforce_error_budget(df, max_errors)
             return df
-        return reader.json(path)
+        return load_fn(path)
     raise ValueError(f"unsupported file_type {file_type!r} (csv/parquet/orc/json)")
 
 

@@ -170,9 +170,14 @@ def test_chunker_covers_every_token_with_overlap(spark, sf_dir):
     )
 
     rows = chunk_documents_overlap(spark, sf_dir).collect()
+    # token counts via the SAME expression the plan uses (F.trim strips
+    # spaces only and regex split keeps trailing empties — Python
+    # str.split would disagree on docs with non-space whitespace)
     docs = {
-        r["doc_id"]: len(r["text"].strip().split())
-        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"))
+        .collect()
     }
     by_doc: dict = {}
     for r in rows:
