@@ -355,6 +355,69 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# U5 (ext) — schema-evolving union with TYPE drift (beyond NULL-padding)
+# ===========================================================================
+
+_U5_ORACLE = """
+WITH era1 AS (
+  -- FLOOR before the int cast: Spark's cast truncates toward zero while
+  -- DuckDB's rounds; floor aligns them for the positive prices here
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS INTEGER) AS o_totalprice,
+         o_orderdate
+  FROM orders WHERE year(o_orderdate) < 1998
+), era2 AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE year(o_orderdate) >= 1998
+), unioned AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         o_orderdate, CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM era1
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderdate, o_orderpriority FROM era2
+)
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_priority
+FROM unioned GROUP BY 1
+"""
+
+
+@register("u5_union_type_drift", _U5_ORACLE)
+def u5_union_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 taken one step past the reference (SURVEY §7.2e): per-era
+    tables where a column's TYPE drifted (int totalprice in old years,
+    double in new) AND a column appeared later. union_evolving widens
+    same-named columns to the common type (numeric chain -> widest) and
+    NULL-pads the missing one — the reference's generated UNION ALL pads
+    only for presence and would fail on the type change. The oracle
+    replays the widening with explicit casts."""
+    from apde_etl_spark.sources.readers import union_evolving
+
+    o = load(spark, sf_dir, "orders")
+    era1 = o.filter(F.year("o_orderdate") < 1998).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("int").alias("o_totalprice"),
+        "o_orderdate",
+    )
+    era2 = o.filter(F.year("o_orderdate") >= 1998).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    unioned = union_evolving([era1, era2])
+    return unioned.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias("n_null_priority"),
+    )
+
+
+# ===========================================================================
 # W6 (ext) — the remaining rank-family window functions in one pass
 # ===========================================================================
 
