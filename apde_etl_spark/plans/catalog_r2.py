@@ -355,6 +355,55 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Streaming numeric profile (the A2 operator's streaming face)
+# ===========================================================================
+
+_STREAM_NUM_ORACLE = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       'value' AS varname,
+       {_sql_round('AVG(value)', 6)} AS mean,
+       MIN(value) AS min,
+       MAX(value) AS max
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_hourly_numeric_stats", _STREAM_NUM_ORACLE)
+def stream_hourly_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming numeric profile: per-hour mean/min/max of the value
+    column over the watermarked event stream (complete mode — every
+    window in the batch oracle must appear). Completes the streaming
+    profile family next to missingness and categorical frequency; exact
+    medians stay batch-side by design (unbounded per-window state)."""
+    from apde_etl_spark.streaming.profile_stream import windowed_numeric_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = normalize_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stats = windowed_numeric_stats(src, "ts", ["value"], window="1 hour",
+                                   watermark="2 hours")
+    stats = stats.select(
+        "window_start", "window_end", "varname",
+        round_half_away(F.col("mean"), 6).alias("mean"), "min", "max",
+    )
+    name = "stream_hourly_numeric_stats_sink"
+    q = (
+        stats.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start", "window_end", "varname", "mean", "min", "max"
+    )
+
+
+# ===========================================================================
 # U5 (ext) — schema-evolving union with TYPE drift (beyond NULL-padding)
 # ===========================================================================
 

@@ -56,6 +56,41 @@ def windowed_missingness(
     )
 
 
+def windowed_numeric_stats(
+    df: DataFrame,
+    event_time: str,
+    cols: Sequence[str],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Numeric profile (mean/min/max, NULLs ignored) per tumbling
+    event-time window — the A2 batch operator's streaming face. Exact
+    medians are deliberately absent: a per-window percentile buffer is
+    unbounded streaming state; use the batch histogram path on the
+    landed data when medians are needed. One window-grouped pass with
+    per-column aggregates, melt applied to the aggregated rows;
+    watermark bounds state to O(open windows x columns)."""
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(event_time, watermark)
+    aggs: list = []
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.avg(d).alias(f"{c}__mean"),
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+        ]
+    wide = src.groupBy(F.window(event_time, window).alias("win")).agg(*aggs)
+    pairs = ", ".join(f"'{c}', `{c}__mean`, `{c}__min`, `{c}__max`" for c in cols)
+    stack = f"stack({len(cols)}, {pairs}) as (varname, mean, min, max)"
+    return wide.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        F.expr(stack),
+    )
+
+
 def windowed_categorical_freq(
     df: DataFrame,
     event_time: str,
