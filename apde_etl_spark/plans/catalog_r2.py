@@ -355,6 +355,71 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Deterministic epoch plan — fractional source up-sampling without RNG
+# ===========================================================================
+
+_EPOCH_TARGET = {"alpha": 0.5, "budget_per_source": 40}
+
+_EPOCH_PLAN_ORACLE = f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs,
+         {_EPOCH_TARGET["budget_per_source"]}.0 * POW(n_docs, {_EPOCH_TARGET["alpha"]})
+           / (SELECT AVG(POW(n_docs, {_EPOCH_TARGET["alpha"]})) FROM s) AS target_docs
+  FROM s
+), per AS (
+  SELECT source, n_docs, target_docs, target_docs / n_docs AS repeat_factor FROM w
+)
+SELECT d.doc_id, d.source,
+       CAST(FLOOR(p.repeat_factor) AS INTEGER)
+         + CASE WHEN (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 15)) AS BIGINT) % 1000000) / 1000000.0
+                     < p.repeat_factor - FLOOR(p.repeat_factor)
+                THEN 1 ELSE 0 END AS n_repeats
+FROM documents d JOIN per p USING (source)
+"""
+
+
+@register("epoch_plan_repeats", _EPOCH_PLAN_ORACLE)
+def epoch_plan_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling-plan capstone over the temperature weights: turn a
+    per-source target document count into a PER-DOC integer repeat count
+    with no RNG — every doc repeats floor(factor) times, plus one more
+    when its content hash falls under the fractional part, so the
+    realized count concentrates tightly around the target and the plan
+    is bit-reproducible on any engine (the anti-flakiness property
+    RNG-based samplers lose). The per-source factor table is tiny ->
+    broadcast joins onto the corpus; the plan is otherwise a pure
+    projection."""
+    from apde_etl_spark.operators.similarity import hash60
+
+    alpha = _EPOCH_TARGET["alpha"]
+    budget = _EPOCH_TARGET["budget_per_source"]
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    pw = F.pow(F.col("n_docs"), F.lit(alpha))
+    per = per.withColumn(
+        "repeat_factor", budget * pw / F.avg(pw).over(w) / F.col("n_docs")
+    )
+    frac_hash = (
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
+        % 1000000
+    ) / 1000000.0
+    return docs.select("doc_id", "source").join(
+        F.broadcast(per.select("source", "repeat_factor")), "source"
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.floor("repeat_factor")
+            + F.when(frac_hash < F.col("repeat_factor") - F.floor("repeat_factor"), 1)
+            .otherwise(0)
+        ).cast("int").alias("n_repeats"),
+    )
+
+
+# ===========================================================================
 # Streaming numeric profile (the A2 operator's streaming face)
 # ===========================================================================
 
