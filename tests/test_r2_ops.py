@@ -196,3 +196,32 @@ def test_chunker_covers_every_token_with_overlap(spark, sf_dir):
         assert chunks[-1]["end_token"] == n
         for a, b in zip(chunks, chunks[1:]):
             assert b["start_token"] < a["end_token"]  # overlap, no gaps
+
+
+def test_epoch_plan_hits_targets_deterministically(spark, sf_dir):
+    from apde_etl_spark.plans.catalog_r2 import _EPOCH_TARGET, epoch_plan_repeats
+
+    rows1 = sorted(map(tuple, epoch_plan_repeats(spark, sf_dir).collect()))
+    rows2 = sorted(map(tuple, epoch_plan_repeats(spark, sf_dir).collect()))
+    assert rows1 == rows2  # bit-reproducible, no RNG
+
+    # realized per-source totals track the temperature targets: the
+    # fractional-hash trick errs by at most the binomial spread, so a
+    # 25% + 2 doc band is generous but failing it means the plan is wrong
+    import collections
+    import math
+
+    per_source_docs = collections.Counter(r[1] for r in rows1)
+    realized = collections.Counter()
+    for _doc, src, n in rows1:
+        realized[src] += n
+    alpha = _EPOCH_TARGET["alpha"]
+    budget = _EPOCH_TARGET["budget_per_source"]
+    mean_pw = sum(n ** alpha for n in per_source_docs.values()) / len(per_source_docs)
+    for src, n_docs in per_source_docs.items():
+        target = budget * (n_docs ** alpha) / mean_pw
+        assert abs(realized[src] - target) <= max(2.0, 0.25 * target), (
+            src, realized[src], target)
+        # every doc appears exactly once in the plan with n_repeats >= 0
+    assert all(n >= 0 for _d, _s, n in rows1)
+    assert len({d for d, _s, _n in rows1}) == len(rows1)
