@@ -355,6 +355,55 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Observation-API load QA (A9 without the second scan)
+# ===========================================================================
+
+_OBSERVE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_dates,
+       CAST(MIN(year(o_orderdate)) AS INTEGER) AS min_year,
+       CAST(MAX(year(o_orderdate)) AS INTEGER) AS max_year
+FROM orders
+"""
+
+
+@register("observe_load_qa_metrics", _OBSERVE_ORACLE)
+def observe_load_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's load-QA check re-done the Spark-native way: it
+    runs ``COUNT(*)`` queries against archive and stage AFTER the load
+    (load_table_from_sql.R:327-336 — a second full scan per check).
+    Here the QA metrics ride the load action itself via the Observation
+    API: the observed aggregates are computed in the same pass that
+    materializes the data, so validation costs ZERO extra scans at any
+    scale. The write is a real lake write; the observation result comes
+    back as a one-row DataFrame the oracle recomputes independently."""
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    o = load(spark, sf_dir, "orders")
+    obs = Observation("load_qa")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        # no DISTINCT in observed metrics (analyzer rule); a key
+        # checksum is the classic substitute for cross-load comparison
+        F.sum("o_orderkey").alias("key_checksum"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("n_null_dates"),
+        F.min(F.year("o_orderdate")).cast("int").alias("min_year"),
+        F.max(F.year("o_orderdate")).cast("int").alias("max_year"),
+    )
+    target = tempfile.mkdtemp(prefix="observe_qa_") + "/orders"
+    observed.write.mode("overwrite").parquet(target)  # the one action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["key_checksum"], m["n_null_dates"], m["min_year"], m["max_year"])],
+        "n_rows bigint, key_checksum bigint, n_null_dates bigint, min_year int, max_year int",
+    )
+
+
+# ===========================================================================
 # Deterministic epoch plan — fractional source up-sampling without RNG
 # ===========================================================================
 
