@@ -394,9 +394,12 @@ def observe_load_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.year("o_orderdate")).cast("int").alias("min_year"),
         F.max(F.year("o_orderdate")).cast("int").alias("max_year"),
     )
-    target = tempfile.mkdtemp(prefix="observe_qa_") + "/orders"
-    observed.write.mode("overwrite").parquet(target)  # the one action
+    workdir = tempfile.mkdtemp(prefix="observe_qa_")
+    observed.write.mode("overwrite").parquet(f"{workdir}/orders")  # the one action
     m = obs.get
+    import shutil
+
+    shutil.rmtree(workdir, ignore_errors=True)  # metrics already materialized
     return spark.createDataFrame(
         [(m["n_rows"], m["key_checksum"], m["n_null_dates"], m["min_year"], m["max_year"])],
         "n_rows bigint, key_checksum bigint, n_null_dates bigint, min_year int, max_year int",

@@ -209,7 +209,6 @@ def test_epoch_plan_hits_targets_deterministically(spark, sf_dir):
     # fractional-hash trick errs by at most the binomial spread, so a
     # 25% + 2 doc band is generous but failing it means the plan is wrong
     import collections
-    import math
 
     per_source_docs = collections.Counter(r[1] for r in rows1)
     realized = collections.Counter()
