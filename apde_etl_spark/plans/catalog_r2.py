@@ -355,6 +355,50 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Fuzzy string dedup — blocked Levenshtein pairs (typo-level near-dup)
+# ===========================================================================
+
+_FUZZY_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM names a JOIN names b
+  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+@register("fuzzy_name_pairs", _FUZZY_ORACLE)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level fuzzy matching — the string-dedup family member the
+    hash/shingle methods can't express: distinct name pairs within
+    Levenshtein distance 4 (the fixture's word-swap typo scale), with
+    classic blocking so the quadratic
+    comparison only happens inside small candidate groups (equal first
+    character AND length within +-2 — both necessary-ish conditions for
+    a small edit distance, each cheap to join on). At scale the block
+    key is the shuffle key and the per-block candidate sets stay tiny;
+    the O(n^2)-within-block verify is the standard record-linkage
+    trade. The oracle runs the identical blocking + verify in SQL."""
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    cand = a.join(
+        b,
+        (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        & (F.col("name_a") < F.col("name_b")),
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("name_a", "name_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+    )
+
+
+# ===========================================================================
 # Observation-API load QA (A9 without the second scan)
 # ===========================================================================
 
