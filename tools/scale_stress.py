@@ -151,6 +151,15 @@ def main() -> None:
     n_clustered = comp.count()
     t["minhash_cluster"] = round(time.perf_counter() - t0, 2)
 
+    # the FULL corpus-assembly entry (filters -> exact dedup -> near-dup
+    # clustering -> split) — composition-level check: persist + driver
+    # union-find + localCheckpoint must cooperate at this scale too
+    t0 = time.perf_counter()
+    from apde_etl_spark.plans.catalog_ext import corpus_pipeline_end2end
+
+    n_corpus = corpus_pipeline_end2end(spark, work).count()
+    t["corpus_pipeline_full"] = round(time.perf_counter() - t0, 2)
+
     # exact dedup keeper at n_docs
     t0 = time.perf_counter()
     from pyspark.sql.window import Window
@@ -170,6 +179,7 @@ def main() -> None:
         "n_neardup_pairs": n_pairs,
         "n_clustered_nodes": n_clustered,
         "n_after_exact_dedup": kept,
+        "n_corpus_final": n_corpus,
         "times_sec": t,
     }))
 
