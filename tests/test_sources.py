@@ -212,3 +212,33 @@ def test_max_errors_budget_enforced(spark, tmp_path):
     with pytest.raises(ValueError, match="exceeded error budget"):
         read_lake_file(spark, str(p), "csv", first_row=1,
                        schema=schema, max_errors=1)
+
+
+def test_json_error_budget_contract(spark, tmp_path):
+    """The JSON branch shares the csv PERMISSIVE/MAXERRORS contract:
+    malformed lines are quarantined up to the budget and abort past it."""
+    from pyspark.sql import types as T
+
+    from apde_etl_spark.sources.readers import read_lake_file
+
+    p = tmp_path / "dirty.jsonl"
+    rows = [
+        '{"id": 1, "name": "alpha"}',
+        '{"id": 2, "name": "beta"}',
+        'not json at all',
+        '{"id": broken',
+        '{"id": 5, "name": "epsilon"}',
+    ]
+    p.write_text("\n".join(rows) + "\n")
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+    ])
+
+    ok = read_lake_file(spark, str(p), "json", schema=schema, max_errors=2)
+    got = sorted((r["id"], r["name"]) for r in ok.collect())
+    assert got == [(1, "alpha"), (2, "beta"), (5, "epsilon")]
+    assert "_corrupt_record" not in ok.columns
+
+    with pytest.raises(ValueError, match="exceeded error budget"):
+        read_lake_file(spark, str(p), "json", schema=schema, max_errors=1)
