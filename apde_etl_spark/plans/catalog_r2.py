@@ -355,6 +355,49 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H Q12 analogue — fact-fact join + conditional-count pivot
+# ===========================================================================
+
+_Q12_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1996-01-01'
+GROUP BY 1
+"""
+
+
+@register("q12_priority_shipment", _Q12_ORACLE)
+def q12_priority_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape on this schema: the year's shipments joined to
+    their orders, conditional-count pivot on priority class. The range
+    predicate pushes into the lineitem scan BEFORE the join (Catalyst
+    PushDownPredicates), so the fact-fact join only sees the filtered
+    year; at warehouse scale both sides co-partition on the order key
+    (or the orders side broadcasts when small enough — AQE's call)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    d = F.col("l_shipdate").cast("date")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (d >= F.lit("1995-01-01").cast("date"))
+            & (d < F.lit("1996-01-01").cast("date"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ===========================================================================
 # Fuzzy string dedup — blocked Levenshtein pairs (typo-level near-dup)
 # ===========================================================================
 
