@@ -78,17 +78,17 @@ WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
 ), seg AS (
   SELECT doc_id,
-         unnest(list_transform(range(0, CAST(FLOOR(len(toks) / {_SEG_K}) AS BIGINT)),
-                i -> array_to_string(toks[CAST(i * {_SEG_K} + 1 AS INTEGER):CAST(i * {_SEG_K} + {_SEG_K} AS INTEGER)], ' '))) AS seg
+         CAST(concat('0x', substr(md5(unnest(list_transform(range(0, CAST(FLOOR(len(toks) / {_SEG_K}) AS BIGINT)),
+                i -> array_to_string(toks[CAST(i * {_SEG_K} + 1 AS INTEGER):CAST(i * {_SEG_K} + {_SEG_K} AS INTEGER)], ' ')))), 1, 15)) AS BIGINT) AS seg_h
   FROM t
 ), boiler AS (
-  SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM seg GROUP BY seg)
+  SELECT seg_h FROM (SELECT seg_h, COUNT(DISTINCT doc_id) AS n_docs FROM seg GROUP BY seg_h)
   WHERE n_docs >= {_SEG_MIN_DOCS}
 ), perdoc AS (
   SELECT s.doc_id,
          CAST(COUNT(*) AS INTEGER) AS n_segments,
-         CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_boilerplate
-  FROM seg s LEFT JOIN boiler b USING (seg) GROUP BY s.doc_id
+         CAST(SUM(CASE WHEN b.seg_h IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_boilerplate
+  FROM seg s LEFT JOIN boiler b USING (seg_h) GROUP BY s.doc_id
 )
 SELECT t.doc_id,
        CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -123,29 +123,41 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
 
+    from apde_etl_spark.operators.similarity import hash60
+
     base = docs.select(
         "doc_id", F.size(toks).cast("int").alias("n_tokens"), segs.alias("segs")
     )
-    seg = base.select("doc_id", F.explode("segs").alias("seg"))
+    # segments ride as fixed-width 60-bit hashes, and the exploded
+    # (doc_id, seg_h) relation is persisted: the global boilerplate set
+    # forces two passes over it, and re-deriving segments means running
+    # tokenize+slice+concat over every body twice — 16 bytes/segment of
+    # cache (MEMORY_AND_DISK) is the cheaper side of that trade at any
+    # scale. Released below once the small per-doc result materializes.
+    seg = (
+        base.select("doc_id", F.explode("segs").alias("seg"))
+        .select("doc_id", hash60(F.col("seg")).alias("seg_h"))
+        .persist()
+    )
     boiler = (
-        seg.groupBy("seg")
+        seg.groupBy("seg_h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= _SEG_MIN_DOCS)
-        .select("seg")
+        .select("seg_h")
     )
     # no broadcast HINT: the boilerplate set is usually tiny (AQE will
     # broadcast it), but its size is data-dependent — a templated corpus
     # can have a huge one, and a forced broadcast would pin it in every
     # executor; AQE downgrades to a shuffled join in that case
     perdoc = (
-        seg.join(boiler.withColumn("__b", F.lit(1)), "seg", "left")
+        seg.join(boiler.withColumn("__b", F.lit(1)), "seg_h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_segments"),
             F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0)).cast("int").alias("n_boilerplate"),
         )
     )
-    return (
+    result = (
         base.select("doc_id", "n_tokens")
         .join(perdoc, "doc_id", "left")
         .select(
@@ -158,6 +170,9 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clean_tokens"),
         )
     )
+    result = result.localCheckpoint(eager=True)  # one row per doc, 5 ints
+    seg.unpersist()
+    return result
 
 
 # ===========================================================================
