@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from apde_etl_spark.operators.skew import replicated_salted_join
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product over two array<double> columns —
@@ -307,6 +309,84 @@ def brute_force_topk(
 # Hyperplane-LSH bucketed ANN — the cosine-similarity scale path
 # ---------------------------------------------------------------------------
 
+#: Default broadcast budget for the candidate-generation joins below.
+#: Above this, pinning the corpus projection in every executor stops being
+#: a plan and starts being an OOM — the join falls back to a salted
+#: shuffle on the bucket key.
+ANN_BROADCAST_THRESHOLD_BYTES = 256 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a DataFrame's optimized plan —
+    file-size-derived for scans, propagated through projections/filters.
+    Returns a huge sentinel when stats are unavailable (Connect mode,
+    exotic sources), so auto-gated joins degrade to the shuffle path
+    (correct at any size) rather than a blind broadcast."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def resolve_candidate_strategy(
+    corpus: DataFrame,
+    strategy: str = "auto",
+    broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
+) -> str:
+    """Resolve ``"auto"`` to ``"broadcast"``/``"shuffle"`` by the corpus
+    plan's size estimate; pass explicit strategies through unchanged."""
+    if strategy != "auto":
+        if strategy not in ("broadcast", "shuffle"):
+            raise ValueError(f"unknown candidate_join strategy: {strategy!r}")
+        return strategy
+    return (
+        "broadcast"
+        if plan_size_bytes(corpus) <= broadcast_threshold_bytes
+        else "shuffle"
+    )
+
+
+def candidate_join(
+    probe: DataFrame,
+    corpus: DataFrame,
+    key: str,
+    strategy: str = "auto",
+    broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
+    salt_buckets: int = 8,
+    probe_salt_source: str = "id_a",
+) -> DataFrame:
+    """Size-gated bucket/cell equi-join for ANN candidate generation.
+
+    Partitioning is the whole game in bucketed ANN: clustered corpora put
+    entire clusters in one bucket, so a naive bucket-keyed shuffle join
+    sends each cluster's O(size^2) candidate work to ONE reducer. Two
+    strategies avoid that, chosen by corpus size:
+
+    - ``broadcast`` (corpus fits executor memory): probe side stays
+      spread by id, corpus rides to every task — no shuffle, no hot
+      reducer. The right plan up to a few hundred MB of corpus.
+    - ``shuffle`` (corpus too big to pin in every executor): salted
+      replicated join on the bucket key via
+      :func:`~apde_etl_spark.operators.skew.replicated_salted_join` —
+      the probe side salts on its id (uniform), the corpus replicates
+      ``salt_buckets`` ways, so a hot bucket lands on ``salt_buckets``
+      reducers instead of one. Survives any corpus size.
+
+    ``strategy="auto"`` gates on Catalyst's size estimate of the corpus
+    plan (unknown ⇒ shuffle, the conservatively-correct path). Both
+    strategies produce identical rows — tests assert it.
+    """
+    strategy = resolve_candidate_strategy(corpus, strategy, broadcast_threshold_bytes)
+    if strategy == "broadcast":
+        return probe.join(F.broadcast(corpus), key)
+    if strategy == "shuffle":
+        return replicated_salted_join(
+            probe, corpus, key,
+            salt_buckets=salt_buckets, how="inner",
+            fact_salt_source=probe_salt_source,
+        )
+    raise ValueError(f"unknown candidate_join strategy: {strategy!r}")
+
 def hyperplanes(num_planes: int, dim: int, seed: int = 424242) -> list[list[int]]:
     """Deterministic ±1 random-hyperplane matrix (LCG-derived, identical
     on every run/engine — the DuckDB oracle regenerates the same one).
@@ -346,6 +426,9 @@ def ann_lsh_topk(
     num_planes: int = 6,
     dim: int = 64,
     seed: int = 424242,
+    strategy: str = "auto",
+    broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Approximate per-vector cosine top-k: bucket by random-hyperplane
     LSH, self-join WITHIN buckets only, rank by cosine per query vector.
@@ -356,6 +439,10 @@ def ann_lsh_topk(
     100 TB add more planes (smaller buckets) + multi-probe for recall.
     Candidates within a bucket are verified with exact cosine, so
     precision is 1; recall is traded for the join-volume reduction.
+
+    The bucket join is size-gated by :func:`candidate_join`: corpus
+    broadcasts under ``broadcast_threshold_bytes``, else a salted
+    shuffle on the bucket key — same rows either way.
     """
     planes = hyperplanes(num_planes, dim, seed)
     # Carry the per-vector norm as a SCALAR column instead of
@@ -369,21 +456,22 @@ def ann_lsh_topk(
         .withColumn("__n", l2_norm(F.col("__v")))
         .withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
     )
-    # Partitioning is the whole game here: clustered corpora put entire
-    # clusters in one bucket, so a bucket-keyed shuffle join would send
-    # each cluster's O(size^2) candidate work to ONE reducer (and a
-    # single-file scan would leave it on one core). Spread the probe side
-    # by id (uniform, skew-free) and broadcast the bucket table; each
-    # task then verifies its ids' candidates locally. When the corpus is
-    # too big to broadcast, swap the broadcast for replicated_salted_join
-    # on the bucket key (operators/skew.py).
+    # Probe side spread by id (uniform, skew-free) ONLY on the broadcast
+    # path — the shuffle path re-partitions on (bucket, salt) in the join
+    # itself, so a prior id-repartition would be a wasted full exchange.
+    strategy = resolve_candidate_strategy(e, strategy, broadcast_threshold_bytes)
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = e.repartition(nparts, id_col).select(
+    probe = e.repartition(nparts, id_col) if strategy == "broadcast" else e
+    a = probe.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), F.col("__bucket").alias("__b"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
                  F.col("__n").alias("__nb"), F.col("__bucket").alias("__b"))
-    cand = a.join(F.broadcast(b), "__b").filter(F.col("id_a") != F.col("id_b"))
+    cand = candidate_join(
+        a, b, "__b", strategy=strategy,
+        broadcast_threshold_bytes=broadcast_threshold_bytes,
+        salt_buckets=salt_buckets,
+    ).filter(F.col("id_a") != F.col("id_b"))
     scored = cand.select(
         "id_a", "id_b",
         (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
@@ -405,6 +493,9 @@ def embed_neardup_pairs(
     num_planes: int = 6,
     dim: int = 64,
     seed: int = 424242,
+    strategy: str = "auto",
+    broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucketed
     candidate generation, exact-cosine verification, keep pairs with
@@ -415,7 +506,9 @@ def embed_neardup_pairs(
     components (pairs -> clusters -> keep one doc per cluster). Same
     scale shape — candidate volume ~n^2/2^planes via the bucket equi-join,
     probe side spread by id so clustered corpora don't hot-spot a
-    reducer, exact verification inside the bucket.
+    reducer, exact verification inside the bucket. The bucket join is
+    size-gated by :func:`candidate_join` (broadcast small, salted
+    shuffle large).
     """
     planes = hyperplanes(num_planes, dim, seed)
     raw = as_double_array(vec_col)
@@ -424,13 +517,19 @@ def embed_neardup_pairs(
         .withColumn("__n", l2_norm(F.col("__v")))
         .withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
     )
+    strategy = resolve_candidate_strategy(e, strategy, broadcast_threshold_bytes)
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = e.repartition(nparts, id_col).select(
+    probe = e.repartition(nparts, id_col) if strategy == "broadcast" else e
+    a = probe.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), F.col("__bucket").alias("__b"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
                  F.col("__n").alias("__nb"), F.col("__bucket").alias("__b"))
-    cand = a.join(F.broadcast(b), "__b").filter(F.col("id_a") < F.col("id_b"))
+    cand = candidate_join(
+        a, b, "__b", strategy=strategy,
+        broadcast_threshold_bytes=broadcast_threshold_bytes,
+        salt_buckets=salt_buckets,
+    ).filter(F.col("id_a") < F.col("id_b"))
     scored = cand.select(
         "id_a", "id_b",
         (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
@@ -447,6 +546,9 @@ def ann_ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     centroid_stride: int | None = None,
+    strategy: str = "auto",
+    broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` inverted
     lists, then search each query vector only against its ``n_probe``
@@ -460,8 +562,9 @@ def ann_ivf_topk(
 
     Plan: centroid table is tiny -> broadcast to both the assignment and
     probe stages; the verification join repartitions the probe side by id
-    (uniform) against the broadcast cell-member lists when small, or
-    shuffles on cell id at scale.
+    (uniform) against the cell-member lists — broadcast when the lists
+    fit (:func:`candidate_join` size gate), salted shuffle on the cell id
+    at scale.
     """
     # Norm carried as a scalar column (NOT per-element pre-normalization,
     # which costs O(d^2) interpreted work per row): cosine per pair =
@@ -502,14 +605,18 @@ def ann_ivf_topk(
         F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"), "cell_id",
     )
+    strategy = resolve_candidate_strategy(lists, strategy, broadcast_threshold_bytes)
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    queries = probed.repartition(nparts, id_col).select(
+    qside = probed.repartition(nparts, id_col) if strategy == "broadcast" else probed
+    queries = qside.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), "cell_id",
     )
-    cand = queries.join(F.broadcast(lists), "cell_id").filter(
-        F.col("id_a") != F.col("id_b")
-    )
+    cand = candidate_join(
+        queries, lists, "cell_id", strategy=strategy,
+        broadcast_threshold_bytes=broadcast_threshold_bytes,
+        salt_buckets=salt_buckets,
+    ).filter(F.col("id_a") != F.col("id_b"))
     scored = cand.select(
         "id_a", "id_b",
         (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))

@@ -93,12 +93,33 @@ def main() -> None:
         print(f"# {name}: {times[name]:.3f}s steady / {cold[name]:.3f}s cold ({n} rows)",
               file=sys.stderr)
 
+    # The cold first-touch map is part of the record but NOT part of the
+    # final stdout line: the driver captures a bounded tail of stdout, and
+    # a single line carrying both maps (~3 KB) gets truncated mid-JSON
+    # (round-2 BENCH had "parsed": null).  Cold numbers go to stderr and a
+    # sidecar file; the last stdout line stays short and parseable.
+    cold_record = {
+        "metric": "headline_queries_cold_first_touch_total",
+        "value": round(sum(cold.values()), 3),
+        "unit": "sec",
+        "mode": "cold_first_touch",
+        "queries": cold,
+        "sf": sf,
+    }
+    print(json.dumps(cold_record), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_COLD.json"), "w") as fh:
+            json.dump(cold_record, fh, indent=1)
+    except OSError:
+        pass
+
     print(json.dumps({
-        "metric": "headline_queries_total_time",
+        "metric": "headline_queries_steady_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        "mode": "steady_after_one_warmup",
         "queries": times,
-        "queries_cold_first_touch": cold,
         "sf": sf,
     }))
 

@@ -284,3 +284,29 @@ def test_stratified_sample_nests_and_is_deterministic(spark, sf_dir):
     assert again == lo_ids  # order-independent
     zero = stratified_hash_sample(docs, {}, default_rate=0.0)
     assert zero.count() == 0
+
+
+def test_ann_strategies_produce_identical_rows(spark, sf_dir):
+    """The size-gated candidate join must be a pure physical choice:
+    broadcast and salted-shuffle paths return the same rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cases = [
+        (SIM.ann_lsh_topk, dict(k=5, num_planes=6, dim=64)),
+        (SIM.embed_neardup_pairs, dict(threshold=0.3, num_planes=6, dim=64)),
+        (SIM.ann_ivf_topk, dict(k=5, n_cells=8, n_probe=2)),
+    ]
+    for fn, kw in cases:
+        bc = fn(emb, strategy="broadcast", **kw).collect()
+        sh = fn(emb, strategy="shuffle", **kw).collect()
+        assert sorted(map(tuple, bc)) == sorted(map(tuple, sh)), fn.__name__
+
+
+def test_resolve_candidate_strategy_gates_on_size(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert SIM.resolve_candidate_strategy(emb, "auto") == "broadcast"
+    # threshold 0 models a corpus too big to pin in executors
+    assert SIM.resolve_candidate_strategy(emb, "auto",
+                                          broadcast_threshold_bytes=0) == "shuffle"
+    assert SIM.resolve_candidate_strategy(emb, "shuffle") == "shuffle"
+    with pytest.raises(ValueError):
+        SIM.resolve_candidate_strategy(emb, "bogus")

@@ -86,3 +86,25 @@ def test_lateral_is_decorrelated_not_looped(spark, sf_dir, qs):
     # join + windowed top-1 — no nested-loop-per-row execution
     plan = _plan(qs["lateral_top_customer_per_nation"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_ann_shuffle_strategy_never_broadcasts_the_corpus(spark, sf_dir):
+    """Forced-large-path check: with strategy='shuffle' (what 'auto'
+    resolves to above the size gate) the candidate join must be a salted
+    shuffle — no broadcast of the corpus side anywhere in the plan, even
+    with Catalyst's own auto-broadcast disabled-proof threshold."""
+    from apde_etl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(SIM.ann_lsh_topk(emb, strategy="shuffle"))
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "__salt" in plan  # the replicated salted join is in effect
+        # broadcast strategy still broadcasts even when Catalyst wouldn't
+        plan_bc = _plan(SIM.ann_lsh_topk(emb, strategy="broadcast"))
+        assert "BroadcastHashJoin" in plan_bc
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
