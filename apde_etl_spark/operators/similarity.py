@@ -429,9 +429,19 @@ def ann_lsh_topk(
     strategy: str = "auto",
     broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
     salt_buckets: int = 8,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate per-vector cosine top-k: bucket by random-hyperplane
     LSH, self-join WITHIN buckets only, rank by cosine per query vector.
+
+    ``multi_probe=m`` additionally probes, for every query vector, the
+    ``m`` neighbor buckets at Hamming distance 1 in the first ``m``
+    hyperplane bits — the standard multi-probe LSH recall lever: a true
+    neighbor that fell just across one hyperplane is recovered without
+    shrinking the plane count (candidate volume grows ~(1+m)x, recall
+    measured by the ``ann_recall_at_k`` catalog entry). The corpus side
+    keeps its single true bucket, so candidate pairs stay unique and
+    the result needs no dedup.
 
     The scale story vs brute force: the all-pairs join is O(n^2) rows;
     bucketing cuts it to sum of per-bucket squares (~n^2 / 2^planes for
@@ -462,9 +472,22 @@ def ann_lsh_topk(
     strategy = resolve_candidate_strategy(e, strategy, broadcast_threshold_bytes)
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     probe = e.repartition(nparts, id_col) if strategy == "broadcast" else e
-    a = probe.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"), F.col("__bucket").alias("__b"))
+    if multi_probe:
+        if multi_probe > num_planes:
+            raise ValueError("multi_probe cannot exceed num_planes")
+        probe_buckets = F.array(
+            F.col("__bucket"),
+            *[F.col("__bucket").bitwiseXOR(F.lit(1 << j))
+              for j in range(multi_probe)],
+        )
+        a = probe.select(
+            F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+            F.explode(probe_buckets).alias("__b"))
+    else:
+        a = probe.select(
+            F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"), F.col("__bucket").alias("__b"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
                  F.col("__n").alias("__nb"), F.col("__bucket").alias("__b"))
     cand = candidate_join(

@@ -310,3 +310,24 @@ def test_resolve_candidate_strategy_gates_on_size(spark, sf_dir):
     assert SIM.resolve_candidate_strategy(emb, "shuffle") == "shuffle"
     with pytest.raises(ValueError):
         SIM.resolve_candidate_strategy(emb, "bogus")
+
+
+def test_multi_probe_lifts_recall(spark, sf_dir):
+    """Multi-probe LSH must recover strictly more of the exact top-k than
+    plain LSH (the reason the flag exists), and the measured recalls must
+    clear loose data-independent floors."""
+    from apde_etl_spark.plans.catalog_r3 import ann_recall_at_k
+
+    out = {r["method"]: (r["hits"], r["n_exact"], r["recall_at_k"])
+           for r in ann_recall_at_k(spark, sf_dir).collect()}
+    assert set(out) == {"lsh", "lsh_multiprobe2", "ivf"}
+    assert all(n == out["lsh"][1] for _, n, _ in out.values())
+    assert out["lsh_multiprobe2"][2] > out["lsh"][2]
+    assert out["lsh"][2] >= 0.02
+    assert out["ivf"][2] >= 0.10
+
+
+def test_multi_probe_bounded_by_planes(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        SIM.ann_lsh_topk(emb, multi_probe=7, num_planes=6).collect()
