@@ -90,16 +90,68 @@ def test_export_excel_falls_back_to_csv(spark, tmp_path):
     assert "proportion" in content and "0.1" in content
 
 
-def test_export_plots_needs_matplotlib(spark, tmp_path):
+def _deck_inputs(spark):
+    """Missingness + values frames covering every vartype branch, plus
+    one variable that is 100% missing at every period (must be excluded
+    from the values deck, mirroring the reference's mi100vars)."""
     miss = spark.createDataFrame(
-        [(2023, "a", 1, 0.1)],
+        [(y, v, 10, p) for y in (2023, 2024)
+         for v, p in [("cat_a", 0.1), ("num_b", 0.2), ("date_c", 0.0),
+                      ("gone_d", 1.0), ("num_e", 0.3), ("cat_f", 0.4)]],
         "time_period int, varname string, nrow long, proportion double",
     )
-    try:
-        import matplotlib  # noqa: F401
+    rows = []
+    for y in (2023, 2024):
+        for v in ("cat_a", "cat_f"):
+            rows.append((y, v, "x", 5, 0.5, None, "Categorical",
+                         None, None, None, None, None, None, None))
+            rows.append((y, v, None, 5, 0.5, None, "Categorical",
+                         None, None, None, None, None, None, None))
+        for v in ("num_b", "num_e"):
+            rows.append((y, v, None, None, None, None, "Continuous",
+                         3.0, 2.5, 1.0, 9.0, None, None, None))
+        rows.append((y, "date_c", None, None, None, None, "Date",
+                     None, None, None, None, datetime.date(y, 1, 1),
+                     datetime.date(y, 12, 31), datetime.date(y, 6, 15)))
+        rows.append((y, "gone_d", None, 0, 0.0, None, "Categorical",
+                     None, None, None, None, None, None, None))
+    vals = spark.createDataFrame(
+        rows,
+        "time_period int, varname string, value string, count long, "
+        "proportion double, abs_proportion_change string, vartype string, "
+        "mean double, median double, min double, max double, "
+        "min_date date, max_date date, median_date date",
+    )
+    return miss, vals
 
-        paths = export_plots(miss, miss, str(tmp_path), "unittest")
-        assert all(os.path.exists(p) for p in paths)
-    except ImportError:
-        with pytest.raises(ImportError):
-            export_plots(miss, miss, str(tmp_path), "unittest")
+
+def test_export_plots_writes_both_decks_with_right_page_counts(spark, tmp_path):
+    """Mirror of the reference's export test (tests/manual/
+    test-etl_qa_run_pipeline.R:143-155): both PDFs exist — plus the page
+    arithmetic: missing deck paginates vars_per_page facets/page, values
+    deck is one page per variable minus the 100%-missing exclusions."""
+    from apde_etl_spark.pdfcanvas import page_count
+
+    miss, vals = _deck_inputs(spark)
+    paths = export_plots(miss, vals, str(tmp_path), "unittest",
+                         vars_per_page=4, when=datetime.date(2024, 6, 1))
+    assert len(paths) == 2
+    missing_pdf, values_pdf = paths
+    assert "unittest_qa_missing_2024-06-01" in missing_pdf
+    assert "unittest_qa_values_2024-06-01" in values_pdf
+    for p in paths:
+        assert os.path.exists(p)
+        with open(p, "rb") as fh:
+            assert fh.read(5) == b"%PDF-"
+    assert page_count(missing_pdf) == 2   # 6 vars at 4 per page
+    # 6 profiled vars - gone_d (100% missing every period) = 5 pages
+    assert page_count(values_pdf) == 5
+
+
+def test_values_deck_page_per_var_at_default_pagination(spark, tmp_path):
+    miss, vals = _deck_inputs(spark)
+    from apde_etl_spark.pdfcanvas import page_count
+
+    paths = export_plots(miss, vals, str(tmp_path), "unittest2")
+    assert page_count(paths[0]) == 1      # 6 vars fit one 16-facet page
+    assert page_count(paths[1]) == 5
