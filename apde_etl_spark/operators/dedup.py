@@ -67,6 +67,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     driver_edge_threshold: int = 2_000_000,
+    driver_probe_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Group near-duplicate pairs into clusters: iterative min-label
     propagation until fixpoint -> ``(id, component)`` where component is
@@ -106,17 +107,26 @@ def connected_components(
     # would drop them); filter once so both paths agree.
     pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
 
+    # Callers with known-large graphs pass driver_edge_threshold=0 to go
+    # straight to the distributed loop and skip the probe collect.
+    if driver_edge_threshold <= 0:
+        return _distributed_components(pairs, id_a, id_b, max_iter)
+
     # Fast-path probe: ONE job, no shuffle — union-find is insensitive to
     # duplicate or directed edges, so the raw pair list is collected as-is
     # (limit thr+1 detects overflow without a separate count job). Arrow
     # transfer keeps 2M edges at ~32 MB of packed ints on the driver, not
-    # hundreds of MB of Row objects.
+    # hundreds of MB of Row objects. The row threshold assumes long-ish
+    # ids; string doc ids can be 10x wider, so the collected batch is
+    # ALSO gated by its actual Arrow byte size (driver_probe_max_bytes)
+    # before the to_pylist expansion doubles it.
     probe_tbl = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .limit(driver_edge_threshold + 1)
         .toArrow()
     )
-    if probe_tbl.num_rows <= driver_edge_threshold:
+    if (probe_tbl.num_rows <= driver_edge_threshold
+            and probe_tbl.nbytes <= driver_probe_max_bytes):
         parent: dict = {}
 
         def find(x):
@@ -147,6 +157,14 @@ def connected_components(
             T.StructField("component", id_type, False),
         ])
         return pairs.sparkSession.createDataFrame(rows, out_schema)
+    return _distributed_components(pairs, id_a, id_b, max_iter)
+
+
+def _distributed_components(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """The distributed min-label + pointer-halving loop — see
+    :func:`connected_components` for the algorithm notes."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

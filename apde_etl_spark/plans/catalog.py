@@ -58,7 +58,10 @@ def ensure_min_parallelism(df: DataFrame, path: str | None = None) -> DataFrame:
     (many files / row groups — the production case) already feed every
     core, so this is a no-op.
 
-    The size probe is ``os.stat`` on the path — deliberately NOT
+    The size probe sums actual file sizes (walking directory-layout
+    tables — any Spark-written output is a directory whose own entry
+    stats as ~4 KB, which would defeat the guard), with an early exit
+    once the budget is exceeded. Deliberately NOT
     ``df.rdd.getNumPartitions()``, which forces physical planning plus an
     RDD conversion round-trip per query (~1s of pure overhead, measured).
     Column pruning pushes through the repartition, so only the columns
@@ -69,12 +72,35 @@ def ensure_min_parallelism(df: DataFrame, path: str | None = None) -> DataFrame:
         return df
     if path is not None:
         try:
-            if os.stat(path).st_size > _REBALANCE_MAX_BYTES:
+            if _source_bytes(path, _REBALANCE_MAX_BYTES) > _REBALANCE_MAX_BYTES:
                 return df
         except OSError:
             return df
     spark = df.sparkSession
     return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _source_bytes(path: str, budget: int) -> int:
+    """Total bytes under ``path`` (a file or a directory-layout table),
+    short-circuiting once ``budget`` is exceeded — the caller only needs
+    the over/under verdict, not an exact sum over a multi-TB table."""
+    import os
+
+    st = os.stat(path)
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode):
+        return st.st_size
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.stat(os.path.join(root, f)).st_size
+            except OSError:
+                continue
+        if total > budget:
+            return total
+    return total
 
 
 def load(spark: SparkSession, sf_dir: str, table: str,

@@ -199,8 +199,15 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Runs as a real two-source Structured Streaming query (file source x2
     -> interval inner join -> availableNow -> memory sink); the batch
-    self-join is the oracle. Inner-join semantics are replay-exact: no
-    emitted row depends on watermark timing, only state eviction does."""
+    self-join is the oracle. Replay-exactness caveat: inner-join output
+    matches the batch join only when each side lands in a single
+    micro-batch (the availableNow single-file case here) or arrives
+    within the watermark's disorder bound — with multiple micro-batches
+    (maxFilesPerTrigger, many files) watermark-driven state eviction
+    BETWEEN batches can drop matches for sufficiently out-of-order
+    events, making results batching-dependent. At scale, widen the
+    view-side watermark relative to the join range to cover the
+    expected disorder."""
     # TIMESTAMP(NANOS) parquet needs the legacy conf before the schema read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -280,30 +287,49 @@ def run_foreachbatch_upsert(src: DataFrame, workdir: str) -> DataFrame:
     stream is micro-batched.
 
     foreachBatch is at-least-once, so the sink supplies the missing
-    idempotence itself: every state version records the epoch that
-    produced it (an ``_applied_epoch`` marker — underscore files are
-    invisible to the parquet reader), and a replayed epoch <= the marker
-    is skipped instead of double-counted. The swap renames the live
-    state aside before renaming the staged version in (two renames, no
-    delete-then-rename window that could drop the table), then removes
-    the old version. At scale the same shape is a Delta/Iceberg MERGE
-    INTO, which supplies the versioned-swap + idempotence for free."""
+    idempotence itself: every state version records the checkpoint run
+    key and the epoch that produced it (an ``_applied_epoch`` marker —
+    underscore files are invisible to the parquet reader), and a
+    replayed epoch <= the marker FROM THE SAME CHECKPOINT LINEAGE is
+    skipped instead of double-counted. The run key (a ``_run_key`` file
+    created once per checkpoint directory) is what makes the guard safe
+    to reuse: epoch ids restart at 0 in a fresh checkpoint, so without
+    it a reused state dir would silently skip all new batches — with
+    it, a key mismatch disables skipping and the new lineage's batches
+    apply normally. The swap renames the live state aside before
+    renaming the staged version in (two renames, no delete-then-rename
+    window that could drop the table), then removes the old version. At
+    scale the same shape is a Delta/Iceberg MERGE INTO, which supplies
+    the versioned-swap + idempotence for free."""
     import os
+    import uuid
 
     spark = src.sparkSession
     target = f"{workdir}/state"
     ckpt = f"{workdir}/ckpt"
 
+    os.makedirs(ckpt, exist_ok=True)
+    try:
+        with open(f"{ckpt}/_run_key") as fh:
+            run_key = fh.read().strip()
+    except OSError:
+        run_key = uuid.uuid4().hex
+        with open(f"{ckpt}/_run_key", "w") as fh:
+            fh.write(run_key)
+
     def applied_epoch() -> int:
+        """Epoch recorded by THIS checkpoint lineage; -1 when the state
+        was produced by a different (or no) checkpoint."""
         try:
             with open(f"{target}/_applied_epoch") as fh:
-                return int(fh.read().strip())
+                key, _, epoch = fh.read().strip().partition(":")
+                return int(epoch) if key == run_key else -1
         except (OSError, ValueError):
             return -1
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= applied_epoch():
-            return  # replayed epoch: already folded into the state
+            return  # same-lineage replayed epoch: already folded in
         spk = batch_df.sparkSession
         part = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -319,7 +345,7 @@ def run_foreachbatch_upsert(src: DataFrame, workdir: str) -> DataFrame:
         staged = f"{workdir}/state_epoch{epoch_id}"
         part.write.mode("overwrite").parquet(staged)
         with open(f"{staged}/_applied_epoch", "w") as fh:
-            fh.write(str(epoch_id))
+            fh.write(f"{run_key}:{epoch_id}")
         import shutil
 
         old = f"{workdir}/state_old_{epoch_id}"

@@ -224,3 +224,32 @@ def test_epoch_plan_hits_targets_deterministically(spark, sf_dir):
         # every doc appears exactly once in the plan with n_repeats >= 0
     assert all(n >= 0 for _d, _s, n in rows1)
     assert len({d for d, _s, _n in rows1}) == len(rows1)
+
+
+def test_foreachbatch_fresh_checkpoint_does_not_skip_new_batches(spark, tmp_path):
+    """Reusing the state dir with a FRESH checkpoint restarts epoch ids
+    at 0; the idempotence guard must recognize the new lineage (run key
+    mismatch) and apply the batches instead of silently dropping them."""
+    import datetime
+    import shutil
+
+    from apde_etl_spark.plans.catalog_r2 import run_foreachbatch_upsert
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base + datetime.timedelta(minutes=i), i % 3, "view", 1.0, "{}")
+            for i in range(12)]
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src_dir = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        return run_foreachbatch_upsert(src, str(tmp_path / "fb"))
+
+    first = {r["user_id"]: r["n_events"] for r in run().collect()}
+    # new lineage: same state, fresh checkpoint -> epochs restart at 0
+    shutil.rmtree(str(tmp_path / "fb" / "ckpt"))
+    second = {r["user_id"]: r["n_events"] for r in run().collect()}
+    assert second == {u: 2 * n for u, n in first.items()}

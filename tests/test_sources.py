@@ -242,3 +242,20 @@ def test_json_error_budget_contract(spark, tmp_path):
 
     with pytest.raises(ValueError, match="exceeded error budget"):
         read_lake_file(spark, str(p), "json", schema=schema, max_errors=1)
+
+
+def test_source_bytes_walks_directory_tables(tmp_path):
+    """The rebalance gate must size directory-layout (Spark-written)
+    tables by their contents, not the ~4 KB directory entry."""
+    from apde_etl_spark.plans.catalog import _source_bytes
+
+    d = tmp_path / "tbl.parquet"
+    (d / "sub").mkdir(parents=True)
+    (d / "part-0").write_bytes(b"x" * 10_000)
+    (d / "sub" / "part-1").write_bytes(b"y" * 20_000)
+    assert _source_bytes(str(d), budget=1 << 30) == 30_000
+    # early exit once over budget still reports an over-budget total
+    assert _source_bytes(str(d), budget=5_000) > 5_000
+    f = tmp_path / "plain.bin"
+    f.write_bytes(b"z" * 123)
+    assert _source_bytes(str(f), budget=1) == 123
