@@ -68,6 +68,7 @@ def connected_components(
     max_iter: int = 20,
     driver_edge_threshold: int = 2_000_000,
     driver_probe_max_bytes: int = 64 << 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Group near-duplicate pairs into clusters: iterative min-label
     propagation until fixpoint -> ``(id, component)`` where component is
@@ -102,6 +103,11 @@ def connected_components(
     guessed: at 2M edges the collect is ~32 MB of longs, well under
     driver headroom, while the distributed loop remains the fallback for
     genuinely huge duplicate graphs.
+
+    ``stats``: pass a dict to receive observability fields — ``path``
+    ("driver" | "distributed") and, on the distributed path, ``rounds``
+    (propagation rounds until the fixpoint; the pointer-halving bound is
+    O(log diameter)). Filled on return; no effect on the result.
     """
     # NULL endpoints carry no connectivity (the distributed path's joins
     # would drop them); filter once so both paths agree.
@@ -110,7 +116,7 @@ def connected_components(
     # Callers with known-large graphs pass driver_edge_threshold=0 to go
     # straight to the distributed loop and skip the probe collect.
     if driver_edge_threshold <= 0:
-        return _distributed_components(pairs, id_a, id_b, max_iter)
+        return _distributed_components(pairs, id_a, id_b, max_iter, stats)
 
     # Fast-path probe: ONE job, no shuffle — union-find is insensitive to
     # duplicate or directed edges, so the raw pair list is collected as-is
@@ -151,17 +157,20 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(x, find(x)) for x in parent]
+        if stats is not None:
+            stats["path"] = "driver"
         id_type = pairs.schema[id_a].dataType
         out_schema = T.StructType([
             T.StructField("id", id_type, False),
             T.StructField("component", id_type, False),
         ])
         return pairs.sparkSession.createDataFrame(rows, out_schema)
-    return _distributed_components(pairs, id_a, id_b, max_iter)
+    return _distributed_components(pairs, id_a, id_b, max_iter, stats)
 
 
 def _distributed_components(
-    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """The distributed min-label + pointer-halving loop — see
     :func:`connected_components` for the algorithm notes."""
@@ -177,7 +186,9 @@ def _distributed_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # candidate label for each node: min of neighbors' labels and own
         neighbor = (
             edges.join(labels, edges.dst == labels.id)
@@ -210,4 +221,7 @@ def _distributed_components(
         if changed == 0:
             break
     edges.unpersist()
+    if stats is not None:
+        stats["path"] = "distributed"
+        stats["rounds"] = rounds
     return labels

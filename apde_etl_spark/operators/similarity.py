@@ -155,6 +155,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.2,
     materialize: bool = False,
+    collapse_identical_signatures: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with exact
     Jaccard: shingle -> sign -> band -> bucket self-join -> verify.
@@ -164,6 +165,24 @@ def minhash_lsh_pairs(
     bounded by bucket sizes, AQE splits skewed buckets); candidate pairs
     are distinct'd before the exact-Jaccard verification join so each
     pair is verified once.
+
+    ``collapse_identical_signatures=True`` is the hot-band guard for
+    duplicate-heavy corpora. A band bucket of n near-identical docs emits
+    O(n^2) candidate pairs, and AQE's skew-split can MISS exactly that
+    bucket: skew detection keys on compressed map-output bytes, and a
+    partition full of identical band-key rows compresses so well its
+    bytes sit below the median even at several-x the row count (measured:
+    2.6x row skew, sub-median bytes, no split — tools/scale_stress.py
+    ``hot_band``). The collapse removes the quadratic bucket instead of
+    splitting it: docs are grouped by their FULL signature, the min-id
+    member represents the group in banding, other members are verified
+    against their representative only (star edges, n-1 per group);
+    members that FAIL that verification re-enter banding as themselves.
+    Output is then connectivity-equivalent to the full pair set (same
+    connected components) rather than pair-complete: a pair between a
+    failed member and a passed member of the same signature group is the
+    one shape that can go unreported. Default off — the default contract
+    stays exact pair-completeness over the banded candidates.
 
     ``materialize=True`` eagerly computes the (small) verified pair list
     via ``localCheckpoint`` and releases the internal shingle cache
@@ -181,7 +200,45 @@ def minhash_lsh_pairs(
     # three times (at cluster scale: cache the projection, never the raw
     # corpus)
     base = base.persist()
-    banded = base.select(
+    sh = base.select(F.col(id_col), F.col("__sh"))
+
+    star = None
+    if collapse_identical_signatures:
+        # group by the full signature (array<long> group key — one narrow
+        # shuffle over (sig, id)); min id is the group's representative
+        canon = base.groupBy("__sig").agg(F.min(id_col).alias("__canon"))
+        tagged = base.join(canon, "__sig").persist()
+        members = tagged.filter(F.col(id_col) != F.col("__canon"))
+        # star edges: representative x member, verified with exact
+        # jaccard — linear in group size, replacing the O(n^2) bucket
+        star_checked = (
+            members.select(
+                F.col("__canon").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.col("__sh").alias("__sh_b"),
+            )
+            .join(
+                sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"),
+                "id_a",
+            )
+            .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+            .persist()
+        )
+        star = star_checked.filter(F.col("jaccard_sim") >= threshold).select(
+            "id_a", "id_b", "jaccard_sim"
+        )
+        # representatives + members the star test rejected enter banding
+        failed_ids = star_checked.filter(F.col("jaccard_sim") < threshold).select(
+            F.col("id_b").alias(id_col)
+        )
+        reps = tagged.filter(F.col(id_col) == F.col("__canon")).select(id_col, "__sig")
+        band_src = reps.unionByName(
+            base.select(id_col, "__sig").join(failed_ids, id_col, "left_semi")
+        )
+    else:
+        band_src = base.select(id_col, "__sig")
+
+    banded = band_src.select(
         id_col, F.explode(lsh_bands(F.col("__sig"), bands, rows)).alias("__band")
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -191,7 +248,6 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sh = base.select(F.col(id_col), F.col("__sh"))
     verified = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
@@ -199,9 +255,14 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+    if star is not None:
+        verified = verified.unionByName(star)
     if materialize:
         verified = verified.localCheckpoint(eager=True)
         base.unpersist()
+        if collapse_identical_signatures:
+            tagged.unpersist()
+            star_checked.unpersist()
     return verified
 
 

@@ -201,3 +201,102 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ===========================================================================
+# Hot-band guard: identical-signature collapse for MinHash near-dup
+# ===========================================================================
+
+def _sql_minhash_collapsed() -> str:
+    """DuckDB twin of minhash_lsh_pairs(collapse_identical_signatures=True)
+    over documents + a duplicated-doc block (doc_id % 50 == 0 re-ingested
+    under doc_id + 10_000_000), so identical-signature groups exist and
+    the star/collapse path does real work. Mirrors the Spark algorithm
+    exactly: group by full signature, min-id canonical, star edges
+    verified against the canonical, failed members re-enter banding."""
+    from apde_etl_spark.plans.catalog_ext import (
+        _SQL_SHINGLES,
+        _SQL_TOKS,
+        _sql_hash60,
+        _sql_minhash_sig,
+    )
+
+    thr = 0.2
+    jac = ("CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
+           " / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))")
+    star_jac = ("CAST(len(list_intersect(ca.s, t.s)) AS DOUBLE)"
+                " / (len(ca.s) + len(t.s) - len(list_intersect(ca.s, t.s)))")
+    bands = ",\n    ".join(
+        "concat('%d:', ',', g[%d], ',', g[%d], ',', g[%d], ',', g[%d])"
+        % (b, b * 4 + 1, b * 4 + 2, b * 4 + 3, b * 4 + 4)
+        for b in range(4)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM src),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+hashed AS (SELECT doc_id, s,
+           list_transform(s, x -> {_sql_hash60("x")} % {SIM.MERSENNE31}) AS hb FROM sh),
+sig AS (SELECT doc_id, s, {_sql_minhash_sig()} AS g FROM hashed),
+canon AS (SELECT g AS cg, MIN(doc_id) AS canon FROM sig GROUP BY g),
+tagged AS (SELECT sig.doc_id, sig.s, sig.g, canon.canon
+           FROM sig JOIN canon ON sig.g = canon.cg),
+star_checked AS (
+  SELECT t.canon AS id_a, t.doc_id AS id_b, {star_jac} AS j
+  FROM tagged t JOIN sh ca ON ca.doc_id = t.canon
+  WHERE t.doc_id <> t.canon
+),
+band_src AS (
+  SELECT doc_id, g FROM tagged WHERE doc_id = canon
+  UNION ALL
+  SELECT doc_id, g FROM sig
+  WHERE doc_id IN (SELECT id_b FROM star_checked WHERE j < {thr})
+),
+banded AS (
+  SELECT doc_id, unnest([
+    {bands}
+  ]) AS band FROM band_src
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, {_sql_round(jac, 6)} AS jaccard_sim
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE {jac} >= {thr}
+UNION ALL
+SELECT id_a, id_b, {_sql_round("j", 6)} AS jaccard_sim
+FROM star_checked WHERE j >= {thr}
+"""
+
+
+@register("minhash_neardup_collapsed", _sql_minhash_collapsed())
+def minhash_neardup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with the identical-signature collapse — the
+    hot-band guard for duplicate-heavy corpora. A bucket of n
+    near-identical docs normally emits O(n^2) candidate pairs, and AQE's
+    skew-split can miss exactly that bucket (its detection keys on
+    compressed map-output bytes; identical band-key rows compress below
+    the median — measured in tools/scale_stress.py: 14x wall-clock gap
+    at 6k identical docs). Collapse replaces the bucket with n-1 star
+    edges against the min-id representative; members failing the star
+    verification re-enter banding. The input unions a duplicated-doc
+    block so the collapse path is exercised, and the oracle replays the
+    identical algorithm in DuckDB."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    out = SIM.minhash_lsh_pairs(
+        docs.unionByName(dup), "doc_id", "text", k=3, num_hashes=16,
+        bands=4, threshold=0.2, collapse_identical_signatures=True,
+    )
+    return out.select(
+        "id_a", "id_b", round_half_away(F.col("jaccard_sim"), 6).alias("jaccard_sim")
+    )

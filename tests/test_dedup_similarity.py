@@ -346,3 +346,37 @@ def test_connected_components_probe_gates(spark):
     byte_capped = D.connected_components(pairs, driver_probe_max_bytes=1)
     for out in (fast, no_probe, byte_capped):
         assert {(r["id"], r["component"]) for r in out.collect()} == expect
+
+
+def test_collapse_identical_signatures_is_connectivity_equivalent(spark, sf_dir):
+    """Hot-band guard (minhash_lsh_pairs collapse_identical_signatures):
+    a block of identical docs must produce the SAME connected components
+    as the full pairwise run while emitting star edges (linear in block
+    size) instead of the O(n^2) bucket."""
+    n_hot = 30
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hot = spark.range(n_hot).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again and again").alias("text"),
+    )
+    corpus = docs.unionByName(hot)
+
+    full = SIM.minhash_lsh_pairs(corpus, threshold=0.3)
+    coll = SIM.minhash_lsh_pairs(
+        corpus, threshold=0.3, collapse_identical_signatures=True
+    )
+    n_full, n_coll = full.count(), coll.count()
+    # the identical block alone is C(n,2) pairs full vs n-1 star edges
+    assert n_full - n_coll >= (n_hot * (n_hot - 1)) // 2 - (n_hot - 1)
+
+    def comps(pairs):
+        from collections import defaultdict
+
+        g = defaultdict(set)
+        for r in D.connected_components(pairs, "id_a", "id_b").collect():
+            g[r["component"]].add(r["id"])
+        return {frozenset(s) for s in g.values()}
+
+    assert comps(full) == comps(coll)

@@ -108,3 +108,55 @@ def test_ann_shuffle_strategy_never_broadcasts_the_corpus(spark, sf_dir):
         assert "BroadcastHashJoin" in plan_bc
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_band_self_join_skew_split_engages(spark):
+    """AQE's skew-split DOES fire on the LSH band self-join when the hot
+    bucket dominates map-output BYTES (thresholds scaled to test size).
+    The complementary caveat — a bucket of near-identical rows can stay
+    below the byte threshold because identical band keys compress away,
+    which is why minhash_lsh_pairs grows collapse_identical_signatures —
+    is documented at operators/similarity.py and stress-measured in
+    tools/scale_stress.py."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+
+        uniform = spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("b"), F.col("id").cast("string")).alias("__band"),
+        )
+        hot = spark.range(5_000).select(
+            (F.col("id") + 10_000).alias("doc_id"),
+            F.lit("HOTBAND").alias("__band"),
+        )
+        banded = uniform.unionByName(hot)
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("id_a"))
+        cnt = cand.groupBy().count()
+        assert cnt.collect()[0][0] == 12_497_500
+        plan = _plan(cnt)
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

@@ -151,6 +151,24 @@ def main() -> None:
     n_clustered = comp.count()
     t["minhash_cluster"] = round(time.perf_counter() - t0, 2)
 
+    # FORCED distributed connected-components on the same edge list
+    # (driver_edge_threshold=0 skips the driver fast path) — records the
+    # rounds-to-fixpoint of the min-label + pointer-halving loop, the
+    # number that governs job count at 100 TB. Labels must agree with the
+    # driver path (anti-join both ways == 0).
+    t0 = time.perf_counter()
+    cc_stats: dict = {}
+    comp_dist = connected_components(
+        pairs, "id_a", "id_b", driver_edge_threshold=0, stats=cc_stats
+    )
+    mismatch = (
+        comp_dist.join(comp, ["id", "component"], "left_anti").count()
+        + comp.join(comp_dist, ["id", "component"], "left_anti").count()
+    )
+    t["cc_distributed"] = round(time.perf_counter() - t0, 2)
+    cc_rounds = cc_stats.get("rounds")
+    cc_label_mismatch = mismatch
+
     # the FULL corpus-assembly entry (filters -> exact dedup -> near-dup
     # clustering -> split) — composition-level check: persist + driver
     # union-find + localCheckpoint must cooperate at this scale too
@@ -172,12 +190,70 @@ def main() -> None:
     )
     t["exact_dedup"] = round(time.perf_counter() - t0, 2)
 
+    # HOT-BAND skew stress: a block of identical docs -> one quadratic
+    # LSH bucket. Records (a) whether AQE skew-split engages on the band
+    # self-join under cluster-proportion thresholds — it keys on
+    # COMPRESSED map-output bytes, and identical band-key rows compress
+    # below the median, so engagement is expected NOT to fire here even
+    # at several-x row skew — and (b) the collapse_identical_signatures
+    # guard, which removes the quadratic bucket instead of splitting it.
+    # capped: the FULL run pays C(hot_n, 2) exact-jaccard verifications
+    # by design (that's the pathology being measured)
+    hot_n = min(max(n_docs // 5, 2_000), 6_000)
+    hot_docs = docs.select("doc_id", "text").unionByName(
+        spark.range(hot_n).select(
+            (F.col("id") + 10 * n_docs).alias("doc_id"),
+            F.lit(" ".join(VOCAB * 3)).alias("text"),
+        )
+    )
+    skew_conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    prev_conf = {k: spark.conf.get(k, None) for k in skew_conf}
+    try:
+        for k, v in skew_conf.items():
+            spark.conf.set(k, v)
+        t0 = time.perf_counter()
+        full_cnt = (
+            SIM.minhash_lsh_pairs(hot_docs, "doc_id", "text", k=3,
+                                  num_hashes=16, bands=4, threshold=0.5)
+            .groupBy().count()
+        )
+        hot_pairs_full = full_cnt.collect()[0][0]
+        t["hot_band_full"] = round(time.perf_counter() - t0, 2)
+        plan = full_cnt._jdf.queryExecution().executedPlan().toString()
+        hot_band_skew_engaged = plan.count("skew=true") > 0
+
+        t0 = time.perf_counter()
+        hot_pairs_collapsed = (
+            SIM.minhash_lsh_pairs(hot_docs, "doc_id", "text", k=3,
+                                  num_hashes=16, bands=4, threshold=0.5,
+                                  collapse_identical_signatures=True)
+            .groupBy().count().collect()[0][0]
+        )
+        t["hot_band_collapsed"] = round(time.perf_counter() - t0, 2)
+    finally:
+        for k, v in prev_conf.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
     print(json.dumps({
         # ceil-counts: id 0 always matches pmod == 0
         "n_docs": n_docs + -(-n_docs // 100) + -(-n_docs // 200),
         "n_lineitem": n_li,
         "n_neardup_pairs": n_pairs,
         "n_clustered_nodes": n_clustered,
+        "cc_distributed_rounds": cc_rounds,
+        "cc_label_mismatch": cc_label_mismatch,
+        "hot_band_n_identical": hot_n,
+        "hot_band_pairs_full": hot_pairs_full,
+        "hot_band_pairs_collapsed": hot_pairs_collapsed,
+        "hot_band_skew_engaged": hot_band_skew_engaged,
         "n_after_exact_dedup": kept,
         "n_corpus_final": n_corpus,
         "times_sec": t,
