@@ -491,6 +491,7 @@ def ann_lsh_topk(
     broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
     salt_buckets: int = 8,
     multi_probe: int = 0,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate per-vector cosine top-k: bucket by random-hyperplane
     LSH, self-join WITHIN buckets only, rank by cosine per query vector.
@@ -504,6 +505,17 @@ def ann_lsh_topk(
     keeps its single true bucket, so candidate pairs stay unique and
     the result needs no dedup.
 
+    ``num_tables=L`` is the OTHER standard recall lever — L independent
+    hyperplane tables (seeds ``seed + 7919*t``; table 0 is the original,
+    so L=1 is bit-identical to the single-table path). A true neighbor
+    is found if ANY table co-buckets it: recall ~ 1-(1-p)^L for
+    per-table recall p, at ~L x the candidate volume. Both sides explode
+    to L table-tagged bucket keys (tag in the high bits, so multi-probe
+    bit flips stay inside the table), candidate pairs are distinct'd
+    across tables, then vectors join back for scoring — the join-back
+    costs two extra hash joins but keeps the exploded relation narrow
+    (id + key only), which is what survives at corpus scale.
+
     The scale story vs brute force: the all-pairs join is O(n^2) rows;
     bucketing cuts it to sum of per-bucket squares (~n^2 / 2^planes for
     balanced buckets), and the bucket id is the single shuffle key — at
@@ -515,6 +527,10 @@ def ann_lsh_topk(
     broadcasts under ``broadcast_threshold_bytes``, else a salted
     shuffle on the bucket key — same rows either way.
     """
+    if num_tables < 1:
+        raise ValueError("num_tables must be >= 1")
+    if multi_probe > num_planes:
+        raise ValueError("multi_probe cannot exceed num_planes")
     planes = hyperplanes(num_planes, dim, seed)
     # Carry the per-vector norm as a SCALAR column instead of
     # pre-normalizing the array: `transform(v, x -> x / l2_norm(v))`
@@ -527,6 +543,11 @@ def ann_lsh_topk(
         .withColumn("__n", l2_norm(F.col("__v")))
         .withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
     )
+    if num_tables > 1:
+        return _ann_lsh_topk_multitable(
+            e, id_col, k, num_planes, dim, seed, strategy,
+            broadcast_threshold_bytes, salt_buckets, multi_probe, num_tables,
+        )
     # Probe side spread by id (uniform, skew-free) ONLY on the broadcast
     # path — the shuffle path re-partitions on (bucket, salt) in the join
     # itself, so a prior id-repartition would be a wasted full exchange.
@@ -560,6 +581,85 @@ def ann_lsh_topk(
         "id_a", "id_b",
         (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
             .alias("cosine_sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _ann_lsh_topk_multitable(
+    e: DataFrame,
+    id_col: str,
+    k: int,
+    num_planes: int,
+    dim: int,
+    seed: int,
+    strategy: str,
+    broadcast_threshold_bytes: int,
+    salt_buckets: int,
+    multi_probe: int,
+    num_tables: int,
+) -> DataFrame:
+    """Multi-table branch of :func:`ann_lsh_topk` (see its docstring).
+    ``e`` carries (id, __v, __n, __bucket) with table-0 buckets already
+    computed. Each further table re-buckets with an independent plane set;
+    the combined key puts the table tag in the high bits so multi-probe
+    bit flips stay within a table's bucket space."""
+    tag = 1 << num_planes
+    key_cols = [F.col("__bucket").cast("int")]
+    for t in range(1, num_tables):
+        planes_t = hyperplanes(num_planes, dim, seed + 7919 * t)
+        key_cols.append((lsh_bucket(F.col("__v"), planes_t) + F.lit(t * tag)).cast("int"))
+    # materialize the L keys ONCE per vector (bucketing is num_planes
+    # dim-wide dot products — never recompute it per probe neighbor),
+    # and persist the narrow projection: it feeds the corpus explode,
+    # the probe explode, and both vector join-backs.
+    with_keys = e.select(
+        F.col(id_col), F.col("__v"), F.col("__n"),
+        *[kc.alias(f"__k{t}") for t, kc in enumerate(key_cols)],
+    ).persist()
+    kcols = [F.col(f"__k{t}") for t in range(num_tables)]
+
+    # the corpus side is L x bigger than single-table — scale the
+    # broadcast budget down accordingly before resolving "auto"
+    strategy = resolve_candidate_strategy(
+        e, strategy, broadcast_threshold_bytes // num_tables
+    )
+    corpus = with_keys.select(
+        F.col(id_col).alias("id_b"), F.explode(F.array(*kcols)).alias("__b")
+    )
+    probe_cols = []
+    for kc in kcols:
+        probe_cols.append(kc)
+        probe_cols.extend(kc.bitwiseXOR(F.lit(1 << j)) for j in range(multi_probe))
+    probes = with_keys.select(
+        F.col(id_col).alias("id_a"), F.explode(F.array(*probe_cols)).alias("__b")
+    )
+    cand = (
+        candidate_join(
+            probes, corpus, "__b", strategy=strategy,
+            broadcast_threshold_bytes=broadcast_threshold_bytes // num_tables,
+            salt_buckets=salt_buckets,
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair can co-bucket in several tables/probes
+    )
+    va = with_keys.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+                          F.col("__n").alias("__na"))
+    vb = with_keys.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+                          F.col("__n").alias("__nb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
+                .alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
     return (

@@ -320,9 +320,11 @@ def test_multi_probe_lifts_recall(spark, sf_dir):
 
     out = {r["method"]: (r["hits"], r["n_exact"], r["recall_at_k"])
            for r in ann_recall_at_k(spark, sf_dir).collect()}
-    assert set(out) == {"lsh", "lsh_multiprobe2", "ivf"}
+    assert set(out) == {"lsh", "lsh_multiprobe2", "ivf", "lsh_4tables_mp2"}
     assert all(n == out["lsh"][1] for _, n, _ in out.values())
     assert out["lsh_multiprobe2"][2] > out["lsh"][2]
+    # composing the two recall levers beats either alone
+    assert out["lsh_4tables_mp2"][2] > out["lsh_multiprobe2"][2]
     assert out["lsh"][2] >= 0.02
     assert out["ivf"][2] >= 0.10
 
