@@ -113,7 +113,17 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc count, and the final per-doc aggregation keys on doc_id.
     Document bodies never shuffle."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # bind the token array to a MATERIALIZED column before the segment
+    # lambda uses it: Catalyst does not share subtrees across lambda
+    # bodies, and CollapseProject re-inlines a mere projection alias, so
+    # without a plan boundary the split() re-runs inside transform() —
+    # once per segment. The persist is also what lets the final
+    # n_tokens join reuse the tokenization instead of re-reading and
+    # re-splitting every document body. Released with `seg` below.
+    tokd = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
+    ).persist()
+    toks = F.col("__toks")
     nseg = F.floor(F.size(toks) / _SEG_K).cast("int")
     segs = F.when(
         nseg > 0,
@@ -125,7 +135,7 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from apde_etl_spark.operators.similarity import hash60
 
-    base = docs.select(
+    base = tokd.select(
         "doc_id", F.size(toks).cast("int").alias("n_tokens"), segs.alias("segs")
     )
     # segments ride as fixed-width 60-bit hashes, and the exploded
@@ -172,6 +182,7 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = result.localCheckpoint(eager=True)  # one row per doc, 5 ints
     seg.unpersist()
+    tokd.unpersist()
     return result
 
 
