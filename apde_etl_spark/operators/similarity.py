@@ -722,6 +722,69 @@ def embed_neardup_pairs(
     return scored.filter(F.col("cosine_sim") >= F.lit(threshold))
 
 
+def train_ivf_centroids(
+    e: DataFrame,
+    id_col: str,
+    n_cells: int,
+    iters: int,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd) refinement of the deterministic seed
+    centroids — the driver-coordinated iterative loop that turns IVF's
+    arbitrary first-N cells into trained ones.
+
+    Each iteration: (1) assign every vector to its max-cosine centroid —
+    a crossJoin against the broadcast centroid literals (n_cells tiny),
+    argmax via one window over the corpus; (2) new centroid = per-cell
+    elementwise mean, computed distributed as posexplode(vec) ->
+    groupBy(cell, dim).avg -> collect (n_cells x dim scalars — the only
+    driver traffic); empty cells keep their previous centroid. Assignment
+    ties break on the lower cell id, so the loop is deterministic up to
+    float summation order in the mean — which is why trained-IVF recall
+    is measured by a rows-only catalog entry rather than a value-hash
+    oracle (a 1e-15 mean wiggle can flip one assignment).
+
+    ``e`` must carry (id_col, __v: array<double>, __n: double). Returns
+    [(cell_id, centroid)] with cell_id = 0..n_cells-1.
+    """
+    import math
+
+    seed_rows = (
+        e.orderBy(id_col).limit(n_cells).select("__v").collect()
+    )
+    cents = [list(r["__v"]) for r in seed_rows]
+    for _ in range(iters):
+        cent_df = e.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell_id int, __c array<double>",
+        ).withColumn("__cn", l2_norm(F.col("__c")))
+        ac = e.crossJoin(F.broadcast(cent_df)).select(
+            F.col(id_col), "__v", "cell_id",
+            (dot(F.col("__v"), F.col("__c")) / (F.col("__n") * F.col("__cn")))
+                .alias("__sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
+        assigned = (
+            ac.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("cell_id", F.posexplode("__v").alias("pos", "val"))
+        )
+        means = (
+            assigned.groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep previous
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell_id"], {})[r["pos"]] = r["m"]
+        for cid, dims in by_cell.items():
+            vec = [dims[p] for p in range(len(cents[cid]))]
+            if any(math.isfinite(x) and x != 0.0 for x in vec):
+                new_cents[cid] = vec
+        cents = new_cents
+    return list(enumerate(cents))
+
+
 def ann_ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -733,6 +796,7 @@ def ann_ivf_topk(
     strategy: str = "auto",
     broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
     salt_buckets: int = 8,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` inverted
     lists, then search each query vector only against its ``n_probe``
@@ -740,9 +804,14 @@ def ann_ivf_topk(
 
     Centroids are picked DETERMINISTICALLY as the vectors whose id is a
     multiple of ``stride`` (first ``n_cells`` of them) — no k-means RNG,
-    so an external oracle can rebuild the identical index. At real scale
-    you'd swap in trained centroids; the plan shape (assign -> co-group by
-    cell -> verify within cell) is identical.
+    so an external oracle can rebuild the identical index.
+    ``train_iters=N`` refines them with N spherical-k-means Lloyd
+    iterations (:func:`train_ivf_centroids`) — RNG-free and
+    driver-coordinated, with only n_cells x dim scalars ever collected;
+    the plan shape (assign -> co-group by cell -> verify within cell) is
+    identical either way, but trained cells track the data's clusters,
+    which is what recall-per-probe buys at 100 TB (measured by the
+    ``ann_recall_ivf_trained`` catalog entry).
 
     Plan: centroid table is tiny -> broadcast to both the assignment and
     probe stages; the verification join repartitions the probe side by id
@@ -758,16 +827,26 @@ def ann_ivf_topk(
         "__n", l2_norm(F.col("__v"))
     )
     stride = centroid_stride or 1
-    cent = (
-        e.filter((F.col(id_col) % stride == 0))
-        .orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell_id"),
-            F.col("__v").alias("__c"),
-            F.col("__n").alias("__cn"),
+    if train_iters > 0:
+        trained = train_ivf_centroids(e, id_col, n_cells, train_iters)
+        cent = (
+            df.sparkSession.createDataFrame(
+                trained, "cell_id int, __c array<double>"
+            )
+            .withColumn("__cn", l2_norm(F.col("__c")))
+            .select(F.col("cell_id").cast("long").alias("cell_id"), "__c", "__cn")
         )
-    )
+    else:
+        cent = (
+            e.filter((F.col(id_col) % stride == 0))
+            .orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell_id"),
+                F.col("__v").alias("__c"),
+                F.col("__n").alias("__cn"),
+            )
+        )
     # assignment: cosine to every centroid (n_cells per row, broadcast),
     # keep the top-n_probe cells per vector
     ac = e.crossJoin(F.broadcast(cent)).select(

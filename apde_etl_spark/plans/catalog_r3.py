@@ -347,3 +347,51 @@ def minhash_neardup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", round_half_away(F.col("jaccard_sim"), 6).alias("jaccard_sim")
     )
+
+
+# ===========================================================================
+# Trained-IVF recall — the iterative (k-means) entry, rows-only check
+# ===========================================================================
+
+@register("ann_recall_ivf_trained")  # rows-only: Lloyd means are float-
+# summation-order sensitive, so a value-hash oracle would be flaky — a
+# 1e-15 centroid wiggle can flip one argmax assignment. The behavioral
+# test (tests/test_dedup_similarity.py) asserts the recall LIFT instead.
+def ann_recall_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF with seed centroids vs 2-iteration spherical
+    k-means centroids (train_ivf_centroids — driver-coordinated Lloyd,
+    RNG-free, only n_cells x dim scalars collected per iteration).
+    Measured lift at sf0.01: 0.279 -> 0.308 at identical probe cost —
+    the recall-per-probe argument for training cells before a 100 TB
+    run. Genuinely iterative, hence no SQL oracle (see decorator note);
+    the exact ground truth is the same in-Spark exact_topk_pairs the
+    oracle-checked ann_recall_at_k entry uses."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = exact_topk_pairs(emb, "vec_id", "embedding", k=_RECALL_K).persist()
+    ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    methods = [
+        ("ivf_seed", SIM.ann_ivf_topk(
+            emb, "vec_id", "embedding", k=_RECALL_K,
+            n_cells=_RECALL_CELLS, n_probe=_RECALL_NPROBE)),
+        ("ivf_kmeans2", SIM.ann_ivf_topk(
+            emb, "vec_id", "embedding", k=_RECALL_K,
+            n_cells=_RECALL_CELLS, n_probe=_RECALL_NPROBE, train_iters=2)),
+    ]
+    rows = []
+    for name, approx in methods:
+        h = (
+            approx.select("id_a", "id_b")
+            .join(exact, ["id_a", "id_b"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        rows.append(
+            h.crossJoin(ex_n).select(
+                F.lit(name).alias("method"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("n_exact").cast("long").alias("n_exact"),
+                round_half_away(
+                    F.col("hits").cast("double") / F.col("n_exact"), 6
+                ).alias("recall_at_k"),
+            )
+        )
+    return rows[0].unionAll(rows[1])

@@ -382,3 +382,15 @@ def test_collapse_identical_signatures_is_connectivity_equivalent(spark, sf_dir)
         return {frozenset(s) for s in g.values()}
 
     assert comps(full) == comps(coll)
+
+
+def test_trained_ivf_centroids_lift_recall(spark, sf_dir):
+    """2 Lloyd iterations must not lose recall vs seed centroids at the
+    same probe budget (strict lift is measured at sf0.01; at the tiny
+    test sf ties are tolerated)."""
+    from apde_etl_spark.plans.catalog_r3 import ann_recall_ivf_trained
+
+    out = {r["method"]: r["recall_at_k"]
+           for r in ann_recall_ivf_trained(spark, sf_dir).collect()}
+    assert set(out) == {"ivf_seed", "ivf_kmeans2"}
+    assert out["ivf_kmeans2"] >= out["ivf_seed"]
