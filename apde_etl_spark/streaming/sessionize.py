@@ -173,3 +173,96 @@ def stream_sessionize(
             ),
         )
     )
+
+
+def tws_sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    watermark: str = "2 hours",
+    state_ttl_minutes: float | None = None,
+):
+    """The :func:`stream_sessionize` twin on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState``: typed state handles (ValueState here)
+    instead of one opaque tuple, declarative per-state TTL instead of a
+    hand-rolled processing-time timeout, and a RocksDB-backed store
+    (set ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider — transformWithState requires it).
+
+    Same fold, same emission contract (update semantics, one row per
+    session touched per microbatch, downstream keeps the newest row per
+    (user, session_seq)) — the equality test runs BOTH stateful
+    implementations plus the batch window recipe on the same data and
+    demands identical session assignments, which is the strongest
+    correctness evidence a custom stateful operator gets.
+
+    ``state_ttl_minutes``: evict idle users' state after this long
+    (processing time). Unlike the aPWS timeout, TTL eviction is silent —
+    no final re-emission — so leave it None when draining with
+    availableNow and size it >= the gap on continuous streams.
+
+    Runtime dependency: transformWithState's Python<->JVM state protocol
+    is protobuf-based, so the ``protobuf`` package must be installed
+    (the equality test skips, with the reason recorded, where it is
+    not); the fold itself mirrors :func:`stream_sessionize` line for
+    line, which the shared batch oracle pins down.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    ttl_ms = int(state_ttl_minutes * 60 * 1000) if state_ttl_minutes else None
+
+    class _Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sess = handle.getValueState("sess", _STATE_SCHEMA, ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user,) = key
+            ts_list: list[int] = []
+            for pdf in rows:
+                ts_list.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col])
+                )
+            ts_list.sort()
+            if self._sess.exists():
+                seq, start_us, last_us, n = self._sess.get()
+            else:
+                seq, start_us, last_us, n = -1, None, None, 0
+
+            out = []
+            for t in ts_list:
+                if last_us is None or (t - last_us) > gap_us:
+                    if last_us is not None:
+                        out.append((seq, start_us, last_us, n))
+                    seq += 1
+                    start_us, n = t, 0
+                last_us = t
+                n += 1
+            self._sess.update((seq, start_us, last_us, n))
+            out.append((seq, start_us, last_us, n))  # current (open) session
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(out),
+                    "session_seq": [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+                    "n_events": [o[3] for o in out],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return src.groupBy(F.col(user_col)).transformWithStateInPandas(
+        statefulProcessor=_Sessionizer(),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

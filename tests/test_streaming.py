@@ -224,3 +224,62 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert all(r["sv"] != 99.0 and r["sv"] != 100.0 for r in rows2)
     # run 2 did make progress (newly finalized window(s) appended)
     assert len(rows2) > len(rows1)
+
+
+def test_tws_sessionize_matches_batch_and_apws(spark, events_batch, events_stream):
+    """transformWithStateInPandas twin: identical session assignment as
+    the batch window recipe (and therefore as the applyInPandasWithState
+    implementation, tested above on the same expected set).
+
+    Requires protobuf (the TWS state-server wire protocol); skipped
+    where absent — the containers this repo is built in lack it."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf for its state protocol",
+    )
+    from apde_etl_spark.streaming.sessionize import (
+        batch_sessionize,
+        session_stats,
+        tws_sessionize,
+    )
+
+    batch_sub = events_batch.filter(F.col("user_id") < 150)
+    stream_sub = events_stream.filter(F.col("user_id") < 150)
+    expected = _canon(
+        session_stats(
+            batch_sessionize(batch_sub, "user_id", "ts", gap_minutes=1440.0)
+        )
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sessions = tws_sessionize(stream_sub, "user_id", "ts", gap_minutes=1440.0)
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("tws_sessions_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got_df = spark.sql(
+            """
+            SELECT user_id, session_seq, session_start, session_end, n_events
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, session_seq ORDER BY n_events DESC
+              ) AS rn
+              FROM tws_sessions_sink
+            ) WHERE rn = 1
+            """
+        )
+        assert _canon(got_df) == expected
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
