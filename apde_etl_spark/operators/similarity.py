@@ -178,11 +178,17 @@ def minhash_lsh_pairs(
     member represents the group in banding, other members are verified
     against their representative only (star edges, n-1 per group);
     members that FAIL that verification re-enter banding as themselves.
-    Output is then connectivity-equivalent to the full pair set (same
-    connected components) rather than pair-complete: a pair between a
-    failed member and a passed member of the same signature group is the
-    one shape that can go unreported. Default off — the default contract
-    stays exact pair-completeness over the banded candidates.
+    This is the standard representative-collapse APPROXIMATION, not an
+    equivalence: a collapsed member's edges outside its group are
+    evaluated through the representative, so two shapes of edge can go
+    unreported — (a) a pair between a failed member and a passed member
+    of the same signature group, and (b) a pair between a passed member
+    M and an out-of-group doc X where jaccard(M, X) passes but
+    jaccard(representative, X) fails. Both require the similarity to
+    straddle the threshold across near-identical docs; components built
+    from the pairs can split at exactly those edges. Default off — the
+    default contract stays exact pair-completeness over the banded
+    candidates.
 
     ``materialize=True`` eagerly computes the (small) verified pair list
     via ``localCheckpoint`` and releases the internal shingle cache
@@ -555,8 +561,6 @@ def ann_lsh_topk(
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     probe = e.repartition(nparts, id_col) if strategy == "broadcast" else e
     if multi_probe:
-        if multi_probe > num_planes:
-            raise ValueError("multi_probe cannot exceed num_planes")
         probe_buckets = F.array(
             F.col("__bucket"),
             *[F.col("__bucket").bitwiseXOR(F.lit(1 << j))
@@ -616,7 +620,10 @@ def _ann_lsh_topk_multitable(
     # materialize the L keys ONCE per vector (bucketing is num_planes
     # dim-wide dot products — never recompute it per probe neighbor),
     # and persist the narrow projection: it feeds the corpus explode,
-    # the probe explode, and both vector join-backs.
+    # the probe explode, and both vector join-backs. The cache stays
+    # alive for the lazy caller (same trade as the minhash base
+    # projection); repeated tuning sweeps in one session should
+    # spark.catalog.clearCache() between runs.
     with_keys = e.select(
         F.col(id_col), F.col("__v"), F.col("__n"),
         *[kc.alias(f"__k{t}") for t, kc in enumerate(key_cols)],
@@ -727,6 +734,7 @@ def train_ivf_centroids(
     id_col: str,
     n_cells: int,
     iters: int,
+    stride: int = 1,
 ) -> list[tuple[int, list[float]]]:
     """Spherical k-means (Lloyd) refinement of the deterministic seed
     centroids — the driver-coordinated iterative loop that turns IVF's
@@ -743,13 +751,19 @@ def train_ivf_centroids(
     is measured by a rows-only catalog entry rather than a value-hash
     oracle (a 1e-15 mean wiggle can flip one assignment).
 
-    ``e`` must carry (id_col, __v: array<double>, __n: double). Returns
-    [(cell_id, centroid)] with cell_id = 0..n_cells-1.
+    ``e`` must carry (id_col, __v: array<double>, __n: double); persist
+    it before calling — the seed collect and every iteration's assignment
+    + mean pass re-materialize it, so an unpersisted projection pays
+    ``iters + 1`` full corpus scans. ``stride`` applies the same seed
+    selection as the untrained path (ids that are multiples of stride,
+    first n_cells of them). Returns [(cell_id, centroid)] with
+    cell_id = 0..n_cells-1.
     """
     import math
 
     seed_rows = (
-        e.orderBy(id_col).limit(n_cells).select("__v").collect()
+        e.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col).limit(n_cells).select("__v").collect()
     )
     cents = [list(r["__v"]) for r in seed_rows]
     for _ in range(iters):
@@ -828,7 +842,13 @@ def ann_ivf_topk(
     )
     stride = centroid_stride or 1
     if train_iters > 0:
-        trained = train_ivf_centroids(e, id_col, n_cells, train_iters)
+        # persist the projection for the training loop: seed collect +
+        # per-iteration assignment/mean passes + the final assignment all
+        # read it (kept cached for the returned plan too — the same
+        # stay-alive trade the minhash base projection makes for lazy
+        # callers)
+        e = e.persist()
+        trained = train_ivf_centroids(e, id_col, n_cells, train_iters, stride)
         cent = (
             df.sparkSession.createDataFrame(
                 trained, "cell_id int, __c array<double>"
@@ -868,7 +888,12 @@ def ann_ivf_topk(
         F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"), "cell_id",
     )
-    strategy = resolve_candidate_strategy(lists, strategy, broadcast_threshold_bytes)
+    # gate on the corpus-sized projection `e`, NOT on `lists`: lists sits
+    # above the assignment crossJoin, and Catalyst's size estimate for a
+    # cross join is left_bytes x right_rows — ~n_cells-fold inflated, so
+    # gating on it made the broadcast path unreachable even for tiny
+    # corpora (caught by the PLANS.md audit flipping this entry to SMJ)
+    strategy = resolve_candidate_strategy(e, strategy, broadcast_threshold_bytes)
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     qside = probed.repartition(nparts, id_col) if strategy == "broadcast" else probed
     queries = qside.select(

@@ -72,6 +72,8 @@ class Page:
             self._rgb(stroke, stroke=True)
             self._ops.append(f"{_fmt(width)} w")
             self._ops.append("[] 0 d")
+        if fill is None and stroke is None:
+            return  # nothing to paint — explicit no-op, not a KeyError
         op = {(True, True): "B", (True, False): "f", (False, True): "S"}[
             (fill is not None, stroke is not None)
         ]

@@ -154,7 +154,11 @@ def export_plots(
         page = deck.new_page()
         page.text(0, PAGE_H - 24, f"Data QA missing: {datasource} {title_date}",
                   size=12, center_x=PAGE_W / 2)
-        nrows = (min(vars_per_page, 16) + ncols - 1) // ncols
+        # grid rows from the REQUESTED page size — sizing from a capped
+        # constant while still drawing vars_per_page facets pushed rows
+        # past the page bottom for vars_per_page > 16 (a partially
+        # filled last page keeps the same grid, like the reference)
+        nrows = (vars_per_page + ncols - 1) // ncols
         cw, ch = (PAGE_W - 90) / ncols, (PAGE_H - 80) / nrows
         for i, v in enumerate(page_vars):
             cx = 60 + (i % ncols) * cw

@@ -264,5 +264,8 @@ def tws_sessionize(
         statefulProcessor=_Sessionizer(),
         outputStructType=SESSION_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        # state TTL is only assignable under ProcessingTime time mode
+        # (Spark raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL
+        # otherwise); TTL-less drains keep NoTime
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )

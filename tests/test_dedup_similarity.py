@@ -352,9 +352,12 @@ def test_connected_components_probe_gates(spark):
 
 def test_collapse_identical_signatures_is_connectivity_equivalent(spark, sf_dir):
     """Hot-band guard (minhash_lsh_pairs collapse_identical_signatures):
-    a block of identical docs must produce the SAME connected components
-    as the full pairwise run while emitting star edges (linear in block
-    size) instead of the O(n^2) bucket."""
+    a block of IDENTICAL docs (jaccard 1.0 to the representative, far
+    from the threshold — no straddling edges, so the documented
+    representative-collapse approximation is exact here) must produce
+    the SAME connected components as the full pairwise run while
+    emitting star edges (linear in block size) instead of the O(n^2)
+    bucket."""
     n_hot = 30
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"

@@ -155,3 +155,20 @@ def test_values_deck_page_per_var_at_default_pagination(spark, tmp_path):
     paths = export_plots(miss, vals, str(tmp_path), "unittest2")
     assert page_count(paths[0]) == 1      # 6 vars fit one 16-facet page
     assert page_count(paths[1]) == 5
+
+
+def test_missing_deck_grid_stays_on_page_above_16_facets(spark, tmp_path):
+    """Regression: sizing the grid from a capped constant while drawing
+    vars_per_page facets pushed rows 5+ below the page bottom for
+    vars_per_page > 16. All painted content must sit at y >= 0
+    (uncompressed streams, so the ops are directly greppable)."""
+    import re
+
+    miss, vals = _deck_inputs(spark)
+    paths = export_plots(miss, vals, str(tmp_path), "grid20",
+                         vars_per_page=20, when=datetime.date(2024, 6, 1))
+    raw = open(paths[0], "rb").read().decode("latin-1")
+    ys = [float(m.group(2))
+          for m in re.finditer(r"([-\d.]+) ([-\d.]+) ([-\d.]+) ([-\d.]+) re ", raw)]
+    assert ys, "no rect ops found — stream format changed?"
+    assert min(ys) >= 0, f"chart content below the page: min y = {min(ys)}"
