@@ -70,6 +70,29 @@ def gen_documents(spark, n_docs: int, path: str) -> None:
     full.write.mode("overwrite").parquet(path)
 
 
+def gen_embeddings(spark, n_vecs: int, dim: int, path: str) -> None:
+    """Clustered synthetic embeddings: 32 cluster centers (hash-derived),
+    each vector = its cluster's center + small hash noise — deterministic,
+    no RNG, and clustered enough that LSH bucketing has real structure."""
+    from pyspark.sql import functions as F
+
+    # noise amplitude ~half the center spread: clusters are visible to
+    # LSH but members still straddle hyperplanes — too-tight clusters
+    # would drop whole clusters into single buckets and the candidate
+    # join would go quadratic per cluster (the pathology hot_band covers)
+    cluster = F.pmod(F.hash("id"), 32)
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            (F.pmod(F.hash(cluster * 1009 + j), 2000) - 1000) / 100.0
+            + (F.pmod(F.hash(F.col("id") * 7919 + j * 104729), 1000) - 500) / 100.0
+        ),
+    )
+    spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).write.mode("overwrite").parquet(path)
+
+
 def gen_lineitem(spark, n_rows: int, path: str) -> None:
     from pyspark.sql import functions as F
 
@@ -242,6 +265,24 @@ def main() -> None:
             else:
                 spark.conf.unset(k)
 
+    # ANN at scale: 200k clustered vectors, planes sized UP for the
+    # corpus (12 planes -> ~4k buckets; the 100 TB lever is more planes,
+    # never bigger buckets). Times the size-gated candidate join both
+    # ways: broadcast (the small-corpus plan) and the forced salted
+    # shuffle (the plan "auto" picks past the byte gate) — both must
+    # complete and agree on row count.
+    n_vecs = 200_000
+    gen_embeddings(spark, n_vecs, 64, f"{work}/embeddings_big.parquet")
+    emb = spark.read.parquet(f"{work}/embeddings_big.parquet")
+    ann_counts = {}
+    for strat in ("broadcast", "shuffle"):
+        t0 = time.perf_counter()
+        ann_counts[strat] = (
+            SIM.ann_lsh_topk(emb, k=5, num_planes=12, strategy=strat)
+            .groupBy().count().collect()[0][0]
+        )
+        t[f"ann_lsh_200k_{strat}"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps({
         # ceil-counts: id 0 always matches pmod == 0
         "n_docs": n_docs + -(-n_docs // 100) + -(-n_docs // 200),
@@ -254,6 +295,10 @@ def main() -> None:
         "hot_band_pairs_full": hot_pairs_full,
         "hot_band_pairs_collapsed": hot_pairs_collapsed,
         "hot_band_skew_engaged": hot_band_skew_engaged,
+        "n_vecs_ann": n_vecs,
+        "ann_topk_rows_broadcast": ann_counts["broadcast"],
+        "ann_topk_rows_shuffle": ann_counts["shuffle"],
+        "ann_strategies_agree": ann_counts["broadcast"] == ann_counts["shuffle"],
         "n_after_exact_dedup": kept,
         "n_corpus_final": n_corpus,
         "times_sec": t,
