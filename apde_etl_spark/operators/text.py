@@ -165,6 +165,24 @@ def winnow_fingerprints_df(
     )
 
 
+def hash_split_col(
+    id_col: Column | str = "doc_id",
+    holdout_per_mille: int = 50,
+    buckets: int = 1000,
+) -> Column:
+    """Column form of :func:`hash_split` — the split label as a pure
+    expression, for pipelines that want it inline on a wide row without
+    a self-join back to the id table."""
+    from apde_etl_spark.operators.similarity import hash60
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = hash60(c.cast("string")) % buckets
+    return (
+        F.when(bucket < holdout_per_mille, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -186,8 +204,7 @@ def hash_split(
     return df.select(
         F.col(id_col),
         bucket.cast("int").alias("bucket"),
-        F.when(bucket < holdout_per_mille, F.lit("holdout"))
-         .otherwise(F.lit("train")).alias("split"),
+        hash_split_col(id_col, holdout_per_mille, buckets).alias("split"),
     )
 
 
@@ -356,6 +373,41 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     )
     return out.select(id_col, "n_tokens", "dup_token_frac", "top_bigram_frac",
                       "repetitive")
+
+
+#: default PII patterns, ordered most-specific-first (an email's digits
+#: must not be half-eaten by the bare digit-run rule). Character-class
+#: regexes only, so Java regex (Spark) and RE2 (DuckDB) parse them
+#: identically — the same cross-engine discipline as BPE_ISH_PATTERN.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ID", r"[0-9]{7,}"),
+]
+
+
+def pii_match_count(col: Column | str, pattern: str) -> Column:
+    """Occurrences of one PII pattern (count BEFORE redaction — the audit
+    number a privacy review wants next to the scrubbed text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(
+    col: Column | str,
+    patterns: list[tuple[str, str]] | None = None,
+) -> Column:
+    """Sequentially replace every PII pattern with its ``[LABEL]`` token.
+
+    Order matters and is caller-controlled: the default list redacts
+    emails before bare digit runs so a match is consumed atomically by
+    the most specific rule. Pure chained ``regexp_replace`` — a single
+    codegen'd projection, no shuffle, no Python in the row path, so at
+    100 TB this runs at scan speed like any other narrow transform."""
+    c = F.col(col) if isinstance(col, str) else col
+    for label, pat in patterns or PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"[{label}]")
+    return c
 
 
 def tfidf_top_terms(df: DataFrame, group_col: str = "source",

@@ -1,0 +1,319 @@
+"""Round-3 extension catalog: privacy scrubbing, benchmark
+decontamination, per-domain capping, repeated-span mining, and
+model-style quality scoring — the remaining training-data-pipeline
+surface beyond the dedup/ANN family.
+
+Each entry is a (Spark program, DuckDB oracle) pair under the catalog's
+cross-engine hash discipline (identical aliases, BIGINT casts, shared
+half-away rounding). Scale notes live on each entry: every hot path is
+native Columns, shuffle keys are fixed-width hashes, and nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apde_etl_spark.functions.core import round_half_away
+from apde_etl_spark.operators import similarity as SIM
+from apde_etl_spark.operators import text as TX
+from apde_etl_spark.plans.catalog import _sql_round, load, register
+
+# ===========================================================================
+# PII redaction — regex scrub with audit counts
+# ===========================================================================
+
+# The synthetic tables carry no real PII, so the entry derives a
+# deterministic "contact card" free-text column from customer fields
+# (both engines build the identical string), then scrubs it. The
+# construction is part of the contract: lpad'd digit groups shaped like
+# the TPC-H phone format, plus a derived e-mail.
+
+_SQL_PHONE = (
+    "concat(lpad(CAST(c_custkey % 89 + 10 AS VARCHAR), 2, '0'), '-', "
+    "lpad(CAST(c_custkey % 997 AS VARCHAR), 3, '0'), '-', "
+    "lpad(CAST((c_custkey * 7) % 997 AS VARCHAR), 3, '0'), '-', "
+    "lpad(CAST((c_custkey * 13) % 9973 AS VARCHAR), 4, '0'))"
+)
+_SQL_CONTACT = (
+    f"concat(c_name, ' reachable at ', {_SQL_PHONE}, "
+    "' or cust', CAST(c_custkey AS VARCHAR), '@example.com segment ', c_mktsegment)"
+)
+
+_PII_SQL_REPLACE = "__contact__"
+for _label, _pat in TX.PII_PATTERNS:
+    _PII_SQL_REPLACE = (
+        f"regexp_replace({_PII_SQL_REPLACE}, '{_pat}', '[{_label}]', 'g')"
+    )
+
+_PII_ORACLE = f"""
+WITH c AS (SELECT c_custkey, {_SQL_CONTACT} AS __contact__ FROM customer)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(__contact__, '{TX.PII_PATTERNS[0][1]}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(__contact__, '{TX.PII_PATTERNS[1][1]}')) AS INTEGER) AS n_phones,
+       {_PII_SQL_REPLACE} AS redacted
+FROM c
+"""
+
+
+@register("pii_redact_contacts", _PII_ORACLE)
+def pii_redact_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a derived contact-card column: count emails/phones
+    (audit numbers, taken BEFORE redaction), then redact
+    email -> phone -> long-digit-run in most-specific-first order
+    (operators/text.py PII_PATTERNS). The customer-id digit run inside
+    ``Customer#000000042`` is caught by the ID rule, so every output row
+    exercises all three patterns. One codegen'd projection — scan-speed
+    at 100 TB, no shuffle, no UDF. Reference analogue: the reference has
+    no scrubber (its data never leaves the enclave); this is part of the
+    training-pipeline extension surface."""
+    cust = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        F.lpad((k % 89 + 10).cast("string"), 2, "0"),
+        F.lpad((k % 997).cast("string"), 3, "0"),
+        F.lpad(((k * 7) % 997).cast("string"), 3, "0"),
+        F.lpad(((k * 13) % 9973).cast("string"), 4, "0"),
+    )
+    contact = F.concat(
+        F.col("c_name"), F.lit(" reachable at "), phone,
+        F.lit(" or cust"), k.cast("string"), F.lit("@example.com segment "),
+        F.col("c_mktsegment"),
+    )
+    base = cust.select("c_custkey", contact.alias("__contact__"))
+    return base.select(
+        "c_custkey",
+        TX.pii_match_count("__contact__", TX.PII_PATTERNS[0][1])
+          .cast("int").alias("n_emails"),
+        TX.pii_match_count("__contact__", TX.PII_PATTERNS[1][1])
+          .cast("int").alias("n_phones"),
+        TX.redact_pii("__contact__").alias("redacted"),
+    )
+
+
+# ===========================================================================
+# Benchmark decontamination — n-gram overlap against the holdout split
+# ===========================================================================
+
+_DECON_N = 4          # 4-word grams (docs are 10-99 tokens)
+_DECON_FLAG = 3       # >= 3 shared grams -> contaminated
+
+_SQL_HASHSPLIT = (
+    "CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 1000 < 50 THEN 'holdout' ELSE 'train' END"
+)
+_SQL_GRAMS4 = (
+    "list_distinct(list_transform(range(1, len(t) - {n} + 2), "
+    "i -> array_to_string(t[CAST(i AS BIGINT):CAST(i + {m} AS BIGINT)], ' ')))"
+).format(n=_DECON_N, m=_DECON_N - 1)
+
+_DECON_ORACLE = f"""
+WITH split AS (SELECT doc_id, text, {_SQL_HASHSPLIT} AS split FROM documents),
+toks AS (SELECT doc_id, split, regexp_split_to_array(trim(text), '\\s+') AS t FROM split),
+sp AS (SELECT doc_id, split, unnest({_SQL_GRAMS4}) AS gram FROM toks),
+ho AS (SELECT DISTINCT gram FROM sp WHERE split = 'holdout'),
+tr AS (SELECT doc_id, gram FROM sp WHERE split = 'train')
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+       count(*) >= {_DECON_FLAG} AS contaminated
+FROM tr JOIN ho USING (gram)
+GROUP BY tr.doc_id
+"""
+
+
+@register("decontam_ngram_overlap", _DECON_ORACLE)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the published n-gram-overlap method:
+    GPT-3 App. C / Llama 13-gram variant, scaled to 4-grams for these
+    short synthetic docs): flag training documents sharing >= 3 distinct
+    word 4-grams with any holdout document.
+
+    Scale shape: the deterministic hash split rides inline as a pure
+    column (operators/text.py hash_split_col — no self-join back to an
+    id table, so the corpus is scanned once per side); both sides
+    explode to distinct per-doc grams and join on the fixed-width
+    60-bit gram hash — never the gram text. In production the
+    "holdout" side is a benchmark suite (MBs, thousands of grams), so
+    the gram join broadcasts and decontamination costs one corpus
+    scan; here the 5% holdout split stands in and AQE picks the
+    strategy. Per-doc overlap counts come off the join with a count,
+    grouped by the train doc id."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text", TX.hash_split_col("doc_id").alias("split"))
+    grams = d.select(
+        "doc_id", "split",
+        F.explode(SIM.word_shingles(F.col("text"), _DECON_N)).alias("gram"),
+    ).select("doc_id", "split", SIM.hash60(F.col("gram")).alias("gh"))
+    ho = grams.filter(F.col("split") == "holdout").select("gh").distinct()
+    tr = grams.filter(F.col("split") == "train").select("doc_id", "gh")
+    ov = tr.join(ho, "gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return ov.select(
+        "doc_id",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        (F.col("n_overlap") >= _DECON_FLAG).alias("contaminated"),
+    )
+
+
+# ===========================================================================
+# Per-domain document cap — deterministic priority sampling
+# ===========================================================================
+
+_CAP_PER_SOURCE = 15
+
+_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, CAST(rn AS INTEGER) AS sample_rank
+FROM ranked WHERE rn <= {_CAP_PER_SOURCE}
+"""
+
+
+@register("per_source_doc_cap", _CAP_ORACLE)
+def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap — keep at most N documents per source, chosen by a
+    content-free deterministic priority (60-bit id hash, id tiebreak).
+    The standard guard against a single crawl domain dominating the
+    mixture; the hash priority makes the kept set stable across runs,
+    engines, and partitionings, and nested under a larger cap (raising
+    N strictly grows the set — same property as stratified_hash_sample).
+
+    Scale shape: one hash-partition shuffle on ``source`` + a per-key
+    row_number. A pathologically hot domain concentrates its rank scan
+    in one task; the cap is small and constant, so the two-phase refine
+    (per-partition local top-N, then global) is the upgrade path — at
+    the corpus sizes a per-domain cap targets (thousands of docs per
+    domain), the single window pass is the plan you want."""
+    docs = load(spark, sf_dir, "documents")
+    pr = SIM.hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(pr.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _CAP_PER_SOURCE)
+        .select("doc_id", "source", F.col("sample_rank").cast("int").alias("sample_rank"))
+    )
+
+
+# ===========================================================================
+# Repeated-span mining — cross-document boilerplate/memorization spans
+# ===========================================================================
+
+_SPAN_K = 5           # tokens per span
+_SPAN_MIN_DOCS = 3
+
+_SQL_GRAMS5 = (
+    "list_distinct(list_transform(range(1, len(t) - {n} + 2), "
+    "i -> array_to_string(t[CAST(i AS BIGINT):CAST(i + {m} AS BIGINT)], ' ')))"
+).format(n=_SPAN_K, m=_SPAN_K - 1)
+
+_SPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sp AS (SELECT doc_id, unnest({_SQL_GRAMS5}) AS span FROM toks)
+SELECT span, CAST(count(*) AS BIGINT) AS n_docs
+FROM sp GROUP BY span HAVING count(*) >= {_SPAN_MIN_DOCS}
+"""
+
+
+@register("repeated_span_docs", _SPAN_ORACLE)
+def repeated_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated spans: every {k}-token word run appearing
+    in >= {m} distinct documents — the cheap, bucketed approximation of
+    suffix-array substring dedup (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better": exact repeated
+    substrings; here fixed-length spans make it a groupBy instead of a
+    suffix sort). Output feeds span-level removal or memorization
+    audits.
+
+    Scale shape: explode -> groupBy on the 60-bit span hash (fixed-width
+    shuffle key; the span text rides along as min() — all group members
+    are the identical string). Spans are per-doc distinct (word_shingles)
+    so ``count(*)`` IS the distinct-doc count — no count-distinct
+    machinery. Map-side partial aggregation collapses each partition's
+    duplicates before the exchange, so shuffle volume is bounded by the
+    distinct-span count per partition, not the token count."""
+    docs = load(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id", F.explode(SIM.word_shingles(F.col("text"), _SPAN_K)).alias("span")
+    )
+    return (
+        sp.groupBy(SIM.hash60(F.col("span")).alias("__sh"))
+        .agg(F.min("span").alias("span"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
+        .select("span", F.col("n_docs").cast("long").alias("n_docs"))
+    )
+
+
+repeated_span_docs.__doc__ = repeated_span_docs.__doc__.format(
+    k=_SPAN_K, m=_SPAN_MIN_DOCS
+)
+
+
+# ===========================================================================
+# Quality scoring — fixed-weight logistic over native text features
+# ===========================================================================
+
+# fastText-style linear quality classifier with published-style fixed
+# weights; the point is the SHAPE (featurize -> dot -> sigmoid as one
+# projection), not the particular weights.
+_QW_BIAS = -2.0
+_QW_STOP = 8.0        # stopword ratio: fluent text scores higher
+_QW_MTL = 0.35        # mean token length
+_QW_NTOK = 0.01       # length prior
+
+_N_TOKS = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_SW_LIST = ", ".join(f"'{s}'" for s in TX.EN_STOPWORDS)
+_LOW_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_R_STOP = (
+    f"CAST(len(list_filter({_LOW_TOKS}, x -> x IN ({_SW_LIST}))) AS DOUBLE)"
+    f" / {_N_TOKS}"
+)
+_MTL = (
+    f"CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)"
+    f" / {_N_TOKS}"
+)
+_Z = f"({_QW_BIAS} + {_QW_STOP} * ({_R_STOP}) + {_QW_MTL} * ({_MTL}) + {_QW_NTOK} * {_N_TOKS})"
+
+_QSCORE_ORACLE = f"""
+SELECT doc_id,
+       CAST({_N_TOKS} AS INTEGER) AS n_tokens,
+       {_sql_round(f"1.0 / (1.0 + exp(-{_Z}))", 6)} AS quality_score,
+       1.0 / (1.0 + exp(-{_Z})) >= 0.5 AS keep
+FROM documents
+"""
+
+
+@register("quality_logistic_score", _QSCORE_ORACLE)
+def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-style quality scoring: a fixed-weight logistic over native
+    text features (stopword ratio, mean token length, token count) with
+    a keep/drop decision at p >= 0.5 — the linear-classifier stage of a
+    pretraining filter (CCNet/fastText shape) expressed as one
+    whole-stage-codegen projection. Swapping in real learned weights is
+    a constant change; the execution plan is already the 100 TB one:
+    scan-speed, no shuffle, no UDF, no model server in the row path."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = TX.token_count("text").cast("double")
+    z = (
+        F.lit(_QW_BIAS)
+        + F.lit(_QW_STOP) * TX.stopword_ratio("text")
+        + F.lit(_QW_MTL)
+        * (F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")) / n_tok)
+        + F.lit(_QW_NTOK) * n_tok
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        round_half_away(p, 6).alias("quality_score"),
+        (p >= 0.5).alias("keep"),
+    )

@@ -1,0 +1,106 @@
+"""Behavioral tests for the round-3 extension entries (catalog_r3b):
+properties the DuckDB oracle equivalence can't express — redaction
+completeness, split hygiene, cap determinism/contiguity, span truth."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators import text as TX
+from apde_etl_spark.plans.catalog_r3b import (
+    _CAP_PER_SOURCE,
+    _DECON_FLAG,
+    _SPAN_MIN_DOCS,
+    _SPAN_K,
+    decontam_ngram_overlap,
+    per_source_doc_cap,
+    pii_redact_contacts,
+    quality_logistic_score,
+    repeated_span_docs,
+)
+
+
+def test_pii_redaction_is_complete(spark, sf_dir):
+    rows = pii_redact_contacts(spark, sf_dir).collect()
+    assert rows
+    pats = [re.compile(p) for _, p in TX.PII_PATTERNS]
+    for r in rows:
+        assert r["n_emails"] >= 1
+        assert r["n_phones"] >= 1
+        for pat in pats:
+            assert not pat.search(r["redacted"]), (r["redacted"], pat.pattern)
+        # labels actually present (every contact card carries all three)
+        assert "[EMAIL]" in r["redacted"]
+        assert "[PHONE]" in r["redacted"]
+        assert "[ID]" in r["redacted"]
+
+
+def test_pii_redaction_order_most_specific_first():
+    # the email's digits must be consumed by [EMAIL], not chewed by [ID]
+    import pandas as pd
+    from apde_etl_spark.session import get_spark
+
+    spark = get_spark("pii-order-test", shuffle_partitions=2)
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": ["mail me at a1234567@host.org or 12-345-678-9012 id 99999999"]})
+    )
+    out = df.select(TX.redact_pii("t").alias("r")).collect()[0]["r"]
+    assert out == "mail me at [EMAIL] or [PHONE] id [ID]"
+
+
+def test_decontam_output_is_train_only_and_flag_consistent(spark, sf_dir):
+    out = decontam_ngram_overlap(spark, sf_dir)
+    rows = out.collect()
+    split = {
+        r["doc_id"]: r["split"]
+        for r in TX.hash_split(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+        ).collect()
+    }
+    for r in rows:
+        assert split[r["doc_id"]] == "train"
+        assert r["contaminated"] == (r["n_overlap"] >= _DECON_FLAG)
+
+
+def test_per_source_cap_contiguous_deterministic(spark, sf_dir):
+    out = per_source_doc_cap(spark, sf_dir)
+    rows = out.collect()
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["sample_rank"])
+    for src, ranks in by_src.items():
+        assert len(ranks) <= _CAP_PER_SOURCE
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+    # deterministic: a second evaluation yields the identical kept set
+    again = {(r["doc_id"], r["sample_rank"]) for r in out.collect()}
+    assert again == {(r["doc_id"], r["sample_rank"]) for r in rows}
+
+
+def test_repeated_spans_occur_in_enough_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repeated_span_docs(spark, sf_dir).collect()
+    texts = [(r["doc_id"], re.split(r"\s+", r["text"].strip())) for r in docs.collect()]
+    for r in out[:20]:
+        span_toks = r["span"].split(" ")
+        assert len(span_toks) == _SPAN_K
+        n = sum(
+            1
+            for _id, toks in texts
+            if any(
+                toks[i : i + _SPAN_K] == span_toks
+                for i in range(len(toks) - _SPAN_K + 1)
+            )
+        )
+        assert n == r["n_docs"] >= _SPAN_MIN_DOCS
+
+
+def test_quality_score_bounds_and_keep(spark, sf_dir):
+    rows = quality_logistic_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["quality_score"] < 1.0
+        # keep is decided on the unrounded p; allow the 6-digit boundary
+        if abs(r["quality_score"] - 0.5) > 1e-5:
+            assert r["keep"] == (r["quality_score"] >= 0.5)
