@@ -410,6 +410,31 @@ def redact_pii(
     return c
 
 
+#: fixed weights of the reference logistic quality model — the fastText/
+#: CCNet-style linear classifier stage; swapping in learned weights is a
+#: constant change, the plan shape is already the 100 TB one.
+QUALITY_WEIGHTS = {"bias": -2.0, "stopword_ratio": 8.0,
+                   "mean_token_len": 0.35, "n_tokens": 0.01}
+
+
+def quality_logistic(col: Column | str = "text",
+                     weights: dict[str, float] | None = None) -> Column:
+    """Quality probability: sigmoid over the fixed-weight linear
+    combination of native text features (stopword ratio, mean token
+    length, token count). One codegen'd projection, no shuffle."""
+    w = weights or QUALITY_WEIGHTS
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    mtl = F.length(F.regexp_replace(F.trim(c), _WS, "")) / n_tok
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["stopword_ratio"]) * stopword_ratio(c)
+        + F.lit(w["mean_token_len"]) * mtl
+        + F.lit(w["n_tokens"]) * n_tok
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def tfidf_top_terms(df: DataFrame, group_col: str = "source",
                     text_col: str = "text", k: int = 5) -> DataFrame:
     """Top-k salient terms per group by tf-idf (tf = raw term count in

