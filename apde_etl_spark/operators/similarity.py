@@ -272,6 +272,65 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_lsh_join(
+    query: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Asymmetric MinHash+LSH join: verified near-dup pairs between a
+    QUERY batch and an existing CORPUS — the incremental-ingest shape.
+    Returns (id_q, id_c, jaccard_sim) with jaccard >= ``threshold``.
+
+    This is deliberately NOT the self-join (:func:`minhash_lsh_pairs`):
+    when a day's crawl lands against a 100 TB corpus, banding both sides
+    and joining query-bands to corpus-bands costs one exchange keyed on
+    the band string, with the candidate count bounded by query-side
+    bucket membership — the corpus never self-pairs, so a hot corpus
+    bucket costs |bucket ∩ query| work, not |bucket|^2. The corpus-side
+    (signature, band) projection is exactly the artifact you would
+    precompute and store alongside the corpus; here it is derived in
+    the same plan for self-containment."""
+    rows = num_hashes // bands
+
+    def prep(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh"))
+            .filter(F.size("__sh") > 0)
+            .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+            .persist()  # shingles feed banding AND verification; lazy
+            # callers keep the cache until their first action
+        )
+
+    q, c = prep(query), prep(corpus)
+    qb = q.select(
+        F.col(id_col).alias("id_q"),
+        F.explode(lsh_bands(F.col("__sig"), bands, rows)).alias("__band"),
+    )
+    cb = c.select(
+        F.col(id_col).alias("id_c"),
+        F.explode(lsh_bands(F.col("__sig"), bands, rows)).alias("__band"),
+    )
+    cand = qb.join(cb, "__band").select("id_q", "id_c").distinct()
+    return (
+        cand.join(
+            q.select(F.col(id_col).alias("id_q"), F.col("__sh").alias("__sh_q")),
+            "id_q",
+        )
+        .join(
+            c.select(F.col(id_col).alias("id_c"), F.col("__sh").alias("__sh_c")),
+            "id_c",
+        )
+        .withColumn("jaccard_sim", jaccard(F.col("__sh_q"), F.col("__sh_c")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_q", "id_c", "jaccard_sim")
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """SimHash fingerprint over whitespace tokens: per-token 60-bit hash,

@@ -422,3 +422,150 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
 curation_pipeline_end2end.__doc__ = curation_pipeline_end2end.__doc__.format(
     flag=_DECON_FLAG, cap=_CAP_PER_SOURCE
 )
+
+
+# ===========================================================================
+# Incremental ingest dedup — new batch vs existing corpus
+# ===========================================================================
+
+_ING_THRESHOLD = 0.2
+
+
+def _sql_incremental_ingest() -> str:
+    """DuckDB twin of the incremental-ingest classifier. The batch is
+    derived deterministically from ``documents``: re-crawled pages
+    (exact text under fresh ids), revised pages (two tokens appended),
+    and genuinely new pages (uppercased text — every shingle differs)."""
+    from apde_etl_spark.plans.catalog_ext import (
+        _SQL_SHINGLES,
+        _SQL_TOKS,
+        _sql_hash60,
+        _sql_minhash_sig,
+    )
+
+    bands = ",\n    ".join(
+        "concat('%d:', ',', g[%d], ',', g[%d], ',', g[%d], ',', g[%d])"
+        % (b, b * 4 + 1, b * 4 + 2, b * 4 + 3, b * 4 + 4)
+        for b in range(4)
+    )
+    jac = ("CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
+           " / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))")
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 30000000 AS doc_id, concat(text, ' revised edition') AS text
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id, upper(text) AS text
+  FROM documents WHERE doc_id % 13 = 0
+),
+chash AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+bh AS (SELECT doc_id, text, md5(text) AS h FROM batch),
+exact AS (SELECT doc_id FROM bh WHERE h IN (SELECT h FROM chash)),
+surv AS (SELECT doc_id, text FROM bh WHERE h NOT IN (SELECT h FROM chash)),
+stoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM surv),
+ssh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM stoks WHERE len({_SQL_SHINGLES}) > 0),
+shashed AS (SELECT doc_id, s,
+            list_transform(s, x -> {_sql_hash60('x')} % {2_147_483_647}) AS hb FROM ssh),
+ssig AS (SELECT doc_id, {_sql_minhash_sig()} AS g FROM shashed),
+sband AS (SELECT doc_id, unnest([
+    {bands}
+  ]) AS band FROM ssig),
+ctoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM corpus),
+csh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM ctoks WHERE len({_SQL_SHINGLES}) > 0),
+chashed2 AS (SELECT doc_id, s,
+             list_transform(s, x -> {_sql_hash60('x')} % {2_147_483_647}) AS hb FROM csh),
+csig AS (SELECT doc_id, {_sql_minhash_sig()} AS g FROM chashed2),
+cband AS (SELECT doc_id, unnest([
+    {bands}
+  ]) AS band FROM csig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_q, b.doc_id AS id_c
+  FROM sband a JOIN cband b ON a.band = b.band
+),
+near AS (
+  SELECT DISTINCT cand.id_q AS doc_id
+  FROM cand
+  JOIN ssh sa ON sa.doc_id = cand.id_q
+  JOIN csh sb ON sb.doc_id = cand.id_c
+  WHERE {jac} >= {_ING_THRESHOLD}
+)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status
+FROM batch b
+LEFT JOIN exact e ON b.doc_id = e.doc_id
+LEFT JOIN near n ON b.doc_id = n.doc_id
+"""
+
+
+@register("incremental_ingest_dedup", _sql_incremental_ingest())
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest against an existing corpus — the production
+    shape for continuously-crawled data: classify each new-batch
+    document as exact_dup (content digest already in the corpus),
+    near_dup (verified MinHash-LSH match >= {thr} Jaccard against the
+    corpus), or unique. The batch is derived from ``documents``:
+    re-crawls (same text, fresh id), revisions (' revised edition'
+    appended), and new pages (uppercased text).
+
+    Scale shape, cheapest test first: the digest semi/anti-join on
+    md5 (fixed-width shuffle key) disposes of exact re-crawls before
+    any shingling; only survivors pay MinHash. The near test is the
+    ASYMMETRIC band join (operators/similarity.py minhash_lsh_join) —
+    query bands against corpus bands, never a corpus self-join, so a
+    day's batch costs |batch| x band-bucket-intersection work no matter
+    how big the corpus is. In steady production the corpus-side
+    signatures are a precomputed artifact; this entry derives them in
+    the same plan for self-containment."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    batch = (
+        docs.filter(did % 5 == 0)
+        .select((did + 20_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(did % 11 == 0).select(
+                (did + 30_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" revised edition")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(did % 13 == 0).select(
+                (did + 40_000_000).alias("doc_id"),
+                F.upper(F.col("text")).alias("text"),
+            )
+        )
+    )
+    corpus_digests = docs.select(
+        F.md5(F.col("text").cast("binary")).alias("__h")
+    ).distinct()
+    bh = batch.withColumn("__h", F.md5(F.col("text").cast("binary")))
+    exact_ids = bh.join(corpus_digests, "__h", "left_semi").select("doc_id")
+    survivors = bh.join(corpus_digests, "__h", "left_anti").select("doc_id", "text")
+    near_ids = (
+        SIM.minhash_lsh_join(
+            survivors, docs, threshold=_ING_THRESHOLD
+        )
+        .select(F.col("id_q").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__e").isNotNull(), "exact_dup")
+            .when(F.col("__n").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("status"),
+        )
+    )
+
+
+incremental_ingest_dedup.__doc__ = incremental_ingest_dedup.__doc__.format(
+    thr=_ING_THRESHOLD
+)

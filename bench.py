@@ -58,6 +58,7 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "repeated_span_docs",
     "curation_pipeline_end2end",
+    "incremental_ingest_dedup",
 ]
 
 

@@ -96,6 +96,24 @@ def test_repeated_spans_occur_in_enough_docs(spark, sf_dir):
         assert n == r["n_docs"] >= _SPAN_MIN_DOCS
 
 
+def test_incremental_ingest_statuses(spark, sf_dir):
+    from apde_etl_spark.plans.catalog_r3b import incremental_ingest_dedup
+
+    rows = {r["doc_id"]: r["status"] for r in
+            incremental_ingest_dedup(spark, sf_dir).collect()}
+    assert rows
+    exact = [s for d, s in rows.items() if 20_000_000 <= d < 30_000_000]
+    revised = [s for d, s in rows.items() if 30_000_000 <= d < 40_000_000]
+    uniq = [s for d, s in rows.items() if d >= 40_000_000]
+    # re-crawled pages are always exact duplicates of the corpus
+    assert exact and all(s == "exact_dup" for s in exact)
+    # uppercased pages share no shingle with the lowercase corpus
+    assert uniq and all(s == "unique" for s in uniq)
+    # revised pages are near-dups up to LSH banding recall (never exact)
+    assert revised and all(s != "exact_dup" for s in revised)
+    assert sum(s == "near_dup" for s in revised) >= 0.8 * len(revised)
+
+
 def test_quality_score_bounds_and_keep(spark, sf_dir):
     rows = quality_logistic_score(spark, sf_dir).collect()
     assert rows

@@ -283,6 +283,28 @@ def main() -> None:
         )
         t[f"ann_lsh_200k_{strat}"] = round(time.perf_counter() - t0, 2)
 
+    # round-3 curation family at n_docs: gram-hash decontamination,
+    # repeated-span mining, and the composed curation pipeline — the
+    # check is that the gram/span/md5 shuffle keys stay fixed-width and
+    # corpus-size-invariant (time should scale ~linearly with docs)
+    from apde_etl_spark.plans.catalog_r3b import (
+        curation_pipeline_end2end,
+        decontam_ngram_overlap,
+        repeated_span_docs,
+    )
+
+    t0 = time.perf_counter()
+    n_decontam = decontam_ngram_overlap(spark, work).count()
+    t["decontam_ngram"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_spans = repeated_span_docs(spark, work).count()
+    t["repeated_spans"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    n_curated = curation_pipeline_end2end(spark, work).count()
+    t["curation_pipeline_full"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps({
         # ceil-counts: id 0 always matches pmod == 0
         "n_docs": n_docs + -(-n_docs // 100) + -(-n_docs // 200),
@@ -301,6 +323,9 @@ def main() -> None:
         "ann_strategies_agree": ann_counts["broadcast"] == ann_counts["shuffle"],
         "n_after_exact_dedup": kept,
         "n_corpus_final": n_corpus,
+        "n_decontam_flagged": n_decontam,
+        "n_repeated_spans": n_spans,
+        "n_curated_final": n_curated,
         "times_sec": t,
     }))
 
