@@ -542,7 +542,11 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_digests = docs.select(
         F.md5(F.col("text").cast("binary")).alias("__h")
     ).distinct()
-    bh = batch.withColumn("__h", F.md5(F.col("text").cast("binary")))
+    # the digested batch feeds three branches (exact semi-join, survivor
+    # anti-join, final status projection); persist it so the batch
+    # derivation runs once — in production the batch is its own table
+    # and this cache is simply that table's scan
+    bh = batch.withColumn("__h", F.md5(F.col("text").cast("binary"))).persist()
     exact_ids = bh.join(corpus_digests, "__h", "left_semi").select("doc_id")
     survivors = bh.join(corpus_digests, "__h", "left_anti").select("doc_id", "text")
     near_ids = (
@@ -553,7 +557,7 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        batch.select("doc_id")
+        bh.select("doc_id")
         .join(exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left")
         .join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left")
         .select(
