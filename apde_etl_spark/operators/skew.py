@@ -104,3 +104,82 @@ def replicated_salted_join(
     )
     out = f_salted.join(d_rep, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def hash_priority_cap(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    n: int,
+    safety: float = 8.0,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Per-key top-``n`` by deterministic hash priority WITHOUT shuffling
+    the full key group — the hot-domain guard for per-domain caps.
+
+    A plain ``row_number`` window ships every row of a key to one
+    reducer; a crawl domain with 10^9 pages makes that reducer the job.
+    Here the priority is a uniform content-free hash, so the kept rows
+    almost surely sit in the smallest ``n/cnt`` quantile of the hash
+    space. Three cheap steps replace the full shuffle:
+
+    1. per-key counts (map-side-combined agg, one tiny row per key),
+       broadcast back;
+    2. prune to rows with hash below ``n * safety / cnt`` of the hash
+       space (a scan-side filter: expected survivors ~``n * safety``
+       per key, independent of key size);
+    3. the exact window runs over survivors only.
+
+    Exactness is guaranteed, not probabilistic: a key whose survivor
+    count came up short of ``min(n, cnt)`` (hash clustering beyond the
+    safety margin — Chernoff-improbable but possible) is detected by
+    comparing kept counts against expectations and re-ranked over its
+    FULL rows; the rescue set is empty in every sane run, so the extra
+    pass costs an empty scan. Output = input columns + ``rank_col``,
+    identical to the plain-window cap row-for-row.
+    """
+    from pyspark.sql.window import Window
+
+    from apde_etl_spark.operators.similarity import hash60
+
+    HASH_SPACE = float(1 << 60)  # hash60 range [0, 2^60)
+    pr = hash60(F.col(id_col).cast("string"))
+    cols = df.columns
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    cut = (
+        F.when(F.col("__cnt") <= F.lit(int(n * safety)), F.lit(1 << 62))
+        .otherwise(
+            (F.lit(HASH_SPACE) * F.lit(float(n) * safety) / F.col("__cnt"))
+            .cast("long")
+        )
+        .alias("__cut")
+    )
+    thresholds = F.broadcast(counts.select(key_col, "__cnt", cut))
+
+    tagged = df.withColumn("__pr", pr).join(thresholds, key_col)
+    surv = tagged.filter(F.col("__pr") <= F.col("__cut"))
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__pr").asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        surv.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+        .persist()  # read twice: rescue probe + final union
+    )
+    # rescue probe: any key whose kept count < min(n, cnt) was pruned
+    # too hard — re-rank that key's FULL rows (exactness guard)
+    short = (
+        ranked.groupBy(key_col, "__cnt")
+        .agg(F.count(F.lit(1)).alias("__kept"))
+        .filter(F.col("__kept") < F.least(F.lit(n), F.col("__cnt")))
+        .select(key_col)
+    )
+    rescue = (
+        tagged.join(F.broadcast(short), key_col, "left_semi")
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
+    ok = ranked.join(F.broadcast(short), key_col, "left_anti")
+    out_cols = [*cols, rank_col]
+    return ok.select(*out_cols).unionByName(rescue.select(*out_cols))

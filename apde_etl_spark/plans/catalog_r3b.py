@@ -208,6 +208,26 @@ def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("per_source_doc_cap_scaled", _CAP_ORACLE)
+def per_source_doc_cap_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-domain cap through the SCALE path —
+    operators/skew.py hash_priority_cap: per-key counts broadcast back
+    as hash-space thresholds, a scan-side prune to ~n*safety expected
+    survivors per key, the exact window over survivors only, and a
+    rescue re-rank for any key the prune left short (empty in every
+    sane run). Registered against the IDENTICAL oracle as
+    per_source_doc_cap: the two strategies must agree row-for-row,
+    which is the whole point — same answer, but the hot-domain group
+    never lands on one reducer."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    from apde_etl_spark.operators.skew import hash_priority_cap
+
+    out = hash_priority_cap(docs, "source", "doc_id", _CAP_PER_SOURCE)
+    return out.select(
+        "doc_id", "source", F.col("sample_rank").cast("int").alias("sample_rank")
+    )
+
+
 # ===========================================================================
 # Repeated-span mining — cross-document boilerplate/memorization spans
 # ===========================================================================

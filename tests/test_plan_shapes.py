@@ -110,6 +110,32 @@ def test_ann_shuffle_strategy_never_broadcasts_the_corpus(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_quality_and_pii_are_pure_projections(spark, sf_dir, qs):
+    for name in ("quality_logistic_score", "pii_redact_contacts"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "Exchange" not in plan, name  # scan-speed at any scale
+
+
+def test_decontam_joins_on_gram_hash_not_text(spark, sf_dir, qs):
+    df = qs["decontam_ngram_overlap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the gram join must key on the fixed-width hash column, never the
+    # gram string (shuffle width at 100 TB), and be a semi join
+    assert "Join LeftSemi" in plan
+    cond = plan.split("Join LeftSemi")[1].splitlines()[0]
+    assert "gh#" in cond and "gram" not in cond
+
+
+def test_ingest_band_join_is_asymmetric(spark, sf_dir, qs):
+    from apde_etl_spark.plans.catalog_r3b import incremental_ingest_dedup
+
+    plan = _plan(incremental_ingest_dedup(spark, sf_dir))
+    # the corpus side must never self-pair: exactly one band equi-join
+    assert plan.count("__band") > 0
+    # and the exact-dup disposal happens on the digest before banding
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
 def test_band_self_join_skew_split_engages(spark):
     """AQE's skew-split DOES fire on the LSH band self-join when the hot
     bucket dominates map-output BYTES (thresholds scaled to test size).

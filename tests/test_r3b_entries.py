@@ -114,6 +114,39 @@ def test_incremental_ingest_statuses(spark, sf_dir):
     assert sum(s == "near_dup" for s in revised) >= 0.8 * len(revised)
 
 
+def test_hash_priority_cap_matches_plain_window_even_when_rescued(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from apde_etl_spark.operators.similarity import hash60
+    from apde_etl_spark.operators.skew import hash_priority_cap
+
+    # skewed frame: one hot key with 5000 rows, several cold keys
+    df = spark.range(5600).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") < 5000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 6).cast("string")))
+        .alias("grp"),
+    )
+    n = 10
+    pr = hash60(F.col("rid").cast("string"))
+    w = Window.partitionBy("grp").orderBy(pr.asc(), F.col("rid").asc())
+    plain = {
+        (r["grp"], r["rid"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n).collect()
+    }
+    # safety=1.0: expected survivors == n exactly, so ~half the keys
+    # come up short and MUST go through the rescue re-rank — the
+    # equality below proves the rescue path restores exactness
+    for safety in (1.0, 8.0):
+        fast = {
+            (r["grp"], r["rid"], r["sample_rank"])
+            for r in hash_priority_cap(df, "grp", "rid", n, safety=safety).collect()
+        }
+        assert fast == plain, f"safety={safety}"
+
+
 def test_quality_score_bounds_and_keep(spark, sf_dir):
     rows = quality_logistic_score(spark, sf_dir).collect()
     assert rows
