@@ -445,6 +445,44 @@ curation_pipeline_end2end.__doc__ = curation_pipeline_end2end.__doc__.format(
 
 
 # ===========================================================================
+# TPC-H Q17 analogue — correlated scalar subquery, Catalyst-decorrelated
+# ===========================================================================
+
+# One ANSI-portable text executed verbatim by BOTH engines (the
+# sql_text_interface discipline): decimal-summed aggregates so partial-agg
+# order can't perturb low bits, explicit half-away rounding formula.
+_Q17_SQL = """
+SELECT sign(x) * floor(abs(x) * 10000.0 + 0.5) / 10000.0 AS avg_yearly
+FROM (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS x
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#2' AND p_type = 'ECONOMY'
+    AND l_quantity < 0.2 * (
+      SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey
+    )
+) t
+"""
+
+
+@register("q17_small_quantity_revenue", _Q17_SQL)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand/type, where "small" is a correlated scalar subquery (20% of
+    the part's own average quantity). The point is the plan, not the
+    number: Catalyst DECORRELATES the subquery into a per-part aggregate
+    joined back to the fact — one lineitem scan for the averages, one
+    for the probe side, no per-row re-execution — where a naive engine
+    would run the inner query once per outer row. Same SQL text runs
+    verbatim on the DuckDB oracle (decimal-summed aggregates + explicit
+    half-away rounding keep the doubles bit-identical)."""
+    from apde_etl_spark.plans.catalog_more import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q17_SQL)
+
+
+# ===========================================================================
 # Incremental ingest dedup — new batch vs existing corpus
 # ===========================================================================
 

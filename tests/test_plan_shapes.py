@@ -136,6 +136,15 @@ def test_ingest_band_join_is_asymmetric(spark, sf_dir, qs):
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
+def test_q17_decorrelates_scalar_subquery(spark, sf_dir, qs):
+    plan = _plan(qs["q17_small_quantity_revenue"](spark, sf_dir))
+    # decorrelated: the per-part average is ONE aggregate joined back,
+    # not a per-outer-row re-execution (bounded scans, a real join)
+    assert plan.count("Scan parquet") <= 3
+    assert "HashAggregate" in plan
+    assert "Join" in plan
+
+
 def test_band_self_join_skew_split_engages(spark):
     """AQE's skew-split DOES fire on the LSH band self-join when the hot
     bucket dominates map-output BYTES (thresholds scaled to test size).

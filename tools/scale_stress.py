@@ -305,6 +305,35 @@ def main() -> None:
     n_curated = curation_pipeline_end2end(spark, work).count()
     t["curation_pipeline_full"] = round(time.perf_counter() - t0, 2)
 
+    # hot-domain cap: 5M rows, 90% under ONE key — the per-key window
+    # cap's worst case. Times the plain window (full group on one
+    # reducer) against hash_priority_cap (broadcast thresholds +
+    # scan-side prune + rescue); both must return identical rows.
+    from pyspark.sql.window import Window
+
+    from apde_etl_spark.operators.skew import hash_priority_cap
+
+    n_cap_rows = 5_000_000
+    capdf = spark.range(n_cap_rows).select(
+        F.col("id").alias("rid"),
+        F.when(F.pmod("id", 10) < 9, F.lit("hotdomain"))
+        .otherwise(F.concat(F.lit("cold"), F.pmod("id", 97).cast("string")))
+        .alias("grp"),
+    )
+    cap_n = 100
+    pr_col = SIM.hash60(F.col("rid").cast("string"))
+    wcap = Window.partitionBy("grp").orderBy(pr_col.asc(), F.col("rid").asc())
+    t0 = time.perf_counter()
+    plain_rows = (
+        capdf.withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= cap_n).count()
+    )
+    t["cap_plain_window_5m"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    fast_rows = hash_priority_cap(capdf, "grp", "rid", cap_n).count()
+    t["cap_hash_pruned_5m"] = round(time.perf_counter() - t0, 2)
+    cap_rows_agree = plain_rows == fast_rows
+
     print(json.dumps({
         # ceil-counts: id 0 always matches pmod == 0
         "n_docs": n_docs + -(-n_docs // 100) + -(-n_docs // 200),
@@ -326,6 +355,9 @@ def main() -> None:
         "n_decontam_flagged": n_decontam,
         "n_repeated_spans": n_spans,
         "n_curated_final": n_curated,
+        "cap_rows_plain": plain_rows,
+        "cap_rows_pruned": fast_rows,
+        "cap_rows_agree": cap_rows_agree,
         "times_sec": t,
     }))
 
