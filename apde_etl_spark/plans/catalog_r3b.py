@@ -445,6 +445,75 @@ curation_pipeline_end2end.__doc__ = curation_pipeline_end2end.__doc__.format(
 
 
 # ===========================================================================
+# Declarative expectations — the dbt-test / DLT-expectations shape
+# ===========================================================================
+
+_EXPECT_ORACLE = """
+WITH base AS (
+  SELECT
+    SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS not_null_orderkey,
+    COUNT(*) - COUNT(DISTINCT o_orderkey) AS unique_orderkey,
+    SUM(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END) AS nonneg_totalprice,
+    SUM(CASE WHEN o_orderstatus IN ('P', 'O', 'F') THEN 0 ELSE 1 END) AS status_domain,
+    SUM(CASE WHEN o_totalprice <= 200000 THEN 0 ELSE 1 END) AS totalprice_under_200k,
+    SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END) AS orderdate_before_1998
+  FROM orders
+),
+fk AS (
+  SELECT COUNT(*) AS v FROM orders o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM (
+  SELECT 'not_null_orderkey' AS check_name, not_null_orderkey AS n_violations FROM base
+  UNION ALL SELECT 'unique_orderkey', unique_orderkey FROM base
+  UNION ALL SELECT 'nonneg_totalprice', nonneg_totalprice FROM base
+  UNION ALL SELECT 'status_domain', status_domain FROM base
+  UNION ALL SELECT 'totalprice_under_200k', totalprice_under_200k FROM base
+  UNION ALL SELECT 'orderdate_before_1998', orderdate_before_1998 FROM base
+  UNION ALL SELECT 'fk_custkey_in_customer', v FROM fk
+)
+"""
+
+
+@register("expectations_orders", _EXPECT_ORACLE)
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over ``orders`` — the
+    dbt-test / Delta-Live-Tables shape (operators/expect.py): five row
+    predicates + one uniqueness key folded into ONE conditional
+    aggregate over one scan, plus a referential check as an anti-join
+    against ``customer``. The threshold checks (totalprice <= 200k,
+    orderdate < 1998) are deliberately violated by real rows so the
+    audit table carries non-zero counts — a pass/fail report that never
+    exercises its fail branch tests nothing. Generalizes the
+    reference's post-load QA (qa_load_row_count etc.,
+    R/load_table_from_file.R) to caller-declared constraints."""
+    from apde_etl_spark.operators.expect import Expectation, expectations_report
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return expectations_report(
+        orders,
+        row_checks=[
+            Expectation("not_null_orderkey", F.col("o_orderkey").isNotNull()),
+            Expectation("nonneg_totalprice", F.col("o_totalprice") >= 0),
+            Expectation("status_domain", F.col("o_orderstatus").isin("P", "O", "F")),
+            Expectation("totalprice_under_200k", F.col("o_totalprice") <= 200000),
+            Expectation(
+                "orderdate_before_1998",
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            ),
+        ],
+        unique_keys={"unique_orderkey": ["o_orderkey"]},
+        foreign_keys={
+            "fk_custkey_in_customer": (customer, "o_custkey", "c_custkey")
+        },
+    )
+
+
+# ===========================================================================
 # TPC-H Q17 analogue — correlated scalar subquery, Catalyst-decorrelated
 # ===========================================================================
 

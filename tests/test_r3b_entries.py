@@ -147,6 +147,30 @@ def test_hash_priority_cap_matches_plain_window_even_when_rescued(spark):
         assert fast == plain, f"safety={safety}"
 
 
+def test_expectations_null_semantics(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators.expect import Expectation, expectations_report
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, None], "v": [5.0, None, 3.0]}).astype(object)
+    )
+    out = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in expectations_report(
+            df,
+            row_checks=[Expectation("v_positive", F.col("v") > 0)],
+            unique_keys={"k_unique": ["k"]},
+        ).collect()
+    }
+    # NULL predicate result counts as a violation, not a silent pass
+    assert out["v_positive"] == (1, False)
+    # duplicate k=1 is one surplus row; the NULL key is another (a NULL
+    # "key" cannot claim a slot in the distinct count)
+    assert out["k_unique"] == (2, False)
+
+
 def test_quality_score_bounds_and_keep(spark, sf_dir):
     rows = quality_logistic_score(spark, sf_dir).collect()
     assert rows
