@@ -445,6 +445,71 @@ curation_pipeline_end2end.__doc__ = curation_pipeline_end2end.__doc__.format(
 
 
 # ===========================================================================
+# SCD1 upsert — MERGE INTO semantics, batch face of foreachbatch_upsert
+# ===========================================================================
+
+_SCD1_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, 50.0 AS c_acctbal,
+         'NEWSEG' AS c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 0
+),
+j AS (
+  SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
+         t.c_custkey IS NOT NULL AS in_t, u.c_custkey IS NOT NULL AS in_u,
+         t.c_acctbal AS t_bal, t.c_mktsegment AS t_seg,
+         u.c_acctbal AS u_bal, u.c_mktsegment AS u_seg
+  FROM customer t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+)
+SELECT c_custkey,
+       CASE WHEN in_u THEN u_bal ELSE t_bal END AS c_acctbal,
+       CASE WHEN in_u THEN u_seg ELSE t_seg END AS c_mktsegment,
+       CASE WHEN NOT in_t THEN 'inserted'
+            WHEN in_u AND NOT (t_bal IS NOT DISTINCT FROM u_bal
+                               AND t_seg IS NOT DISTINCT FROM u_seg)
+                 THEN 'updated'
+            ELSE 'unchanged' END AS action
+FROM j
+"""
+
+
+@register("scd1_upsert_customers", _SCD1_ORACLE)
+def scd1_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-1 upsert (sources/lifecycle.py scd1_upsert) — MERGE INTO
+    semantics applied batch-side: an updates batch (every 7th customer's
+    balance bumped + segment overwritten; every 13th re-keyed as a new
+    customer) merged into the customer snapshot with an action audit
+    column. The batch twin of stream_foreachbatch_upsert and the
+    no-history complement of scd2_customer_merge; one full-outer join,
+    update batch broadcast-sized at any realistic scale."""
+    from apde_etl_spark.sources.lifecycle import scd1_upsert
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    updates = (
+        cust.filter(k % 7 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        )
+        .unionByName(
+            cust.filter(k % 13 == 0).select(
+                (k + 1_000_000).alias("c_custkey"),
+                F.lit(50.0).alias("c_acctbal"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd1_upsert(cust, updates, "c_custkey", ["c_acctbal", "c_mktsegment"])
+
+
+# ===========================================================================
 # Declarative expectations — the dbt-test / DLT-expectations shape
 # ===========================================================================
 

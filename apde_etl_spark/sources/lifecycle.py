@@ -406,3 +406,47 @@ def write_zordered_table(
         .drop("__zkey")
         .write.mode("overwrite").parquet(path)
     )
+
+
+def scd1_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+) -> DataFrame:
+    """SCD type-1 upsert — ``MERGE INTO`` semantics without history:
+    per key, an update row overwrites the target attrs, a new key
+    inserts, an untouched key passes through. Output is the merged
+    snapshot plus an ``action`` column ('inserted' | 'updated' |
+    'unchanged') for the load audit; 'updated' requires a real attr
+    change (null-safe comparison), so re-applying the same batch is
+    idempotent and audits as unchanged.
+
+    One full-outer join on the key. At scale the update batch is
+    normally small against a huge target, so AQE broadcasts it and the
+    merge costs one pass over the target; an update that sets an attr
+    to NULL sticks (presence markers, not ``coalesce``, decide which
+    side wins).
+    """
+    t = target.select(
+        F.col(key), *[F.col(a).alias(f"__t_{a}") for a in attrs]
+    ).withColumn("__t_p", F.lit(True))
+    u = updates.select(
+        F.col(key), *[F.col(a).alias(f"__u_{a}") for a in attrs]
+    ).withColumn("__u_p", F.lit(True))
+    j = t.join(u, key, "full_outer")
+    in_t = F.col("__t_p").isNotNull()
+    in_u = F.col("__u_p").isNotNull()
+    same = F.lit(True)
+    for a in attrs:
+        same = same & F.col(f"__t_{a}").eqNullSafe(F.col(f"__u_{a}"))
+    action = (
+        F.when(~in_t, F.lit("inserted"))
+        .when(in_u & ~same, F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    merged = [
+        F.when(in_u, F.col(f"__u_{a}")).otherwise(F.col(f"__t_{a}")).alias(a)
+        for a in attrs
+    ]
+    return j.select(F.col(key), *merged, action.alias("action"))

@@ -147,6 +147,30 @@ def test_hash_priority_cap_matches_plain_window_even_when_rescued(spark):
         assert fast == plain, f"safety={safety}"
 
 
+def test_scd1_upsert_is_idempotent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.sources.lifecycle import scd1_upsert
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    first = scd1_upsert(cust, updates, "c_custkey", ["c_acctbal", "c_mktsegment"])
+    acts = {r["action"] for r in first.select("action").distinct().collect()}
+    assert "updated" in acts
+    # re-applying the SAME batch to the merged snapshot changes nothing
+    again = scd1_upsert(
+        first.drop("action"), updates, "c_custkey", ["c_acctbal", "c_mktsegment"]
+    )
+    assert again.filter(F.col("action") != "unchanged").count() == 0
+    assert again.count() == first.count()
+
+
 def test_expectations_null_semantics(spark):
     import pandas as pd
     from pyspark.sql import functions as F
