@@ -510,6 +510,73 @@ def scd1_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Snapshot diff — cross-version reconciliation counts
+# ===========================================================================
+
+_DIFF_ORACLE = """
+WITH snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 17 != 0
+  UNION ALL
+  SELECT o_orderkey + 5000000 AS o_orderkey, 10.0 AS o_totalprice,
+         'O' AS o_orderstatus
+  FROM orders WHERE o_orderkey % 19 = 0
+),
+j AS (
+  SELECT CASE WHEN s.o_orderkey IS NULL THEN 'only_in_a'
+              WHEN a.o_orderkey IS NULL THEN 'only_in_b'
+              WHEN a.o_totalprice IS NOT DISTINCT FROM s.o_totalprice
+                   AND a.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
+                   THEN 'identical'
+              ELSE 'changed' END AS status
+  FROM orders a FULL OUTER JOIN snap s ON a.o_orderkey = s.o_orderkey
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows FROM j GROUP BY status
+"""
+
+
+@register("snapshot_diff_orders", _DIFF_ORACLE)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-version table reconciliation (sources/lifecycle.py
+    table_diff): yesterday's ``orders`` against a derived today-snapshot
+    (every 17th key deleted, every 5th surviving price bumped, new keys
+    appended) -> counts by {only_in_a, only_in_b, changed, identical}.
+    The "did the reload change what I think it changed" check the
+    reference performs by row counts alone (load_table_from_sql.R
+    row-count QA), upgraded to content-aware per-key reconciliation
+    that still ships only four numbers."""
+    from apde_etl_spark.sources.lifecycle import table_diff
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    snap = (
+        orders.filter(k % 17 != 0)
+        .select(
+            "o_orderkey",
+            F.when(k % 5 == 0, F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            orders.filter(k % 19 == 0).select(
+                (k + 5_000_000).alias("o_orderkey"),
+                F.lit(10.0).alias("o_totalprice"),
+                F.lit("O").alias("o_orderstatus"),
+            )
+        )
+    )
+    return table_diff(
+        orders, snap, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+
+
+# ===========================================================================
 # Declarative expectations — the dbt-test / DLT-expectations shape
 # ===========================================================================
 

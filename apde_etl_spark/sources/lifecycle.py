@@ -450,3 +450,44 @@ def scd1_upsert(
         for a in attrs
     ]
     return j.select(F.col(key), *merged, action.alias("action"))
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Symmetric snapshot diff — the reconciliation primitive for
+    "what changed between yesterday's table and today's": per-key
+    status in {only_in_a, only_in_b, changed, identical} rolled up to
+    (status, n_rows) counts.
+
+    One full-outer join on the key with null-safe attr comparison, then
+    a tiny aggregate — at 100 TB this is two co-partitionable scans and
+    one shuffle each (bucket both snapshots on the key and the join is
+    exchange-free). Counts instead of row dumps: a diff of two
+    billion-row tables must summarize server-side, never ship rows; the
+    per-row drill-down is the same join re-filtered to one status.
+    """
+    ta = a.select(
+        F.col(key), *[F.col(c).alias(f"__a_{c}") for c in attrs]
+    ).withColumn("__a_p", F.lit(True))
+    tb = b.select(
+        F.col(key), *[F.col(c).alias(f"__b_{c}") for c in attrs]
+    ).withColumn("__b_p", F.lit(True))
+    j = ta.join(tb, key, "full_outer")
+    same = F.lit(True)
+    for c in attrs:
+        same = same & F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+    status = (
+        F.when(F.col("__b_p").isNull(), F.lit("only_in_a"))
+        .when(F.col("__a_p").isNull(), F.lit("only_in_b"))
+        .when(same, F.lit("identical"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
