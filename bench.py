@@ -59,6 +59,7 @@ HEADLINE = [
     "repeated_span_docs",
     "curation_pipeline_end2end",
     "incremental_ingest_dedup",
+    "q17_small_quantity_revenue",
 ]
 
 

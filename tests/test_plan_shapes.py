@@ -145,6 +145,20 @@ def test_q17_decorrelates_scalar_subquery(spark, sf_dir, qs):
     assert "Join" in plan
 
 
+def test_expectations_row_checks_share_one_scan(spark, sf_dir, qs):
+    plan = _plan(qs["expectations_orders"](spark, sf_dir))
+    # five row predicates + uniqueness fold into ONE orders aggregate;
+    # the only other scans are the FK anti-join's two key columns
+    assert plan.count("Scan parquet") <= 3
+
+
+def test_snapshot_diff_is_one_join_plus_tiny_agg(spark, sf_dir, qs):
+    plan = _plan(qs["snapshot_diff_orders"](spark, sf_dir))
+    assert "FullOuter" in plan.replace(" ", "")
+    # the rollup happens on status only — no wide shuffle after the join
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
 def test_band_self_join_skew_split_engages(spark):
     """AQE's skew-split DOES fire on the LSH band self-join when the hot
     bucket dominates map-output BYTES (thresholds scaled to test size).
