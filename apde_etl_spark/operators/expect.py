@@ -53,21 +53,47 @@ def expectations_report(
 
     All row + uniqueness checks share ONE aggregate over one scan; each
     foreign key adds one anti-join count. The result is a tiny frame
-    (one row per check) unioned driver-free."""
+    (one row per check) unioned driver-free.
+
+    Check names must be identifier-shaped (``[A-Za-z0-9_]+``): they pass
+    through a generated ``stack`` expression, and rejecting exotic names
+    up front beats an AnalysisException out of the SQL parser. An empty
+    table reports 0 violations for every check (an empty-but-valid load
+    passes its gate); calling with no checks at all raises."""
+    import re as _re
+
+    def _checked_name(n: str) -> str:
+        if not _re.fullmatch(r"[A-Za-z0-9_]+", n):
+            raise ValueError(
+                f"expectations_report: check name {n!r} must match "
+                "[A-Za-z0-9_]+ (it is interpolated into a stack() "
+                "expression)"
+            )
+        return n
+
+    if not (row_checks or unique_keys or foreign_keys):
+        raise ValueError("expectations_report: no checks given")
+
     aggs: list[Column] = []
     names: list[str] = []
     for e in row_checks or []:
         aggs.append(
-            F.sum(F.when(e.predicate, 0).otherwise(1)).cast("long").alias(e.name)
+            # coalesce: sum over ZERO rows is NULL, but an empty table
+            # has zero violations, not unknown ones
+            F.coalesce(
+                F.sum(F.when(e.predicate, 0).otherwise(1)), F.lit(0)
+            ).cast("long").alias(_checked_name(e.name))
         )
         names.append(e.name)
     for name, cols in (unique_keys or {}).items():
         aggs.append(
             (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
             .cast("long")
-            .alias(name)
+            .alias(_checked_name(name))
         )
         names.append(name)
+    for name in (foreign_keys or {}):
+        _checked_name(name)
     parts: list[DataFrame] = []
     if aggs:
         wide = df.agg(*aggs)

@@ -87,7 +87,23 @@ def replicated_salted_join(
     Replication cost is ``salt_buckets`` x dim size — choose the smallest
     bucket count that flattens the skew (or use AQE's skew-join for
     sort-merge cases; this helper is for when you must hash-partition).
+
+    Only fact-preserving join types are accepted: under ``right``/
+    ``full``/``right_semi`` the replicated dim rows that matched no fact
+    row would each survive once PER SALT VALUE (``salt_buckets``
+    null-padded duplicates per unmatched dim key), so the rewrite is not
+    semantics-preserving there and such hows raise instead of silently
+    corrupting.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"replicated_salted_join: join type '{how}' is not "
+            "fact-preserving under dim replication (unmatched dim rows "
+            "would duplicate once per salt value); use inner/left/"
+            "left_semi/left_anti"
+        )
     if fact_salt_source is None:
         fsalt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     else:
@@ -155,9 +171,17 @@ def hash_priority_cap(
         )
         .alias("__cut")
     )
-    thresholds = F.broadcast(counts.select(key_col, "__cnt", cut))
-
-    tagged = df.withColumn("__pr", pr).join(thresholds, key_col)
+    # all key joins below are NULL-SAFE: groupBy collects NULL keys into
+    # one group like the plain window does, so the equality joins must
+    # match that group too or NULL-key rows silently vanish
+    thresholds = F.broadcast(
+        counts.select(F.col(key_col).alias("__k"), "__cnt", cut)
+    )
+    tagged = (
+        df.withColumn("__pr", pr)
+        .join(thresholds, F.col(key_col).eqNullSafe(F.col("__k")))
+        .drop("__k")
+    )
     surv = tagged.filter(F.col("__pr") <= F.col("__cut"))
     w = Window.partitionBy(key_col).orderBy(
         F.col("__pr").asc(), F.col(id_col).asc()
@@ -168,18 +192,33 @@ def hash_priority_cap(
         .persist()  # read twice: rescue probe + final union
     )
     # rescue probe: any key whose kept count < min(n, cnt) was pruned
-    # too hard — re-rank that key's FULL rows (exactness guard)
+    # too hard — re-rank that key's FULL rows (exactness guard). Driven
+    # from `counts` (every key), NOT from `ranked`: a key whose prune
+    # left ZERO survivors has no ranked row at all and would otherwise
+    # escape detection and vanish from the output.
+    kept = ranked.groupBy(key_col).agg(F.count(F.lit(1)).alias("__kept"))
     short = (
-        ranked.groupBy(key_col, "__cnt")
-        .agg(F.count(F.lit(1)).alias("__kept"))
-        .filter(F.col("__kept") < F.least(F.lit(n), F.col("__cnt")))
-        .select(key_col)
+        counts.select(F.col(key_col).alias("__sk"), "__cnt")
+        .join(
+            kept.select(F.col(key_col).alias("__kk"), "__kept"),
+            F.col("__sk").eqNullSafe(F.col("__kk")),
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("__kept"), F.lit(0))
+            < F.least(F.lit(n), F.col("__cnt"))
+        )
+        .select("__sk")
     )
     rescue = (
-        tagged.join(F.broadcast(short), key_col, "left_semi")
+        tagged.join(
+            F.broadcast(short), F.col(key_col).eqNullSafe(F.col("__sk")), "left_semi"
+        )
         .withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= n)
     )
-    ok = ranked.join(F.broadcast(short), key_col, "left_anti")
+    ok = ranked.join(
+        F.broadcast(short), F.col(key_col).eqNullSafe(F.col("__sk")), "left_anti"
+    )
     out_cols = [*cols, rank_col]
     return ok.select(*out_cols).unionByName(rescue.select(*out_cols))

@@ -80,6 +80,24 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _window_minima(h: Column, window: int) -> Column:
+    """Minimum of every ``window``-length sliding window over an
+    array<bigint>, via the shifted-copy zip pattern: ``window-1`` zips
+    with :func:`pyspark.sql.functions.least` compute all minima in
+    O(n * window) codegen'd comparisons. ``least`` ignores the NULL
+    padding on the short (shifted) side, so tail entries become
+    partial-window minima — removed by slicing to the full-window
+    count; arrays shorter than ``window`` yield an empty result."""
+    n = F.size(h)
+    acc = h
+    for i in range(2, window + 1):
+        shifted = F.slice(h, i, F.greatest(n - F.lit(i - 1), F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.least(x, y))
+    return F.when(
+        n >= window, F.slice(acc, 1, n - F.lit(window - 1))
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def winnow_fingerprints(col: Column | str, window: int = 4) -> Column:
     """Document fingerprints by winnowing: 60-bit token hashes, minimum of
     every ``window``-length sliding window, distinct minima
@@ -98,17 +116,7 @@ def winnow_fingerprints(col: Column | str, window: int = 4) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(c), _WS)
     h = F.transform(toks, lambda t: hash60(t))
-    n = F.size(h)
-    acc = h
-    for i in range(2, window + 1):
-        shifted = F.slice(h, i, F.greatest(n - F.lit(i - 1), F.lit(0)))
-        # least() ignores the NULL padding on the short (shifted) side, so
-        # tail entries become partial-window minima — removed by the slice
-        acc = F.zip_with(acc, shifted, lambda x, y: F.least(x, y))
-    full = F.when(
-        n >= window, F.slice(acc, 1, n - F.lit(window - 1))
-    ).otherwise(F.array().cast("array<bigint>"))
-    return F.array_distinct(full)
+    return F.array_distinct(_window_minima(h, window))
 
 
 #: portable "BPE-ish" token pattern: letter runs, digit runs, single
@@ -151,17 +159,11 @@ def winnow_fingerprints_df(
         )
         .repartition(nparts, id_col)
     )
-    h = F.col("__h")
-    n = F.size(h)
-    acc = h
-    for i in range(2, window + 1):
-        shifted = F.slice(h, i, F.greatest(n - F.lit(i - 1), F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda x, y: F.least(x, y))
-    full = F.when(
-        n >= window, F.slice(acc, 1, n - F.lit(window - 1))
-    ).otherwise(F.array().cast("array<bigint>"))
     return hashed.select(
-        id_col, F.explode(F.array_distinct(full)).alias("fingerprint")
+        id_col,
+        F.explode(F.array_distinct(_window_minima(F.col("__h"), window))).alias(
+            "fingerprint"
+        ),
     )
 
 

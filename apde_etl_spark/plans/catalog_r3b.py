@@ -134,7 +134,8 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (operators/text.py hash_split_col — no self-join back to an
     id table, so the corpus is scanned once per side); both sides
     explode to distinct per-doc grams and join on the fixed-width
-    60-bit gram hash — never the gram text. In production the
+    full-md5 gram digest (128-bit, collision-free in practice,
+    fixed-width) — never the gram text. In production the
     "holdout" side is a benchmark suite (MBs, thousands of grams), so
     the gram join broadcasts and decontamination costs one corpus
     scan; here the 5% holdout split stands in and AQE picks the
@@ -145,7 +146,14 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id", "split",
         F.explode(SIM.word_shingles(F.col("text"), _DECON_N)).alias("gram"),
-    ).select("doc_id", "split", SIM.hash60(F.col("gram")).alias("gh"))
+    ).select(
+        "doc_id", "split",
+        # FULL md5 (128-bit), not the 60-bit prefix hash: at corpus
+        # scale (2^30+ distinct grams) 60-bit birthday collisions are
+        # expected and each one fabricates an overlap; 2^-128 is not a
+        # thing that happens, and the key stays fixed-width
+        F.md5(F.col("gram").cast("binary")).alias("gh"),
+    )
     ho = grams.filter(F.col("split") == "holdout").select("gh")
     tr = grams.filter(F.col("split") == "train").select("doc_id", "gh")
     # left_semi: each (train doc, gram) row survives at most once no
@@ -258,7 +266,7 @@ def repeated_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix sort). Output feeds span-level removal or memorization
     audits.
 
-    Scale shape: explode -> groupBy on the 60-bit span hash (fixed-width
+    Scale shape: explode -> groupBy on the md5 span digest (fixed-width
     shuffle key; the span text rides along as min() — all group members
     are the identical string). Spans are per-doc distinct (word_shingles)
     so ``count(*)`` IS the distinct-doc count — no count-distinct
@@ -270,7 +278,12 @@ def repeated_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(SIM.word_shingles(F.col("text"), _SPAN_K)).alias("span")
     )
     return (
-        sp.groupBy(SIM.hash60(F.col("span")).alias("__sh"))
+        # FULL md5 group key (128-bit): a 60-bit prefix hash colliding
+        # two distinct spans at corpus scale would merge their counts
+        # under an arbitrary min() span; md5 keeps the "all group
+        # members are the identical string" invariant real while the
+        # shuffle key stays fixed-width
+        sp.groupBy(F.md5(F.col("span").cast("binary")).alias("__sh"))
         .agg(F.min("span").alias("span"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
         .select("span", F.col("n_docs").cast("long").alias("n_docs"))
@@ -328,6 +341,12 @@ def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-speed, no shuffle, no UDF, no model server in the row path."""
     docs = load(spark, sf_dir, "documents")
     p = TX.quality_logistic("text")
+    # cross-engine stability of the raw p >= 0.5 comparison: z is built
+    # from exact small-integer ratios (identical doubles on both
+    # engines), so a flip requires exp(-z) to differ across libm
+    # implementations AND p to sit within 1 ulp of 0.5 — i.e. z within
+    # ~4e-16 of 0, unreachable from these rational feature values
+    # except z == 0 exactly, where both engines agree p == 0.5
     return docs.select(
         "doc_id",
         TX.token_count("text").cast("int").alias("n_tokens"),
@@ -413,11 +432,11 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ho = (
         scored.filter(F.col("split") == "holdout")
         .select(F.explode(SIM.word_shingles(F.col("text"), _DECON_N)).alias("gram"))
-        .select(SIM.hash60(F.col("gram")).alias("gh"))
+        .select(F.md5(F.col("gram").cast("binary")).alias("gh"))
     )
     tr_grams = dedup.select(
         "doc_id", F.explode(SIM.word_shingles(F.col("text"), _DECON_N)).alias("gram")
-    ).select("doc_id", SIM.hash60(F.col("gram")).alias("gh"))
+    ).select("doc_id", F.md5(F.col("gram").cast("binary")).alias("gh"))
     contaminated = (
         tr_grams.join(ho, "gh", "left_semi")
         .groupBy("doc_id")

@@ -37,12 +37,13 @@ def test_pii_redaction_is_complete(spark, sf_dir):
         assert "[ID]" in r["redacted"]
 
 
-def test_pii_redaction_order_most_specific_first():
+def test_pii_redaction_order_most_specific_first(spark):
     # the email's digits must be consumed by [EMAIL], not chewed by [ID]
+    # (uses the shared session fixture: calling get_spark with a
+    # different shuffle_partitions here would reconfigure the shared
+    # session and poison order-dependent AQE tests)
     import pandas as pd
-    from apde_etl_spark.session import get_spark
 
-    spark = get_spark("pii-order-test", shuffle_partitions=2)
     df = spark.createDataFrame(
         pd.DataFrame({"t": ["mail me at a1234567@host.org or 12-345-678-9012 id 99999999"]})
     )
@@ -145,6 +146,39 @@ def test_hash_priority_cap_matches_plain_window_even_when_rescued(spark):
             for r in hash_priority_cap(df, "grp", "rid", n, safety=safety).collect()
         }
         assert fast == plain, f"safety={safety}"
+
+    # n=1, safety=1.0: ~e^-1 of keys get ZERO survivors from the prune
+    # — the rescue must be driven off the per-key counts, not the
+    # survivor set, or those keys vanish from the output entirely
+    w1 = Window.partitionBy("grp").orderBy(pr.asc(), F.col("rid").asc())
+    plain1 = {
+        (r["grp"], r["rid"])
+        for r in df.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= 1).collect()
+    }
+    fast1 = {
+        (r["grp"], r["rid"])
+        for r in hash_priority_cap(df, "grp", "rid", 1, safety=1.0).collect()
+    }
+    assert fast1 == plain1
+
+
+def test_hash_priority_cap_keeps_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators.skew import hash_priority_cap
+
+    df = spark.range(50).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(
+            (F.col("id") % 2).cast("string")
+        ).alias("grp"),
+    )
+    out = hash_priority_cap(df, "grp", "rid", 5)
+    # the NULL-key group ranks like any other (plain window semantics):
+    # the null-safe joins must not drop it
+    assert out.filter(F.col("grp").isNull()).count() == 5
+    assert out.count() == 15
 
 
 def test_scd1_upsert_is_idempotent(spark, sf_dir):
