@@ -1111,3 +1111,211 @@ def containment_prefix_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+# ===========================================================================
+# Product quantization — the memory-compression ANN path
+# ===========================================================================
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array<double> columns, as the
+    same deterministic left fold as :func:`dot`."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_pq_codebooks(
+    e: DataFrame,
+    id_col: str,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 1,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — public method): the
+    ``dim``-dimensional space splits into ``m`` subspaces of ``dim/m``
+    dims; each subspace gets ``k_codes`` centroids via driver-coordinated
+    Lloyd iterations (same RNG-free pattern as
+    :func:`train_ivf_centroids`: deterministic first-k seeds, assignment
+    distributed, only m x k_codes x dim/m scalars collected per
+    iteration — all subspaces train in ONE joint pass per iteration).
+
+    ``e`` must carry (id_col, __v: array<double>) with UNIT-NORM
+    vectors (PQ here approximates cosine ranking via squared L2 on the
+    unit sphere: ||a-b||^2 = 2 - 2cos). Returns
+    ``codebooks[subspace][code] = centroid`` (list of dim/m floats).
+    Iterative and float-summation-order sensitive, hence rows-only
+    correctness treatment downstream (same rationale as trained IVF).
+    """
+    sub = dim // m
+    seed_rows = e.orderBy(id_col).limit(k_codes).select("__v").collect()
+    books = [
+        [list(r["__v"])[i * sub:(i + 1) * sub] for r in seed_rows]
+        for i in range(m)
+    ]
+    for _ in range(iters):
+        book_df = e.sparkSession.createDataFrame(
+            [
+                (i, j, books[i][j])
+                for i in range(m)
+                for j in range(k_codes)
+            ],
+            "sub_id int, code int, __c array<double>",
+        )
+        subs = e.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("sub_id"),
+                        F.slice("__v", i * sub + 1, sub).alias("__s"),
+                    )
+                    for i in range(m)
+                ])
+            ).alias("x"),
+        ).select(id_col, "x.sub_id", "x.__s")
+        assigned = (
+            subs.join(F.broadcast(book_df), "sub_id")
+            .withColumn("__d", _sq_l2(F.col("__s"), F.col("__c")))
+        )
+        w = Window.partitionBy(id_col, "sub_id").orderBy(
+            F.asc("__d"), F.asc("code")
+        )
+        means = (
+            assigned.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("sub_id", "code", F.posexplode("__s").alias("pos", "val"))
+            .groupBy("sub_id", "code", "pos")
+            .agg(F.avg("val").alias("mv"))
+            .collect()
+        )
+        new_books = [[list(c) for c in bk] for bk in books]  # empty codes keep previous
+        for r in means:
+            new_books[r["sub_id"]][r["code"]][r["pos"]] = r["mv"]
+        books = new_books
+    return books
+
+
+def pq_encode_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """PQ code array for one vector column: per subspace, the argmin-
+    distance codebook index — a pure Column expression (m x k_codes
+    codegen'd distance folds), no shuffle, evaluated in the scan stage.
+    The encoded corpus is m small ints per vector: for dim=64 float
+    vectors and m=8, that is a 32x size reduction, which is the whole
+    point — corpus-side structures that could never broadcast as raw
+    vectors ship as codes."""
+    m = len(codebooks)
+    k_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    codes = []
+    for i in range(m):
+        s = F.slice(vec, i * sub + 1, sub)
+        dists = F.array(*[
+            _sq_l2(s, F.array(*[F.lit(float(x)) for x in codebooks[i][j]]))
+            for j in range(k_codes)
+        ])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_distance_table_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Flat ADC distance table for one query vector: entry
+    ``i * k_codes + j`` = squared L2 between the query's subvector i and
+    codebook centroid (i, j). Computed once per query row; every
+    query-corpus pair then costs m array lookups instead of dim
+    multiplies (asymmetric distance computation)."""
+    m = len(codebooks)
+    k_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    entries = []
+    for i in range(m):
+        s = F.slice(vec, i * sub + 1, sub)
+        for j in range(k_codes):
+            entries.append(
+                _sq_l2(s, F.array(*[F.lit(float(x)) for x in codebooks[i][j]]))
+            )
+    return F.array(*entries)
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    train_iters: int = 1,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Approximate top-k by product quantization with asymmetric
+    distance (ADC): vectors unit-normalize, codebooks train (driver-
+    coordinated Lloyd), the CORPUS side collapses to m-byte code arrays
+    and broadcasts (32x smaller than raw vectors — the structure that
+    makes a broadcast viable at corpus sizes where raw vectors cannot
+    ship), queries carry a per-row distance table, and each pair costs
+    m lookups instead of dim multiplies. Squared-L2-on-unit-sphere
+    ranking == cosine ranking. Returns (id_a, id_b) per query's
+    approximate top-k; recall is measured (not assumed) by the
+    ann_recall_pq catalog entry.
+
+    ``rerank``: the standard PQ deployment — ADC shortlists the top
+    ``rerank`` (> k) candidates per query, then ONLY those pairs pay an
+    exact cosine (joining the raw vectors back for the shortlist), and
+    the final top-k comes off the exact scores. Recall rises sharply
+    (quantization error only costs a hit if the true neighbor falls out
+    of the whole shortlist) while exact-distance work stays
+    O(rerank x dim) per query instead of O(corpus x dim)."""
+    raw = df.select(
+        F.col(id_col), as_double_array(vec_col).alias("__r")
+    ).withColumn("__nrm", l2_norm(F.col("__r")))
+    e = raw.select(
+        F.col(id_col),
+        F.transform("__r", lambda x: x / F.col("__nrm")).alias("__v"),
+    ).persist()
+    books = train_pq_codebooks(e, id_col, dim, m, k_codes, train_iters)
+    codes = e.select(
+        F.col(id_col).alias("id_b"),
+        pq_encode_col(F.col("__v"), books).alias("__codes"),
+    )
+    q = e.select(
+        F.col(id_col).alias("id_a"),
+        pq_distance_table_col(F.col("__v"), books).alias("__dt"),
+    )
+    pairs = q.join(F.broadcast(codes), F.col("id_a") != F.col("id_b"))
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("__codes"), idx,
+            lambda c, i: F.element_at(F.col("__dt"), (i * k_codes + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("id_a").orderBy(F.asc("__ad"), F.asc("id_b"))
+    shortlist_n = max(rerank, k) if rerank else k
+    shortlist = (
+        pairs.withColumn("__ad", approx)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= shortlist_n)
+        .select("id_a", "id_b")
+    )
+    if not rerank:
+        return shortlist
+    va = e.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    vb = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    exact = (
+        shortlist.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("__cos", dot(F.col("__va"), F.col("__vb")))  # unit vectors
+    )
+    w2 = Window.partitionBy("id_a").orderBy(F.desc("__cos"), F.asc("id_b"))
+    return (
+        exact.withColumn("__rk2", F.row_number().over(w2))
+        .filter(F.col("__rk2") <= k)
+        .select("id_a", "id_b")
+    )

@@ -353,6 +353,52 @@ def minhash_neardup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Trained-IVF recall — the iterative (k-means) entry, rows-only check
 # ===========================================================================
 
+@register("ann_recall_pq")  # rows-only: PQ codebooks come from the same
+# Lloyd loop as trained IVF (float-summation-order sensitive), so the
+# value-hash treatment would be flaky; the behavioral test asserts the
+# recall floor and the compression arithmetic instead.
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of product-quantization ADC search
+    (operators/similarity.py ann_pq_topk: m=8 subspaces x 16 codes over
+    unit-normed 64-dim vectors, 1 Lloyd iteration) against the exact
+    top-5. PQ is the MEMORY lever of the ANN family: the corpus side
+    collapses to 8 small ints per vector (32x smaller than raw floats),
+    so corpus structures that could never broadcast as vectors ship as
+    codes, and each query-corpus pair costs m table lookups instead of
+    dim multiplies. Rows-only for the same reason as trained IVF (see
+    decorator note); ground truth is the oracle-checked
+    exact_topk_pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = exact_topk_pairs(emb, "vec_id", "embedding", k=_RECALL_K).persist()
+    ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    methods = [
+        ("pq_m8_k16", SIM.ann_pq_topk(
+            emb, "vec_id", "embedding", k=_RECALL_K, dim=_RECALL_DIM,
+            m=8, k_codes=16, train_iters=1)),
+        ("pq_m8_k16_rerank40", SIM.ann_pq_topk(
+            emb, "vec_id", "embedding", k=_RECALL_K, dim=_RECALL_DIM,
+            m=8, k_codes=16, train_iters=1, rerank=40)),
+    ]
+    rows = []
+    for name, approx in methods:
+        h = (
+            approx.select("id_a", "id_b")
+            .join(exact, ["id_a", "id_b"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        rows.append(
+            h.crossJoin(ex_n).select(
+                F.lit(name).alias("method"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("n_exact").cast("long").alias("n_exact"),
+                round_half_away(
+                    F.col("hits").cast("double") / F.col("n_exact"), 6
+                ).alias("recall_at_k"),
+            )
+        )
+    return rows[0].unionAll(rows[1])
+
+
 @register("ann_recall_ivf_trained")  # rows-only: Lloyd means are float-
 # summation-order sensitive, so a value-hash oracle would be flaky — a
 # 1e-15 centroid wiggle can flip one argmax assignment. The behavioral

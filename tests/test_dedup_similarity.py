@@ -387,6 +387,40 @@ def test_collapse_identical_signatures_is_connectivity_equivalent(spark, sf_dir)
     assert comps(full) == comps(coll)
 
 
+def test_pq_rerank_lifts_recall(spark, sf_dir):
+    """The exact re-rank stage is the standard PQ deployment: ADC alone
+    carries quantization error into the final ranking, re-ranking a
+    40-wide shortlist recovers most of it (measured 0.18 -> 0.60 at
+    this data). Floors are set well under measured values."""
+    from apde_etl_spark.plans.catalog_r3 import ann_recall_pq
+
+    out = {r["method"]: r["recall_at_k"]
+           for r in ann_recall_pq(spark, sf_dir).collect()}
+    assert set(out) == {"pq_m8_k16", "pq_m8_k16_rerank40"}
+    assert out["pq_m8_k16"] >= 0.08
+    assert out["pq_m8_k16_rerank40"] >= out["pq_m8_k16"] + 0.1
+    assert out["pq_m8_k16_rerank40"] >= 0.35
+
+
+def test_pq_codes_are_bounded_and_compact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    raw = emb.select("vec_id", SIM.as_double_array("embedding").alias("__r"))
+    e = raw.withColumn("__nrm", SIM.l2_norm(F.col("__r"))).select(
+        "vec_id", F.transform("__r", lambda x: x / F.col("__nrm")).alias("__v")
+    ).persist()
+    books = SIM.train_pq_codebooks(e, "vec_id", dim=64, m=8, k_codes=16, iters=1)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    codes = e.select(SIM.pq_encode_col(F.col("__v"), books).alias("c")).collect()
+    for r in codes:
+        assert len(r["c"]) == 8
+        assert all(0 <= x < 16 for x in r["c"])
+
+
 def test_trained_ivf_centroids_lift_recall(spark, sf_dir):
     """2 Lloyd iterations must not lose recall vs seed centroids at the
     same probe budget (strict lift is measured at sf0.01; at the tiny
