@@ -378,6 +378,10 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq_m8_k16_rerank40", SIM.ann_pq_topk(
             emb, "vec_id", "embedding", k=_RECALL_K, dim=_RECALL_DIM,
             m=8, k_codes=16, train_iters=1, rerank=40)),
+        ("ivfpq_c16_p2_rerank40", SIM.ann_ivfpq_topk(
+            emb, "vec_id", "embedding", k=_RECALL_K, dim=_RECALL_DIM,
+            n_cells=16, n_probe=2, m=8, k_codes=16, pq_train_iters=1,
+            rerank=40)),
     ]
     rows = []
     for name, approx in methods:
@@ -396,7 +400,10 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("recall_at_k"),
             )
         )
-    return rows[0].unionAll(rows[1])
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
 
 
 @register("ann_recall_ivf_trained")  # rows-only: Lloyd means are float-
