@@ -1152,7 +1152,16 @@ def train_pq_codebooks(
     correctness treatment downstream (same rationale as trained IVF).
     """
     sub = dim // m
-    seed_rows = e.orderBy(id_col).limit(k_codes).select("__v").collect()
+    # seeds spread by id HASH, not id order: in the IVFPQ composition
+    # the lowest ids ARE the cell centroids, so their residuals are all
+    # zero and id-ordered seeding hands Lloyd k identical zero centroids
+    # — the codebook collapses to one used code and ADC degenerates to
+    # ties (measured: recall flat at ~0.06 regardless of n_probe).
+    # Hash order is deterministic and engine-independent.
+    seed_rows = (
+        e.orderBy(hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k_codes).select("__v").collect()
+    )
     books = [
         [list(r["__v"])[i * sub:(i + 1) * sub] for r in seed_rows]
         for i in range(m)
@@ -1336,6 +1345,7 @@ def ann_ivfpq_topk(
     strategy: str = "auto",
     broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
     salt_buckets: int = 8,
+    query_filter: Column | None = None,
 ) -> DataFrame:
     """IVF + PQ composed — the production-scale ANN shape: IVF cells
     restrict WHICH pairs are considered (n_probe cells per query, never
@@ -1347,12 +1357,19 @@ def ann_ivfpq_topk(
     vector — 32x smaller than raw floats for dim=64/m=8, which moves
     the broadcast-vs-shuffle gate 32x further out; past it, the same
     salted :func:`candidate_join` machinery as the raw-vector paths
-    takes over. This is an IVFFlat-style composition (codes quantize
-    the vectors themselves, not the cell residuals — the classic IVFPQ
-    residual refinement is a straightforward extension of
-    :func:`train_pq_codebooks` left out to keep the oracle story
-    simple); recall is measured, not assumed, alongside the other
-    methods in the recall entries."""
+    takes over.
+
+    Codes quantize the cell RESIDUAL (v - cell centroid), the classic
+    IVFPQ formulation (Jegou et al. 2011 §IV): on clustered corpora the
+    vectors themselves all quantize to the cluster centers, every
+    within-cluster member gets identical codes, and ADC cannot rank
+    inside a cluster at all (measured on the 32-cluster synthetic
+    embeddings: vector-coded recall ~0.05-0.07 flat in n_probe;
+    residual coding dedicates the whole code budget to within-cell
+    variance). Distances stay exact in expectation because query and
+    candidate share the probed cell: ||q - v|| == ||(q - c) - (v - c)||.
+    Recall is measured, not assumed, alongside the other methods in
+    the recall entries."""
     raw = df.select(
         F.col(id_col), as_double_array(vec_col).alias("__r")
     ).withColumn("__nrm", l2_norm(F.col("__r")))
@@ -1360,7 +1377,6 @@ def ann_ivfpq_topk(
         F.col(id_col),
         F.transform("__r", lambda x: x / F.col("__nrm")).alias("__v"),
     ).persist()
-    books = train_pq_codebooks(e, id_col, dim, m, k_codes, pq_train_iters)
     cent = (
         e.orderBy(id_col).limit(n_cells)
         .select(
@@ -1368,27 +1384,54 @@ def ann_ivfpq_topk(
             F.col("__v").alias("__c"),
         )
     )
-    # unit vectors: cosine == dot, no norm columns needed
+    # unit vectors: cosine == dot, no norm columns needed. The
+    # assignment window shuffles ONLY (id, cell_id, sim) — projecting
+    # the vector (and especially the centroid array) into the
+    # n_cells-exploded relation before the window multiplies the
+    # shuffle by the vector width x cell count (measured: OOMs the
+    # 200k x 1024-cell stress); vectors and centroids join back AFTER
+    # the top-rank filter, at n_probe rows per vector.
     ac = e.crossJoin(F.broadcast(cent)).select(
-        id_col, "__v", "cell_id", dot(F.col("__v"), F.col("__c")).alias("__sim")
+        id_col, "cell_id", dot(F.col("__v"), F.col("__c")).alias("__sim")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
-    ranked = ac.withColumn("__rk", F.row_number().over(w))
-    lists = (
-        ranked.filter(F.col("__rk") == 1)
-        .select(
-            "cell_id",
-            F.col(id_col).alias("id_b"),
-            pq_encode_col(F.col("__v"), books).alias("__codes"),
-        )
+    ranked = (
+        ac.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max(n_probe, 1))
+        .select(id_col, "cell_id", "__rk")
+        .persist()
     )
-    probes = (
-        ranked.filter(F.col("__rk") <= n_probe)
-        .select(
-            F.col(id_col).alias("id_a"),
-            "cell_id",
-            pq_distance_table_col(F.col("__v"), books).alias("__dt"),
+    residual = F.zip_with(F.col("__v"), F.col("__c"), lambda x, y: x - y)
+
+    def with_residual(assign: DataFrame) -> DataFrame:
+        return (
+            assign.join(e, id_col)
+            .join(F.broadcast(cent), "cell_id")
+            .select(F.col(id_col), "cell_id", residual.alias("__res"))
         )
+
+    # codebooks train on the RESIDUALS of the top-1 assignment
+    res1 = with_residual(ranked.filter(F.col("__rk") == 1)).persist()
+    books = train_pq_codebooks(
+        res1.select(F.col(id_col), F.col("__res").alias("__v")),
+        id_col, dim, m, k_codes, pq_train_iters,
+    )
+    lists = res1.select(
+        "cell_id",
+        F.col(id_col).alias("id_b"),
+        pq_encode_col(F.col("__res"), books).alias("__codes"),
+    )
+    # query_filter narrows the PROBE side only (the realistic workload:
+    # a query set searching the full corpus); the corpus lists, books,
+    # and cell assignment always cover every vector. The query's
+    # distance table is PER PROBED CELL (its residual is against that
+    # cell's centroid — n_probe tables per query, m x k_codes doubles
+    # each), which is what keeps ADC exact across cells.
+    probe_src = ranked if query_filter is None else ranked.filter(query_filter)
+    probes = with_residual(probe_src.filter(F.col("__rk") <= n_probe)).select(
+        F.col(id_col).alias("id_a"),
+        "cell_id",
+        pq_distance_table_col(F.col("__res"), books).alias("__dt"),
     )
     cand = candidate_join(
         probes, lists, "cell_id", strategy=strategy,

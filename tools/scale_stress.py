@@ -305,6 +305,46 @@ def main() -> None:
     n_curated = curation_pipeline_end2end(spark, work).count()
     t["curation_pipeline_full"] = round(time.perf_counter() - t0, 2)
 
+    # IVF+PQ at 200k vectors: the memory-compression ANN path. 1024
+    # cells keep per-cell lists ~200 vectors; a 2k-query workload
+    # searches the full corpus (query_filter narrows the probe side
+    # only). Recall is sampled against exact ground truth over 100
+    # queries (the standard ANN-benchmark shape: truth over a probe
+    # sample, never the full corpus).
+    emb_big = spark.read.parquet(f"{work}/embeddings_big.parquet")
+    t0 = time.perf_counter()
+    ivfpq_hits = SIM.ann_ivfpq_topk(
+        emb_big, k=5, dim=64, n_cells=1024, n_probe=8, m=8, k_codes=16,
+        pq_train_iters=1, rerank=400,
+        query_filter=F.col("vec_id") % 100 == 0,  # 2k queries
+    ).persist()
+    n_ivfpq_rows = ivfpq_hits.count()
+    t["ivfpq_200k_2kq"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ev = emb_big.select(
+        "vec_id", SIM.as_double_array("embedding").alias("__v")
+    ).withColumn("__n", SIM.l2_norm(F.col("__v")))
+    qs_sample = ev.filter(F.col("vec_id") % 2000 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    # truth for the 100-query sample only: 100 x 200k scored pairs,
+    # query side broadcast, corpus streamed — never corpus x corpus
+    scored = ev.join(F.broadcast(qs_sample), F.col("id_a") != F.col("vec_id")).select(
+        "id_a", F.col("vec_id").alias("id_b"),
+        (SIM.dot(F.col("__va"), F.col("__v")) / (F.col("__na") * F.col("__n")))
+        .alias("__c"),
+    )
+    wt = Window.partitionBy("id_a").orderBy(F.desc("__c"), F.asc("id_b"))
+    truth = (
+        scored.withColumn("__rk", F.row_number().over(wt))
+        .filter(F.col("__rk") <= 5).select("id_a", "id_b")
+    )
+    n_truth = truth.count()
+    ivfpq_recall_hits = ivfpq_hits.join(truth, ["id_a", "id_b"]).count()
+    t["ivfpq_200k_truth_sample"] = round(time.perf_counter() - t0, 2)
+    ivfpq_hits.unpersist()
+
     # hot-domain cap: 5M rows, 90% under ONE key — the per-key window
     # cap's worst case. Times the plain window (full group on one
     # reducer) against hash_priority_cap (broadcast thresholds +
@@ -358,6 +398,9 @@ def main() -> None:
         "cap_rows_plain": plain_rows,
         "cap_rows_pruned": fast_rows,
         "cap_rows_agree": cap_rows_agree,
+        "ivfpq_200k_result_rows": n_ivfpq_rows,
+        "ivfpq_200k_truth_rows": n_truth,
+        "ivfpq_200k_sampled_recall_hits": ivfpq_recall_hits,
         "times_sec": t,
     }))
 
