@@ -1144,12 +1144,15 @@ def train_pq_codebooks(
     distributed, only m x k_codes x dim/m scalars collected per
     iteration — all subspaces train in ONE joint pass per iteration).
 
-    ``e`` must carry (id_col, __v: array<double>) with UNIT-NORM
-    vectors (PQ here approximates cosine ranking via squared L2 on the
-    unit sphere: ||a-b||^2 = 2 - 2cos). Returns
-    ``codebooks[subspace][code] = centroid`` (list of dim/m floats).
-    Iterative and float-summation-order sensitive, hence rows-only
-    correctness treatment downstream (same rationale as trained IVF).
+    ``e`` must carry (id_col, __v: array<double>). The vectors may be
+    unit-normed inputs (:func:`ann_pq_topk`: squared L2 on the unit
+    sphere == cosine ranking) or RAW cell residuals
+    (:func:`ann_ivfpq_topk`: residuals must NOT be re-normalized — the
+    ADC identity ||q-v|| == ||(q-c)-(v-c)|| only holds for raw
+    residuals). Returns ``codebooks[subspace][code] = centroid`` (list
+    of dim/m floats). Iterative and float-summation-order sensitive,
+    hence rows-only correctness treatment downstream (same rationale
+    as trained IVF).
     """
     sub = dim // m
     # seeds spread by id HASH, not id order: in the IVFPQ composition
@@ -1369,7 +1372,18 @@ def ann_ivfpq_topk(
     variance). Distances stay exact in expectation because query and
     candidate share the probed cell: ||q - v|| == ||(q - c) - (v - c)||.
     Recall is measured, not assumed, alongside the other methods in
-    the recall entries."""
+    the recall entries.
+
+    ``query_filter`` narrows the probe side to a query workload and is
+    evaluated against the internal assignment projection — it may
+    reference ONLY ``id_col`` (e.g. ``F.col("vec_id") % 100 == 0``),
+    not other input columns; pre-filter ``df`` itself for anything
+    richer (at the cost of also shrinking the corpus). The internal
+    ``persist()`` calls stay alive into the returned lazy plan — the
+    same convention as :func:`minhash_lsh_pairs`: lazy callers keep
+    the cache until their own first action."""
+    if n_probe < 1:
+        raise ValueError("ann_ivfpq_topk: n_probe must be >= 1")
     raw = df.select(
         F.col(id_col), as_double_array(vec_col).alias("__r")
     ).withColumn("__nrm", l2_norm(F.col("__r")))
@@ -1397,7 +1411,7 @@ def ann_ivfpq_topk(
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
     ranked = (
         ac.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= max(n_probe, 1))
+        .filter(F.col("__rk") <= n_probe)
         .select(id_col, "cell_id", "__rk")
         .persist()
     )
@@ -1428,7 +1442,7 @@ def ann_ivfpq_topk(
     # cell's centroid — n_probe tables per query, m x k_codes doubles
     # each), which is what keeps ADC exact across cells.
     probe_src = ranked if query_filter is None else ranked.filter(query_filter)
-    probes = with_residual(probe_src.filter(F.col("__rk") <= n_probe)).select(
+    probes = with_residual(probe_src).select(
         F.col(id_col).alias("id_a"),
         "cell_id",
         pq_distance_table_col(F.col("__res"), books).alias("__dt"),

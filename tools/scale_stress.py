@@ -311,7 +311,9 @@ def main() -> None:
     # only). Recall is sampled against exact ground truth over 100
     # queries (the standard ANN-benchmark shape: truth over a probe
     # sample, never the full corpus).
-    emb_big = spark.read.parquet(f"{work}/embeddings_big.parquet")
+    from pyspark.sql.window import Window
+
+    emb_big = emb  # the 200k table generated for the LSH stress above
     t0 = time.perf_counter()
     ivfpq_hits = SIM.ann_ivfpq_topk(
         emb_big, k=5, dim=64, n_cells=1024, n_probe=8, m=8, k_codes=16,
