@@ -464,6 +464,60 @@ curation_pipeline_end2end.__doc__ = curation_pipeline_end2end.__doc__.format(
 
 
 # ===========================================================================
+# Streaming curation filter — the stateless stages as a live stream
+# ===========================================================================
+
+_STREAM_CURATE_ORACLE = f"""
+SELECT doc_id,
+       CAST({_N_TOKS} AS INTEGER) AS n_tokens,
+       {_sql_round(f"1.0 / (1.0 + exp(-{_Z}))", 6)} AS quality_score
+FROM documents
+WHERE {_SQL_HASHSPLIT} = 'train'
+  AND 1.0 / (1.0 + exp(-{_Z})) >= 0.5
+"""
+
+
+@register("stream_quality_filter", _STREAM_CURATE_ORACLE)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's stateless stages as a REAL Structured
+    Streaming run: documents arrive as a file stream, each micro-batch
+    is hash-split, quality-scored, and filtered to kept train docs —
+    pure projections + filters, so append mode needs no watermark and
+    no state, and results are batching-invariant (the property that
+    makes these stages safe to run on the live crawl while the
+    stateful stages — dedup, decontamination — run on the accumulated
+    corpus; the same split the reference's batch-vs-archive reload
+    draws). Oracle: the identical predicate over the batch table."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    p = TX.quality_logistic("text")
+    out = (
+        src.select(
+            "doc_id", "text",
+            TX.hash_split_col("doc_id").alias("__split"),
+            p.alias("__p"),
+        )
+        .filter((F.col("__split") == "train") & (F.col("__p") >= 0.5))
+        .select(
+            "doc_id",
+            TX.token_count("text").cast("int").alias("n_tokens"),
+            round_half_away(F.col("__p"), 6).alias("quality_score"),
+        )
+    )
+    name = "stream_quality_filter_sink"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ===========================================================================
 # SCD1 upsert — MERGE INTO semantics, batch face of foreachbatch_upsert
 # ===========================================================================
 
