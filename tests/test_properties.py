@@ -172,3 +172,65 @@ def test_connected_components_both_paths_match_bruteforce(spark):
         }
         assert fast == expected, f"fast path diverged (trial {trial})"
         assert dist == expected, f"distributed path diverged (trial {trial})"
+
+
+def test_table_diff_partitions_the_key_universe(spark):
+    """Random snapshot pairs: the four status counts must partition
+    |keys(a) ∪ keys(b)| exactly, with each bucket matching a
+    brute-force python reconciliation."""
+    from apde_etl_spark.sources.lifecycle import table_diff
+
+    rng = random.Random(31)
+    for trial in range(4):
+        a = {k: (rng.randint(0, 3), rng.choice("xyz")) for k in rng.sample(range(60), 35)}
+        b = {k: (rng.randint(0, 3), rng.choice("xyz")) for k in rng.sample(range(60), 35)}
+        df_a = spark.createDataFrame(
+            [(k, v, s) for k, (v, s) in a.items()], "k long, v long, s string"
+        )
+        df_b = spark.createDataFrame(
+            [(k, v, s) for k, (v, s) in b.items()], "k long, v long, s string"
+        )
+        got = {
+            r["status"]: r["n_rows"]
+            for r in table_diff(df_a, df_b, "k", ["v", "s"]).collect()
+        }
+        exp = {"only_in_a": 0, "only_in_b": 0, "changed": 0, "identical": 0}
+        for k in set(a) | set(b):
+            if k not in b:
+                exp["only_in_a"] += 1
+            elif k not in a:
+                exp["only_in_b"] += 1
+            elif a[k] == b[k]:
+                exp["identical"] += 1
+            else:
+                exp["changed"] += 1
+        exp = {s: n for s, n in exp.items() if n}
+        assert got == exp, (trial, got, exp)
+        assert sum(got.values()) == len(set(a) | set(b))
+
+
+def test_scd1_upsert_matches_dict_semantics(spark):
+    """Random target/update batches: the merged snapshot must equal
+    plain python dict.update() and the action labels must be exact."""
+    from apde_etl_spark.sources.lifecycle import scd1_upsert
+
+    rng = random.Random(77)
+    for trial in range(4):
+        tgt = {k: rng.randint(0, 2) for k in rng.sample(range(40), 25)}
+        upd = {k: rng.randint(0, 2) for k in rng.sample(range(50), 20)}
+        df_t = spark.createDataFrame(list(tgt.items()), "k long, v long")
+        df_u = spark.createDataFrame(list(upd.items()), "k long, v long")
+        got = {
+            r["k"]: (r["v"], r["action"])
+            for r in scd1_upsert(df_t, df_u, "k", ["v"]).collect()
+        }
+        merged = dict(tgt)
+        merged.update(upd)
+        assert set(got) == set(merged)
+        for k, v in merged.items():
+            act = (
+                "inserted" if k not in tgt
+                else "updated" if k in upd and upd[k] != tgt[k]
+                else "unchanged"
+            )
+            assert got[k] == (v, act), (trial, k, got[k], (v, act))
