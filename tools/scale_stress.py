@@ -305,6 +305,20 @@ def main() -> None:
     n_curated = curation_pipeline_end2end(spark, work).count()
     t["curation_pipeline_full"] = round(time.perf_counter() - t0, 2)
 
+    # incremental ingest at n_docs: ~26% of the corpus re-arrives as a
+    # batch (exact re-crawls + revisions + new pages); the digest
+    # anti-join disposes of exact dups before any shingling and the
+    # asymmetric band join never self-joins the corpus
+    from apde_etl_spark.plans.catalog_r3b import incremental_ingest_dedup
+
+    t0 = time.perf_counter()
+    ingest_counts = {
+        r["status"]: r["n"]
+        for r in incremental_ingest_dedup(spark, work)
+        .groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    t["incremental_ingest"] = round(time.perf_counter() - t0, 2)
+
     # IVF+PQ at 200k vectors: the memory-compression ANN path. 1024
     # cells keep per-cell lists ~200 vectors; a 2k-query workload
     # searches the full corpus (query_filter narrows the probe side
@@ -397,6 +411,7 @@ def main() -> None:
         "n_decontam_flagged": n_decontam,
         "n_repeated_spans": n_spans,
         "n_curated_final": n_curated,
+        "ingest_status_counts": ingest_counts,
         "cap_rows_plain": plain_rows,
         "cap_rows_pruned": fast_rows,
         "cap_rows_agree": cap_rows_agree,
