@@ -10,6 +10,18 @@ specific and out of scope; everything up to the rendered (subject, body,
 recipients) triple is reproduced here on DataFrames + ``str.format``.
 
 These are tiny dimension tables: every join below broadcasts.
+
+Reference CRUD parity note: the ``apde_notify_address_create/delete/
+set`` and ``apde_notify_list_set`` management functions
+(notify.R:828-1010) are single-row upserts/deletes on these dimension
+tables — on the lake they are exactly
+:func:`apde_etl_spark.sources.lifecycle.scd1_upsert` (upsert by
+``address``/``list_name`` key) and a ``left_anti`` join (delete),
+followed by an overwrite of the tiny table; no bespoke code is
+warranted. The interactive ``apde_notify_menu`` and credential
+handling (``apde_notify_set_cred``) are console/keyring machinery with
+no engine analogue, deliberately out of scope like the reference's
+other interactive prompts.
 """
 
 from __future__ import annotations
