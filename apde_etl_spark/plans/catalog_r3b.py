@@ -464,6 +464,73 @@ curation_pipeline_end2end.__doc__ = curation_pipeline_end2end.__doc__.format(
 
 
 # ===========================================================================
+# Unigram commonness score — the LM-perplexity-filter stand-in
+# ===========================================================================
+
+_COMMON_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM uni),
+terms AS (
+  SELECT t.doc_id,
+         CAST((uni.c + 1) / CAST(tot.total + tot.v AS DOUBLE) * 1000000.0
+              AS DECIMAL(28,8)) AS ppm
+  FROM toks t JOIN uni USING (tok) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       CAST(CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_token_ppm
+FROM terms GROUP BY doc_id
+"""
+
+
+@register("unigram_commonness_score", _COMMON_ORACLE)
+def unigram_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram commonness scoring — the deterministic stand-in for the
+    LM-perplexity filter (CCNet's second stage: docs whose tokens are
+    improbable under a corpus LM get filtered/bucketed). Per token,
+    add-one-smoothed corpus frequency in parts-per-million; per doc,
+    the average over its tokens — rare-token-heavy documents score low,
+    exactly the signal a unigram LM's cross-entropy carries, WITHOUT
+    transcendental functions: every term is a ratio of integers (one
+    exactly-rounded IEEE division, identical on both engines) cast to
+    DECIMAL(28,8) and summed exactly, so partial-aggregation order
+    cannot perturb the result and the cross-engine hash is stable —
+    the same reason log-based scoring is NOT used here (1-ulp ln()
+    differences across libm implementations break value hashes).
+
+    Scale shape: one explode -> unigram groupBy (map-side combined,
+    vocab-sized result broadcasts back), one per-doc aggregation. At
+    100 TB the vocab table replaces a trained LM artifact; swapping a
+    real LM in changes the lookup table, not the plan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    terms = (
+        toks.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            ((F.col("c") + 1) / (F.col("total") + F.col("v")).cast("double")
+             * F.lit(1000000.0)).cast("decimal(28,8)").alias("ppm"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        (F.sum("ppm").cast("double") / F.count(F.lit(1)))
+        .cast("double").alias("avg_token_ppm"),
+    )
+
+
+# ===========================================================================
 # Streaming curation filter — the stateless stages as a live stream
 # ===========================================================================
 
