@@ -467,7 +467,7 @@ curation_pipeline_end2end.__doc__ = curation_pipeline_end2end.__doc__.format(
 # Unigram commonness score — the LM-perplexity-filter stand-in
 # ===========================================================================
 
-_COMMON_ORACLE = """
+_COMMON_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents
@@ -482,7 +482,7 @@ terms AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS INTEGER) AS n_tokens,
-       CAST(CAST(SUM(ppm) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_token_ppm
+       {_sql_round("CAST(SUM(ppm) AS DOUBLE) / COUNT(*)", 6)} AS avg_token_ppm
 FROM terms GROUP BY doc_id
 """
 
@@ -502,15 +502,19 @@ def unigram_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same reason log-based scoring is NOT used here (1-ulp ln()
     differences across libm implementations break value hashes).
 
-    Scale shape: one explode -> unigram groupBy (map-side combined,
-    vocab-sized result broadcasts back), one per-doc aggregation. At
-    100 TB the vocab table replaces a trained LM artifact; swapping a
-    real LM in changes the lookup table, not the plan."""
+    Scale shape: two passes over the exploded tokens — the vocab build
+    (map-side-combined groupBy; its tiny result is persisted so the
+    scalar totals don't re-run it, then broadcasts back) and the
+    scoring join + per-doc aggregation. At 100 TB the vocab table
+    replaces a trained LM artifact maintained out-of-band; swapping a
+    real LM in changes the lookup table, not the plan. The final
+    average goes through the catalog's shared half-away rounding like
+    every other multi-row float aggregate."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        "doc_id", F.explode(TX.tokens("text")).alias("tok")
     )
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     tot = uni.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
     )
@@ -525,8 +529,9 @@ def unigram_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
-        (F.sum("ppm").cast("double") / F.count(F.lit(1)))
-        .cast("double").alias("avg_token_ppm"),
+        round_half_away(
+            F.sum("ppm").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_token_ppm"),
     )
 
 

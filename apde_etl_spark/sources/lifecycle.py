@@ -63,6 +63,15 @@ def duplicate_table(
     server -> R -> TSV -> bcp -> server with all columns cast to character
     (table_duplicate.R:318); a distributed writer needs neither the
     string cast nor 50k-row chunking."""
+    if not confirm and table_exists(spark, dest):
+        # the reference's interactive confirmation prompt
+        # (table_duplicate.R) maps to an explicit refusal here: a caller
+        # that opts out of confirmation must not clobber an existing
+        # table silently
+        raise ValueError(
+            f"duplicate_table: destination {dest!r} exists and "
+            "confirm=False — refusing to overwrite"
+        )
     df = source.limit(0) if structure_only else source
     df.write.mode("overwrite").saveAsTable(dest)
 
@@ -83,6 +92,11 @@ def date_split_reload(
     (A12) — rows after the archive's high-water mark come from ``new``."""
     if cutpoint is None:
         cutpoint = archive.agg(F.max(date_col)).first()[0]
+    if cutpoint is None:
+        # empty archive (or all-NULL dates): there is no high-water mark,
+        # so EVERYTHING comes from `new` — comparing against a NULL
+        # cutpoint would silently drop every row of both sides
+        return new.distinct()
     merged = archive.filter(F.col(date_col) < F.lit(cutpoint)).unionByName(
         new.filter(F.col(date_col) >= F.lit(cutpoint))
     )
@@ -115,7 +129,19 @@ def write_analytic_table(
     out = df
     if target_file_rows:
         n = max(1, out.count() // target_file_rows)
-        out = out.repartition(n, *part) if part else out.repartition(n)
+        if part:
+            # hash-partitioning on the partition columns alone puts each
+            # partition VALUE in exactly one task — one giant file per
+            # partition, the opposite of the target size. A uniform salt
+            # alongside the partition key keeps rows of one partition
+            # value together per task bucket while splitting large
+            # partitions across ~n/|partitions| tasks each.
+            salt = F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()), F.lit(int(n))
+            )
+            out = out.repartition(n, *part, salt)
+        else:
+            out = out.repartition(n)
     if clust:
         out = out.sortWithinPartitions(*clust)
     writer = out.write.mode(mode).format(file_format)
@@ -289,12 +315,16 @@ def scd2_merge(
     as_of_col = F.lit(as_of).cast("date")
     history = None
     if "is_current" in current.columns:
-        history = current.filter(~F.col("is_current")).select(
+        # null-safe split: a NULL is_current (e.g. from an outer-join
+        # backfill) must not vanish from BOTH branches — treat it as
+        # open so the merge reconciles it against the snapshot
+        closed = F.col("is_current").eqNullSafe(F.lit(False))
+        history = current.filter(closed).select(
             key, *attrs, "valid_from",
             F.col("valid_to").cast("date").alias("valid_to"),
             "is_current",
         )
-        current = current.filter(F.col("is_current"))
+        current = current.filter(~closed)
     cur = current.select(
         F.col(key), *[F.col(a).alias(f"__c_{a}") for a in attrs],
         F.col("valid_from").alias("__c_valid_from"),
@@ -391,6 +421,11 @@ def write_zordered_table(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
+    if lo_a is None or lo_b is None:
+        # empty input (or all-NULL cluster columns): nothing to
+        # Z-order — write plainly instead of crashing on None-None
+        df.write.mode("overwrite").parquet(path)
+        return
     top = (1 << bits) - 1
 
     def scaled(c, lo, hi):

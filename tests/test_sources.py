@@ -259,3 +259,75 @@ def test_source_bytes_walks_directory_tables(tmp_path):
     f = tmp_path / "plain.bin"
     f.write_bytes(b"z" * 123)
     assert _source_bytes(str(f), budget=1) == 123
+
+
+def test_date_split_reload_empty_archive_passes_everything_through(spark):
+    from apde_etl_spark.sources.lifecycle import date_split_reload
+
+    new = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-02-01")], "id long, d string"
+    ).select("id", F.col("d").cast("date").alias("d"))
+    empty = new.limit(0)
+    # no high-water mark: everything must come from `new`, not vanish
+    # into NULL-cutpoint comparisons
+    assert date_split_reload(empty, new, "d").count() == 2
+
+
+def test_scd2_merge_null_is_current_rows_survive(spark):
+    import datetime
+
+    from apde_etl_spark.sources.lifecycle import scd2_merge
+
+    cur = spark.createDataFrame(
+        [
+            (1, "a", datetime.date(2024, 1, 1), None, True),
+            (2, "b", datetime.date(2024, 1, 1), None, None),  # NULL flag
+        ],
+        "k long, attr string, valid_from date, valid_to date, is_current boolean",
+    )
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "k long, attr string")
+    out = scd2_merge(cur, snap, "k", ["attr"], "2024-06-01")
+    # the NULL-is_current key must still be present (treated as open)
+    assert out.filter(F.col("k") == 2).count() == 1
+
+
+def test_write_zordered_table_handles_empty_input(spark, tmp_path):
+    from apde_etl_spark.sources.lifecycle import write_zordered_table
+
+    df = spark.createDataFrame([], "a long, b long")
+    path = str(tmp_path / "z_empty")
+    write_zordered_table(df, path, "a", "b")
+    assert spark.read.parquet(path).count() == 0
+
+
+def test_analytic_table_splits_large_partitions(spark, tmp_path):
+    import glob
+
+    from apde_etl_spark.sources.lifecycle import write_analytic_table
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("part")
+    )
+    path = str(tmp_path / "sized")
+    write_analytic_table(
+        df, path, partition_by="part", target_file_rows=1_000
+    )
+    # 10k rows / 1k target = ~10 tasks across 2 partition values: each
+    # partition dir must hold MULTIPLE files, not one giant one
+    for v in ("0", "1"):
+        files = glob.glob(f"{path}/part={v}/*.parquet")
+        assert len(files) >= 2, (v, files)
+
+
+def test_duplicate_table_confirm_false_refuses_overwrite(spark):
+    import pytest as _pytest
+
+    from apde_etl_spark.sources.lifecycle import duplicate_table
+
+    df = spark.range(3).select(F.col("id"))
+    duplicate_table(spark, df, "dup_confirm_probe")
+    try:
+        with _pytest.raises(ValueError, match="confirm=False"):
+            duplicate_table(spark, df, "dup_confirm_probe", confirm=False)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dup_confirm_probe")
