@@ -1275,6 +1275,12 @@ def ann_pq_topk(
     approximate top-k; recall is measured (not assumed) by the
     ann_recall_pq catalog entry.
 
+    Pair ENUMERATION here is still all-pairs (every query scans every
+    code) — this is the flat-PQ baseline, 8x cheaper per pair than the
+    exact scan but the same O(queries x corpus) pair count. The scale
+    path that bounds the pair count is :func:`ann_ivfpq_topk` (IVF
+    cells restrict candidates; PQ codes price them).
+
     ``rerank``: the standard PQ deployment — ADC shortlists the top
     ``rerank`` (> k) candidates per query, then ONLY those pairs pay an
     exact cosine (joining the raw vectors back for the shortlist), and
