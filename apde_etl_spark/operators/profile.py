@@ -117,8 +117,8 @@ def distinct_gate(df: DataFrame, cols: Sequence[str], threshold: int) -> set[str
     set), computed scale-aware in two phases:
 
     1. ``approx_count_distinct`` per column — single pass, no Expand, no
-       melt; HLL error is ~2%, so columns whose estimate clears 3x the
-       threshold are continuous with certainty.
+       melt; HLL rsd is ~5%, so estimates outside a [0.7x, 1.5x)
+       band of the threshold are decided with certainty (>6 sigma).
     2. exact :func:`distinct_counts` only over the survivors (the
        low-cardinality columns the gate exists to find — cheap shuffle).
 
@@ -128,9 +128,14 @@ def distinct_gate(df: DataFrame, cols: Sequence[str], threshold: int) -> set[str
     """
     if not cols:
         return set()
-    approx = df.agg(
-        *[F.approx_count_distinct(c).alias(c) for c in cols]
+    row = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cols],
+        *[F.max(F.col(c).isNull().cast("int")).alias(f"__null_{c}") for c in cols],
     ).first()
+    # approx_count_distinct ignores NULLs but the exact recount
+    # (uniqueN semantics) counts NULL as a value — add the null slot
+    # back so both phases measure on one scale
+    approx = {c: row[c] + (row[f"__null_{c}"] or 0) for c in cols}
     # HLL rsd is 5%; a 30-50% margin on either side of the threshold is
     # >6 sigma, so decisions outside the band are certain and only truly
     # borderline columns pay for an exact recount (usually: none).
@@ -146,12 +151,40 @@ def distinct_gate(df: DataFrame, cols: Sequence[str], threshold: int) -> set[str
 # A1 — missingness profile (R :700-702; T-SQL :1184-1202)
 # ---------------------------------------------------------------------------
 
-def _miss_aggs(cols: Sequence[str]) -> list[Column]:
-    return [F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nnull") for c in cols]
+def _float_cols(df: DataFrame, cols: Sequence[str]) -> list[str]:
+    """The float/double subset of ``cols`` — the types where NaN exists."""
+    want = set(cols)
+    return [f.name for f in df.schema.fields
+            if f.name in want and f.dataType.typeName() in ("float", "double")]
+
+
+def _stack_label(c: str) -> str:
+    """Escape a column name for interpolation as a stack() string label.
+    Single quotes double; backticks cannot be escaped inside a quoted
+    identifier reference, so reject them with a clear error instead of
+    generating corrupt SQL."""
+    if "`" in c:
+        raise ValueError(f"column name {c!r} contains a backtick — unsupported")
+    return c.replace("'", "''")
+
+
+def _miss_aggs(cols: Sequence[str], nan_cols: Sequence[str] = ()) -> list[Column]:
+    """NULL counts per column; for float/double columns (``nan_cols``)
+    NaN counts as missing too — R's ``is.na(NaN)`` is TRUE, and a NaN
+    that is neither missing nor aggregable would otherwise poison the
+    mean (the reference's na.rm removes both)."""
+    nanset = set(nan_cols)
+    out = []
+    for c in cols:
+        miss = F.col(c).isNull()
+        if c in nanset:
+            miss = miss | F.isnan(F.col(c))
+        out.append(F.sum(miss.cast("long")).alias(f"{c}__nnull"))
+    return out
 
 
 def _miss_from_wide(wide: DataFrame, cols: Sequence[str]) -> DataFrame:
-    pairs = ", ".join(f"'{c}', `{c}__nnull`" for c in cols)
+    pairs = ", ".join(f"'{_stack_label(c)}', `{c}__nnull`" for c in cols)
     stack = f"stack({len(cols)}, {pairs}) as (varname, nrow)"
     return wide.select("time_period", "__total", F.expr(stack)).select(
         "time_period",
@@ -172,7 +205,7 @@ def missingness_profile(df: DataFrame, time_col: str | Column, cols: Sequence[st
     """
     t = F.col(time_col) if isinstance(time_col, str) else time_col
     wide = df.groupBy(t.alias("time_period")).agg(
-        *_miss_aggs(cols), F.count(F.lit(1)).alias("__total")
+        *_miss_aggs(cols, _float_cols(df, cols)), F.count(F.lit(1)).alias("__total")
     )
     return _miss_from_wide(wide, cols)
 
@@ -211,7 +244,9 @@ def _numeric_aggs(
 ) -> list[Column]:
     aggs: list[Column] = []
     for c in cols:
-        d = F.col(c).cast("double")
+        # nanvl: NaN -> NULL so every aggregate ignores it (na.rm
+        # semantics — one NaN must not turn the period mean into NaN)
+        d = F.nanvl(F.col(c).cast("double"), F.lit(None).cast("double"))
         aggs.append(F.avg(d).alias(f"{c}__mean"))
         if include_median:
             if exact_median:
@@ -231,7 +266,7 @@ def _numeric_aggs(
 
 def _numeric_from_wide(wide: DataFrame, cols: Sequence[str]) -> DataFrame:
     pairs = ", ".join(
-        f"'{c}', `{c}__mean`, `{c}__median`, `{c}__min`, `{c}__max`" for c in cols
+        f"\'{_stack_label(c)}\', `{c}__mean`, `{c}__median`, `{c}__min`, `{c}__max`" for c in cols
     )
     stack = (
         f"stack({len(cols)}, {pairs}) as (varname, mean, median, min, max)"
@@ -306,7 +341,11 @@ def date_stats(df: DataFrame, time_col: str | Column, cols: Sequence[str]) -> Da
     return _date_from_wide(wide, cols)
 
 
-def _date_aggs(cols: Sequence[str], include_median: bool = True) -> list[Column]:
+def _date_aggs(
+    cols: Sequence[str],
+    include_median: bool = True,
+    exact_median: bool = True,
+) -> list[Column]:
     epoch = F.lit(_EPOCH).cast("date")
     aggs: list[Column] = []
     for c in cols:
@@ -317,15 +356,19 @@ def _date_aggs(cols: Sequence[str], include_median: bool = True) -> list[Column]
             F.max(d).alias(f"{c}__max"),
         ]
         if include_median:
-            aggs.append(
-                F.floor(F.percentile(days, F.lit(0.5))).cast("int").alias(f"{c}__meddays")
-            )
+            if exact_median:
+                med = F.percentile(days, F.lit(0.5))
+            else:
+                # sketch mode's bounded-state promise must hold for
+                # dates too, not just numerics — GK sketch, fixed state
+                med = F.percentile_approx(days, F.lit(0.5), F.lit(10000)).cast("double")
+            aggs.append(F.floor(med).cast("int").alias(f"{c}__meddays"))
     return aggs
 
 
 def _date_from_wide(wide: DataFrame, cols: Sequence[str]) -> DataFrame:
     epoch = F.lit(_EPOCH).cast("date")
-    pairs = ", ".join(f"'{c}', `{c}__min`, `{c}__max`, `{c}__meddays`" for c in cols)
+    pairs = ", ".join(f"'{_stack_label(c)}', `{c}__min`, `{c}__max`, `{c}__meddays`" for c in cols)
     stack = f"stack({len(cols)}, {pairs}) as (varname, min_date, max_date, __meddays)"
     return wide.select("time_period", F.expr(stack)).withColumn(
         "median_date", F.date_add(epoch, F.col("__meddays"))
@@ -337,7 +380,8 @@ def _date_from_wide(wide: DataFrame, cols: Sequence[str]) -> DataFrame:
 # (R :755,1063; T-SQL :1455-1462)
 # ---------------------------------------------------------------------------
 
-def categorical_freq(df: DataFrame, time_col: str | Column, cols: Sequence[str]) -> DataFrame:
+def categorical_freq(df: DataFrame, time_col: str | Column, cols: Sequence[str],
+                     with_proportion: bool = True) -> DataFrame:
     """Per (time_period, varname, value): count and within-(time,varname)
     proportion.
 
@@ -352,6 +396,10 @@ def categorical_freq(df: DataFrame, time_col: str | Column, cols: Sequence[str])
         ["time_period"], list(cols), value_type="string",
     )
     freq = long.groupBy("time_period", "varname", "value").agg(F.count(F.lit(1)).alias("count"))
+    if not with_proportion:
+        # top_k_with_other recomputes proportions after its rollup —
+        # callers feeding it skip this window pass entirely
+        return freq
     w = Window.partitionBy("time_period", "varname")
     return freq.withColumn("proportion", F.col("count") / F.sum("count").over(w))
 
@@ -455,7 +503,7 @@ class CombinedProfile:
         cols = list(cols or self.num_cols)
         if self.median_mode != "histogram":
             return _numeric_from_wide(self.wide, cols)
-        pairs = ", ".join(f"'{c}', `{c}__mean`, `{c}__min`, `{c}__max`" for c in cols)
+        pairs = ", ".join(f"'{_stack_label(c)}', `{c}__mean`, `{c}__min`, `{c}__max`" for c in cols)
         stack = f"stack({len(cols)}, {pairs}) as (varname, mean, min, max)"
         partial = self.wide.select("time_period", F.expr(stack))
         return self._join_medians(partial, self._medians()).select(
@@ -466,7 +514,7 @@ class CombinedProfile:
         cols = list(cols or self.date_cols)
         if self.median_mode != "histogram":
             return _date_from_wide(self.wide, cols)
-        pairs = ", ".join(f"'{c}', `{c}__min`, `{c}__max`" for c in cols)
+        pairs = ", ".join(f"'{_stack_label(c)}', `{c}__min`, `{c}__max`" for c in cols)
         stack = f"stack({len(cols)}, {pairs}) as (varname, min_date, max_date)"
         partial = self.wide.select("time_period", F.expr(stack))
         epoch = F.lit(_EPOCH).cast("date")
@@ -487,9 +535,22 @@ class CombinedProfile:
                     F.hll_union_agg(F.col(f"{c}__hll"))
                 ).alias(c)
                 for c in self.gate_cols
-            ]
+            ],
+            *[
+                F.max((F.col(f"{c}__nnull") > 0).cast("int")).alias(f"{c}__anynull")
+                for c in self.gate_cols
+            ],
         ).first()
-        return {c: row[c] for c in self.gate_cols}
+        # two fixes folded in: (a) an all-NULL column (or an empty
+        # time range) yields a NULL sketch -> estimate 0, not None;
+        # (b) the exact recount counts NULL as a distinct value
+        # (uniqueN semantics) while HLL ignores NULLs, so add the
+        # null slot back to keep the two gate phases on one scale
+        return {
+            c: (row[c] if row[c] is not None else 0.0)
+               + (row[f"{c}__anynull"] or 0)
+            for c in self.gate_cols
+        }
 
     def unpersist(self) -> None:
         self.wide.unpersist()
@@ -533,10 +594,11 @@ def combined_profile(
     t = F.col(time_col) if isinstance(time_col, str) else time_col
     gate = list(gate_cols if gate_cols is not None else classes.numeric + classes.datetime)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
-    aggs += _miss_aggs(classes.profiled)
+    aggs += _miss_aggs(classes.profiled, _float_cols(df, classes.profiled))
     with_median = mode != "histogram"
     aggs += _numeric_aggs(classes.numeric, mode == "buffer", include_median=with_median)
-    aggs += _date_aggs(classes.datetime, include_median=with_median)
+    aggs += _date_aggs(classes.datetime, include_median=with_median,
+                       exact_median=(mode == "buffer"))
     aggs += [
         F.hll_sketch_agg(F.col(c).cast("string")).alias(f"{c}__hll") for c in gate
     ]

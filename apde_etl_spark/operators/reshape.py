@@ -39,7 +39,13 @@ def melt_long(
     same with CAST(... AS VARCHAR) in its CROSS APPLY branch
     (R/etl_qa_run_pipeline.R:1178).
     """
-    pairs = ", ".join(f"'{c}', cast(`{c}` as {value_type})" for c in value_cols)
+    if not value_cols:
+        raise ValueError("melt_long: value_cols is empty — stack(0) is invalid SQL")
+    from apde_etl_spark.operators.profile import _stack_label
+
+    pairs = ", ".join(
+        f"'{_stack_label(c)}', cast(`{c}` as {value_type})" for c in value_cols
+    )
     stack_expr = f"stack({len(value_cols)}, {pairs}) as (`{var_name}`, `{value_name}`)"
     return df.select(*[F.col(c) for c in id_cols], F.expr(stack_expr))
 

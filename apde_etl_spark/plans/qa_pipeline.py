@@ -97,6 +97,15 @@ class QaResults:
     values: DataFrame
     chi_standards: DataFrame | None = field(default=None)
     classes: P.ColumnClasses = field(default=None)
+    _profile: object = field(default=None, repr=False)
+
+    def release(self) -> None:
+        """Unpersist the fused-profile cache backing the result frames.
+        Call after the results are consumed (collected/written): a
+        long-running driver profiling many tables would otherwise
+        accumulate one persisted aggregate per call."""
+        if self._profile is not None:
+            self._profile.unpersist()
 
 
 def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
@@ -114,6 +123,11 @@ def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
         base = base.filter(F.col("__time").between(lo, hi))
 
     classes = P.classify_columns(base, cols)
+    if not classes.profiled:
+        raise ValueError(
+            "run_qa_pipeline: no profilable columns — every requested "
+            "column has an unsupported (array/map/struct) type"
+        )
 
     # ONE fused pass over the base table: missingness (every profiled
     # column) + numeric stats + date stats + a per-period HLL distinct
@@ -163,7 +177,9 @@ def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
     if date_cols:
         date = prof.date_stats(date_cols)
     if cat_cols:
-        freq = P.categorical_freq(base, "__time", cat_cols)
+        # proportions are recomputed after the top-k rollup, so the
+        # frequency pass skips its own proportion window
+        freq = P.categorical_freq(base, "__time", cat_cols, with_proportion=False)
         top = P.top_k_with_other(freq, config.top_k)
         categorical = FIN.finalize_categorical(top, config.abs_threshold, config.digits_prop)
 
@@ -187,5 +203,6 @@ def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
             chi = FIN.check_standards(observed, config.standards)
 
     return QaResults(
-        missingness=missing_final, values=values, chi_standards=chi, classes=classes
+        missingness=missing_final, values=values, chi_standards=chi,
+        classes=classes, _profile=prof,
     )

@@ -247,3 +247,67 @@ def test_median_modes_agree_on_null_time_period(spark):
     # the NULL period is present and has a non-null median in both modes
     null_rows = [r for r in num_h if r[0] is None]
     assert null_rows and all(r[3] is not None for r in null_rows)
+
+
+def test_nan_counts_as_missing_and_does_not_poison_stats(spark):
+    import math
+
+    import pandas as pd
+
+    from apde_etl_spark.plans.qa_pipeline import QaConfig, run_qa_pipeline
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "yr": [2020] * 6,
+            "x": [1.0, 2.0, 3.0, float("nan"), None, 4.0],
+        })
+    )
+    res = run_qa_pipeline(df, QaConfig(time_var="yr", distinct_threshold=2))
+    miss = {r["varname"]: r["nrow"] for r in res.missingness.collect()}
+    # NaN AND NULL both count missing (R is.na semantics)
+    assert miss["x"] == 2
+    vals = res.values.filter(F.col("varname") == "x").collect()
+    means = [r["mean"] for r in vals if r["mean"] is not None]
+    assert means and all(not math.isnan(m) for m in means)
+    assert abs(means[0] - 2.5) < 1e-9  # mean of 1,2,3,4 — NaN removed
+    res.release()
+
+
+def test_all_null_gate_column_demotes_instead_of_crashing(spark):
+    import pandas as pd
+
+    from apde_etl_spark.plans.qa_pipeline import QaConfig, run_qa_pipeline
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"yr": [2020, 2021], "dead": [None, None]})
+    ).select("yr", F.col("dead").cast("double").alias("dead"))
+    res = run_qa_pipeline(df, QaConfig(time_var="yr"))
+    # all-NULL numeric: HLL sketch is NULL -> estimate treated as the
+    # null slot only -> demoted to categorical, where it reports as a
+    # NULL-category frequency (no TypeError)
+    assert res.values.filter(F.col("varname") == "dead").count() > 0
+    res.release()
+
+
+def test_unsupported_only_columns_raise_clearly(spark):
+    import pytest as _pytest
+
+    from apde_etl_spark.plans.qa_pipeline import QaConfig, run_qa_pipeline
+
+    df = spark.range(3).select(
+        F.col("id").alias("yr"), F.array(F.lit(1)).alias("arr")
+    )
+    with _pytest.raises(ValueError, match="no profilable columns"):
+        run_qa_pipeline(df, QaConfig(time_var="yr", cols=["arr"]))
+
+
+def test_quoted_column_name_profiles_cleanly(spark):
+    import pandas as pd
+
+    from apde_etl_spark.operators.profile import missingness_profile
+
+    pdf = pd.DataFrame({"yr": [2020, 2020], "it's odd": [1.0, None]})
+    df = spark.createDataFrame(pdf)
+    out = {r["varname"]: r["nrow"] for r in
+           missingness_profile(df, "yr", ["it's odd"]).collect()}
+    assert out == {"it's odd": 1}
