@@ -332,26 +332,58 @@ def minhash_lsh_join(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 16) -> DataFrame:
-    """SimHash fingerprint over whitespace tokens: per-token 60-bit hash,
-    per-bit +/-1 vote, sign vector -> integer fingerprint.
+            bits: int = 64) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens: per-token md5-derived
+    base bits, per-bit +/-1 vote, sign vector -> integer fingerprint.
+
+    ``bits=64`` is the industry-standard width (Manku et al. 2007 use
+    64-bit fingerprints at web scale): banding a 64-bit print into 16-bit
+    slices gives 65536 bucket values per band, so bucket sizes — and the
+    candidate-pair count of the banded self-join — stay bounded at
+    10^8-10^9 docs where a 16/32-bit print's 16-256-value bands go
+    quadratic. One md5 limb (:func:`hash60`) caps at 60 bits, so bits
+    above 59 come from a SECOND limb of the same digest (md5 chars
+    16..30) — one digest per token either way, and every bit position is
+    engine-reproducible for the DuckDB oracle.
+
+    The fingerprint is a SIGNED int64 in two's complement: bit 63's
+    weight is -2^63. Downstream ops are representation-safe — XOR +
+    bit_count for hamming, and band slicing masks AFTER the (arithmetic)
+    shift, which both Spark and DuckDB implement identically.
 
     Implemented as explode + groupBy(id) with ``bits`` conditional sums:
     map-side partial aggregation collapses each document's tokens within
     the partition, so the shuffle carries one row per document."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash: bits must be in [1, 64], got {bits}")
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
-    ).withColumn("__h", hash60(F.col("__tok")))
-    # shiftright, NOT double division: __h is 60-bit, double mantissa is 53
-    votes = [
-        F.sum(F.shiftright(F.col("__h"), i) % 2 * 2 - 1).alias(f"__b{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    ).withColumn("__d", F.md5(F.col("__tok").cast("binary")))
+    limbs = toks.withColumn(
+        "__h0", F.conv(F.substring(F.col("__d"), 1, 15), 16, 10).cast("bigint")
+    )
+    if bits > 60:
+        limbs = limbs.withColumn(
+            "__h1", F.conv(F.substring(F.col("__d"), 16, 15), 16, 10).cast("bigint")
+        )
+
+    # shiftright, NOT double division: limbs are 60-bit, double mantissa is 53
+    def _bit(i: int) -> Column:
+        src, off = (F.col("__h0"), i) if i < 60 else (F.col("__h1"), i - 60)
+        return F.shiftright(src, off) % 2
+
+    votes = [F.sum(_bit(i) * 2 - 1).alias(f"__b{i}") for i in range(bits)]
+    agg = limbs.groupBy(id_col).agg(*votes)
     fp = None
     for i in range(bits):
-        term = F.when(F.col(f"__b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        # bit 63 carries the sign: weight -2^63 keeps the packed value a
+        # valid int64 (two's complement) instead of overflowing at +2^63
+        weight = -(2**63) if i == 63 else 2**i
+        term = (
+            F.when(F.col(f"__b{i}") > 0, F.lit(weight).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         fp = term if fp is None else fp + term
     return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
@@ -360,7 +392,7 @@ def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
+    bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
@@ -374,7 +406,12 @@ def simhash_neardup_pairs(
     Scale shape: the band slice is the single shuffle key (fingerprints
     are integers, so the join carries ~16 bytes/row); verification is two
     bitwise ops per candidate. Recall is exact for distances < bands
-    (pigeonhole guarantee), approximate above.
+    (pigeonhole guarantee), approximate above. The 64-bit default with
+    16-bit slices keeps each band's value space at 65536 — random-text
+    bucket sizes ~n/65536 per band, so candidate growth stays near-linear
+    where narrower prints (256 values per 8-bit slice) go quadratic at
+    10^8+ docs. Slicing masks AFTER the shift, so the sign bit of the
+    two's-complement fingerprint never contaminates lower bands.
     """
     rows = bits // bands
     mask = (1 << rows) - 1

@@ -196,50 +196,77 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", round_half_away(F.col("jaccard_sim"), 6).alias("jaccard_sim"))
 
 
-_SIMHASH_ORACLE = f"""
+def _sql_simhash_fp(bits: int) -> str:
+    """DuckDB CTE chain ``tok -> h -> votes -> fp`` producing per-doc
+    SimHash fingerprints — the twin of :func:`SIM.simhash` at any width
+    up to 64. Bits above 59 come from a SECOND md5 limb (chars 16..30 of
+    the same digest) and bit 63 packs with weight -2^63 (two's
+    complement), exactly mirroring the Spark side."""
+    def vote(i: int) -> str:
+        src, off = ("hv0", i) if i < 60 else ("hv1", i - 60)
+        return f"SUM((({src} >> {off}) & 1) * 2 - 1) AS b{i}"
+
+    def weight(i: int) -> int:
+        return -(2**63) if i == 63 else 2**i
+
+    hi_limb = (
+        f", CAST(concat('0x', substr(d, 16, 15)) AS BIGINT) AS hv1"
+        if bits > 60 else ""
+    )
+    return f"""
 WITH tok AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS tk FROM documents
 ), h AS (
-  SELECT doc_id, {_sql_hash60('tk')} AS hv FROM tok
+  SELECT doc_id, md5(tk) AS d FROM tok
+), limbs AS (
+  SELECT doc_id, CAST(concat('0x', substr(d, 1, 15)) AS BIGINT) AS hv0{hi_limb}
+  FROM h
 ), votes AS (
   SELECT doc_id,
-         {", ".join(f"SUM(((hv >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(16))}
-  FROM h GROUP BY doc_id
-)
-SELECT doc_id,
-       CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16))} AS BIGINT) AS simhash
-FROM votes
-"""
+         {", ".join(vote(i) for i in range(bits))}
+  FROM limbs GROUP BY doc_id
+), fp AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN CAST({weight(i)} AS BIGINT) ELSE 0 END)" for i in range(bits))} AS BIGINT) AS simhash
+  FROM votes
+)"""
+
+
+_SIMHASH_ORACLE = _sql_simhash_fp(16) + "\nSELECT doc_id, simhash FROM fp"
 
 
 @register("simhash_documents", _SIMHASH_ORACLE)
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints: per-token hash, per-bit +/-1 votes,
     sign vector packed to an integer. Explode + groupBy with map-side
-    combine -> shuffle carries one row per document."""
+    combine -> shuffle carries one row per document. (Narrow-width demo
+    entry; the production width is 64 — see simhash64_documents.)"""
     docs = load(spark, sf_dir, "documents")
     return SIM.simhash(docs, "doc_id", "text", bits=16)
 
 
+_SIMHASH64_ORACLE = _sql_simhash_fp(64) + "\nSELECT doc_id, simhash FROM fp"
+
+
+@register("simhash64_documents", _SIMHASH64_ORACLE)
+def simhash64_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (the industry-standard width, Manku
+    et al. 2007): two md5 limbs supply the base bits, bit 63 packs with
+    weight -2^63 so the print is a valid signed int64. The hash oracle
+    proves the two-limb packing bit-for-bit across engines, including
+    negative (sign-bit-set) fingerprints."""
+    docs = load(spark, sf_dir, "documents")
+    return SIM.simhash(docs, "doc_id", "text", bits=64)
+
+
 def _sql_simhash_pairs(bits: int, bands: int, max_hamming: int) -> str:
     """DuckDB twin of simhash_neardup_pairs: same fingerprints, same band
-    slicing, same XOR-popcount verification."""
+    slicing, same XOR-popcount verification. Band slices mask AFTER the
+    arithmetic shift, so sign extension from bit 63 never reaches a
+    band value (verified identical in both engines)."""
     rows = bits // bands
     mask = (1 << rows) - 1
-    return f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_SQL_TOKS}) AS tk FROM documents
-), h AS (
-  SELECT doc_id, {_sql_hash60("tk")} AS hv FROM tok
-), votes AS (
-  SELECT doc_id,
-         {", ".join(f"SUM(((hv >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(bits))}
-  FROM h GROUP BY doc_id
-), fp AS (
-  SELECT doc_id,
-         CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))} AS BIGINT) AS simhash
-  FROM votes
-), banded AS (
+    return _sql_simhash_fp(bits) + f""", banded AS (
   SELECT doc_id, simhash, unnest([
     {", ".join(f"concat('{j}:', CAST((simhash >> {j * rows}) & {mask} AS VARCHAR))" for j in range(bands))}
   ]) AS band FROM fp
@@ -253,16 +280,18 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
-@register("simhash_neardup_pairs", _sql_simhash_pairs(32, 4, 3))
+@register("simhash_neardup_pairs", _sql_simhash_pairs(64, 4, 3))
 def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs without an all-pairs join: 8-bit band
-    slices of a 32-bit fingerprint are the join key (pigeonhole: any
+    """SimHash near-dup pairs without an all-pairs join: 16-bit band
+    slices of a 64-bit fingerprint are the join key (pigeonhole: any
     pair at hamming < 4 shares an intact slice), exact XOR-popcount
     verification at <= 3. The banded join ships two integers per row —
-    the cheapest of the near-dup family at corpus scale."""
+    the cheapest of the near-dup family at corpus scale, and the 65536
+    values per band keep bucket sizes (hence candidate pairs) bounded
+    at 10^8-10^9 docs where 8-bit slices go quadratic."""
     docs = load(spark, sf_dir, "documents")
     return SIM.simhash_neardup_pairs(
-        docs, "doc_id", "text", bits=32, bands=4, max_hamming=3
+        docs, "doc_id", "text", bits=64, bands=4, max_hamming=3
     )
 
 

@@ -95,8 +95,12 @@ def date_split_reload(
     if cutpoint is None:
         # empty archive (or all-NULL dates): there is no high-water mark,
         # so EVERYTHING comes from `new` — comparing against a NULL
-        # cutpoint would silently drop every row of both sides
-        return new.distinct()
+        # cutpoint would silently drop every row of both sides.
+        # NULL-dated rows are dropped HERE TOO so a row's fate does not
+        # depend on whether the archive happened to be empty: the normal
+        # path's `d < cut` / `d >= cut` predicates are both false for
+        # NULL, and this fallback must agree with them.
+        return new.filter(F.col(date_col).isNotNull()).distinct()
     merged = archive.filter(F.col(date_col) < F.lit(cutpoint)).unionByName(
         new.filter(F.col(date_col) >= F.lit(cutpoint))
     )
@@ -128,23 +132,28 @@ def write_analytic_table(
     clust = [cluster_by] if isinstance(cluster_by, str) else (cluster_by or [])
     out = df
     if target_file_rows:
-        n = max(1, out.count() // target_file_rows)
         if part:
-            # hash-partitioning on the partition columns alone puts each
-            # partition VALUE in exactly one task — one giant file per
-            # partition, the opposite of the target size. A uniform salt
-            # alongside the partition key keeps rows of one partition
-            # value together per task bucket while splitting large
-            # partitions across ~n/|partitions| tasks each.
-            salt = F.pmod(
-                F.xxhash64(F.monotonically_increasing_id()), F.lit(int(n))
-            )
-            out = out.repartition(n, *part, salt)
+            # One task per partition VALUE (hash repartition on the
+            # partition columns — deterministic), then let the WRITER
+            # split oversized files at the target row count. A salt
+            # derived from monotonically_increasing_id() would split
+            # hot partitions across tasks, but that expression is
+            # nondeterministic under partial stage retry (the
+            # SPARK-23207 row-loss/duplication class) — file sizing
+            # belongs to maxRecordsPerFile, which costs no shuffle and
+            # is retry-safe.
+            out = out.repartition(*part)
         else:
+            # round-robin repartition(n) is retry-safe: Spark inserts a
+            # local sort before the round-robin exchange precisely so
+            # recomputed tasks deal the same rows to the same buckets
+            n = max(1, out.count() // target_file_rows)
             out = out.repartition(n)
     if clust:
         out = out.sortWithinPartitions(*clust)
     writer = out.write.mode(mode).format(file_format)
+    if target_file_rows:
+        writer = writer.option("maxRecordsPerFile", int(target_file_rows))
     if part:
         writer = writer.partitionBy(*part)
     writer.save(path)

@@ -195,6 +195,72 @@ def test_simhash_neardup_matches_bruteforce(spark, sf_dir):
     assert got == expect
 
 
+def test_simhash64_sign_bit_and_width(spark, sf_dir):
+    """The 64-bit fingerprint is a full-width signed int64: over a real
+    corpus bit 63 is set for ~half the docs (negative prints), no print
+    needs more than 64 bits, and the 16-bit band slices stay in
+    [0, 65536) even for negative prints (mask after arithmetic shift)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    fp = SIM.simhash(docs, "doc_id", "text", bits=64)
+    vals = [r["simhash"] for r in fp.collect()]
+    assert len(vals) == 200
+    neg = sum(1 for v in vals if v < 0)
+    assert 0 < neg < len(vals), "bit 63 never (or always) set — limb wiring wrong"
+    # two's complement round-trip: every print fits an int64 exactly
+    assert all(-(2**63) <= v < 2**63 for v in vals)
+    # band slices of a negative print are clean 16-bit values
+    rows_bits, mask = 16, (1 << 16) - 1
+    for v in vals[:20]:
+        u = v & ((1 << 64) - 1)
+        for j in range(4):
+            assert 0 <= (u >> (j * rows_bits)) & mask <= mask
+
+
+def test_simhash64_neardup_matches_bruteforce(spark, sf_dir):
+    """Pigeonhole completeness at the production width: the 64-bit
+    banded join finds every pair at hamming <= 3 that the quadratic
+    scan finds."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    fp = SIM.simhash(docs, "doc_id", "text", bits=64)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    banded = SIM.simhash_neardup_pairs(docs, "doc_id", "text", bits=64,
+                                       bands=4, max_hamming=3)
+    expect = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in banded.collect()}
+    assert got == expect
+
+
+def test_simhash_low_bits_unchanged_by_width(spark):
+    """Widths <= 60 read only the low md5 limb, so the low 16 bits of a
+    64-bit print equal the 16-bit print (same base bits, same votes) —
+    the widening is backward-compatible."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+         Row(doc_id=2, text="one two three four five six seven")]
+    )
+    fp16 = {r["doc_id"]: r["simhash"] for r in SIM.simhash(df, bits=16).collect()}
+    fp64 = {r["doc_id"]: r["simhash"] for r in SIM.simhash(df, bits=64).collect()}
+    for d in (1, 2):
+        assert fp64[d] & 0xFFFF == fp16[d]
+
+
+def test_simhash_rejects_bad_width(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError):
+        SIM.simhash(df, bits=65)
+    with pytest.raises(ValueError):
+        SIM.simhash(df, bits=0)
+
+
 def test_hash_split_deterministic_and_disjoint(spark, sf_dir):
     from apde_etl_spark.operators.text import hash_split
 
