@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from apde_etl_spark.operators.cache import tracked_persist
 from apde_etl_spark.operators.skew import replicated_salted_join
 
 
@@ -205,7 +206,7 @@ def minhash_lsh_pairs(
     # verification joins — persist it so shingling/hashing runs once, not
     # three times (at cluster scale: cache the projection, never the raw
     # corpus)
-    base = base.persist()
+    base = tracked_persist(base, scope="similarity")
     sh = base.select(F.col(id_col), F.col("__sh"))
 
     star = None
@@ -213,7 +214,7 @@ def minhash_lsh_pairs(
         # group by the full signature (array<long> group key — one narrow
         # shuffle over (sig, id)); min id is the group's representative
         canon = base.groupBy("__sig").agg(F.min(id_col).alias("__canon"))
-        tagged = base.join(canon, "__sig").persist()
+        tagged = tracked_persist(base.join(canon, "__sig"), scope="similarity")
         members = tagged.filter(F.col(id_col) != F.col("__canon"))
         # star edges: representative x member, verified with exact
         # jaccard — linear in group size, replacing the O(n^2) bucket
@@ -228,8 +229,8 @@ def minhash_lsh_pairs(
                 "id_a",
             )
             .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
-            .persist()
         )
+        star_checked = tracked_persist(star_checked, scope="similarity")
         star = star_checked.filter(F.col("jaccard_sim") >= threshold).select(
             "id_a", "id_b", "jaccard_sim"
         )
@@ -298,12 +299,13 @@ def minhash_lsh_join(
     rows = num_hashes // bands
 
     def prep(df: DataFrame) -> DataFrame:
-        return (
+        # shingles feed banding AND verification; lazy callers keep the
+        # cache until their first action, then release_scope("similarity")
+        return tracked_persist(
             df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh"))
             .filter(F.size("__sh") > 0)
-            .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
-            .persist()  # shingles feed banding AND verification; lazy
-            # callers keep the cache until their first action
+            .withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes)),
+            scope="similarity",
         )
 
     q, c = prep(query), prep(corpus)
@@ -720,10 +722,10 @@ def _ann_lsh_topk_multitable(
     # alive for the lazy caller (same trade as the minhash base
     # projection); repeated tuning sweeps in one session should
     # spark.catalog.clearCache() between runs.
-    with_keys = e.select(
+    with_keys = tracked_persist(e.select(
         F.col(id_col), F.col("__v"), F.col("__n"),
         *[kc.alias(f"__k{t}") for t, kc in enumerate(key_cols)],
-    ).persist()
+    ), scope="similarity")
     kcols = [F.col(f"__k{t}") for t in range(num_tables)]
 
     # the corpus side is L x bigger than single-table — scale the
@@ -943,7 +945,7 @@ def ann_ivf_topk(
         # read it (kept cached for the returned plan too — the same
         # stay-alive trade the minhash base projection makes for lazy
         # callers)
-        e = e.persist()
+        e = tracked_persist(e, scope="similarity")
         trained = train_ivf_centroids(e, id_col, n_cells, train_iters, stride)
         cent = (
             df.sparkSession.createDataFrame(
@@ -978,7 +980,7 @@ def ann_ivf_topk(
     )
     # probed feeds both the inverted lists and the query side — persist so
     # the assignment pass (n x n_cells cosines) runs once, not twice
-    probed = probed.persist()
+    probed = tracked_persist(probed, scope="similarity")
     # inverted lists: every vector belongs to its TOP-1 cell only
     lists = probed.filter(F.col("__probe_rank") == 1).select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
@@ -1099,10 +1101,10 @@ def containment_prefix_pairs(
     )
     # (id, shingles, prefix_len); persisted — feeds the inverted index,
     # the prefix extraction, and both sides of the verification join
-    sized = sh.withColumn(
+    sized = tracked_persist(sh.withColumn(
         "plen",
         (F.floor((1.0 - threshold) * F.size("s")) + 1).cast("int"),
-    ).persist()
+    ), scope="similarity")
 
     ex = sized.select("id", "plen", F.size("s").alias("sz"),
                       F.explode("s").alias("shingle"))
@@ -1202,6 +1204,14 @@ def train_pq_codebooks(
         e.orderBy(hash60(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k_codes).select("__v").collect()
     )
+    if not seed_rows:
+        raise ValueError("train_pq_codebooks: no input vectors to train on")
+    if len(seed_rows) < k_codes:
+        # fewer vectors than requested codes (tiny corpus or a small IVF
+        # cell): clamp like the n_probe guard instead of IndexError-ing
+        # mid-build — callers re-derive the effective k_codes from
+        # len(codebooks[0])
+        k_codes = len(seed_rows)
     books = [
         [list(r["__v"])[i * sub:(i + 1) * sub] for r in seed_rows]
         for i in range(m)
@@ -1290,6 +1300,20 @@ def pq_distance_table_col(vec: Column, codebooks: list[list[list[float]]]) -> Co
     return F.array(*entries)
 
 
+def resolve_pq_route(
+    n_rows: int,
+    m: int,
+    broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
+) -> str:
+    """Gate for :func:`ann_pq_topk`: ``"flat"`` while the encoded corpus
+    (one m-byte-ish code array per row, ~24B array overhead + 4B/int)
+    fits the broadcast budget, else ``"ivfpq"``. Mirrors
+    :func:`resolve_candidate_strategy` — the decision is an explicit,
+    testable function, not a docstring warning."""
+    est = n_rows * (24 + 4 * m)
+    return "flat" if est <= broadcast_threshold_bytes else "ivfpq"
+
+
 def ann_pq_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1300,6 +1324,8 @@ def ann_pq_topk(
     k_codes: int = 16,
     train_iters: int = 1,
     rerank: int | None = None,
+    broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
+    on_overflow: str = "ivfpq",
 ) -> DataFrame:
     """Approximate top-k by product quantization with asymmetric
     distance (ADC): vectors unit-normalize, codebooks train (driver-
@@ -1316,7 +1342,13 @@ def ann_pq_topk(
     code) — this is the flat-PQ baseline, 8x cheaper per pair than the
     exact scan but the same O(queries x corpus) pair count. The scale
     path that bounds the pair count is :func:`ann_ivfpq_topk` (IVF
-    cells restrict candidates; PQ codes price them).
+    cells restrict candidates; PQ codes price them) — and the gate is
+    ENFORCED, not advisory: when the encoded corpus outgrows
+    ``broadcast_threshold_bytes`` (:func:`resolve_pq_route`), the call
+    auto-composes :func:`ann_ivfpq_topk` with sqrt(n) cells
+    (``on_overflow="ivfpq"``, default) or raises with guidance
+    (``on_overflow="error"``), mirroring :func:`candidate_join`'s
+    size gate.
 
     ``rerank``: the standard PQ deployment — ADC shortlists the top
     ``rerank`` (> k) candidates per query, then ONLY those pairs pay an
@@ -1325,14 +1357,35 @@ def ann_pq_topk(
     (quantization error only costs a hit if the true neighbor falls out
     of the whole shortlist) while exact-distance work stays
     O(rerank x dim) per query instead of O(corpus x dim)."""
+    if on_overflow not in ("ivfpq", "error"):
+        raise ValueError(f"ann_pq_topk: unknown on_overflow={on_overflow!r}")
     raw = df.select(
         F.col(id_col), as_double_array(vec_col).alias("__r")
     ).withColumn("__nrm", l2_norm(F.col("__r")))
     e = raw.select(
         F.col(id_col),
         F.transform("__r", lambda x: x / F.col("__nrm")).alias("__v"),
-    ).persist()
+    )
+    e = tracked_persist(e, scope="similarity")
+    n_rows = e.count()  # materializes the cache training reuses anyway
+    if resolve_pq_route(n_rows, m, broadcast_threshold_bytes) == "ivfpq":
+        e.unpersist()
+        if on_overflow == "error":
+            raise ValueError(
+                f"ann_pq_topk: encoded corpus of {n_rows} rows exceeds the "
+                f"{broadcast_threshold_bytes}B broadcast budget — flat ADC "
+                "enumeration is O(queries x corpus); use ann_ivfpq_topk "
+                "(IVF cells bound the candidates) or raise the threshold"
+            )
+        n_cells = max(16, int(n_rows ** 0.5))
+        return ann_ivfpq_topk(
+            df, id_col, vec_col, k=k, dim=dim,
+            n_cells=n_cells, n_probe=max(2, n_cells // 8),
+            m=m, k_codes=k_codes, pq_train_iters=train_iters, rerank=rerank,
+            broadcast_threshold_bytes=broadcast_threshold_bytes,
+        )
     books = train_pq_codebooks(e, id_col, dim, m, k_codes, train_iters)
+    k_codes = len(books[0])  # may have clamped to the corpus size
     codes = e.select(
         F.col(id_col).alias("id_b"),
         pq_encode_col(F.col("__v"), books).alias("__codes"),
@@ -1433,7 +1486,8 @@ def ann_ivfpq_topk(
     e = raw.select(
         F.col(id_col),
         F.transform("__r", lambda x: x / F.col("__nrm")).alias("__v"),
-    ).persist()
+    )
+    e = tracked_persist(e, scope="similarity")
     cent = (
         e.orderBy(id_col).limit(n_cells)
         .select(
@@ -1452,11 +1506,11 @@ def ann_ivfpq_topk(
         id_col, "cell_id", dot(F.col("__v"), F.col("__c")).alias("__sim")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
-    ranked = (
+    ranked = tracked_persist(
         ac.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_probe)
-        .select(id_col, "cell_id", "__rk")
-        .persist()
+        .select(id_col, "cell_id", "__rk"),
+        scope="similarity",
     )
     residual = F.zip_with(F.col("__v"), F.col("__c"), lambda x, y: x - y)
 
@@ -1468,11 +1522,14 @@ def ann_ivfpq_topk(
         )
 
     # codebooks train on the RESIDUALS of the top-1 assignment
-    res1 = with_residual(ranked.filter(F.col("__rk") == 1)).persist()
+    res1 = tracked_persist(
+        with_residual(ranked.filter(F.col("__rk") == 1)), scope="similarity"
+    )
     books = train_pq_codebooks(
         res1.select(F.col(id_col), F.col("__res").alias("__v")),
         id_col, dim, m, k_codes, pq_train_iters,
     )
+    k_codes = len(books[0])  # may have clamped to the corpus size
     lists = res1.select(
         "cell_id",
         F.col(id_col).alias("id_b"),

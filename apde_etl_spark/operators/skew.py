@@ -174,9 +174,12 @@ def hash_priority_cap(
     # all key joins below are NULL-SAFE: groupBy collects NULL keys into
     # one group like the plain window does, so the equality joins must
     # match that group too or NULL-key rows silently vanish
-    thresholds = F.broadcast(
-        counts.select(F.col(key_col).alias("__k"), "__cnt", cut)
-    )
+    # no broadcast HINT on the counts table: at web-crawl domain
+    # cardinality (millions of keys) a forced broadcast can blow the
+    # driver/executor broadcast limit. The join is a plain equi-join —
+    # AQE broadcasts it when it is actually small (the common case) and
+    # falls back to a shuffle join when it is not; both are correct.
+    thresholds = counts.select(F.col(key_col).alias("__k"), "__cnt", cut)
     tagged = (
         df.withColumn("__pr", pr)
         .join(thresholds, F.col(key_col).eqNullSafe(F.col("__k")))
@@ -186,10 +189,13 @@ def hash_priority_cap(
     w = Window.partitionBy(key_col).orderBy(
         F.col("__pr").asc(), F.col(id_col).asc()
     )
-    ranked = (
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    ranked = tracked_persist(
         surv.withColumn(rank_col, F.row_number().over(w))
-        .filter(F.col(rank_col) <= n)
-        .persist()  # read twice: rescue probe + final union
+        .filter(F.col(rank_col) <= n),
+        scope="skew",  # read twice: rescue probe + final union;
+        # release_scope("skew") once consumed
     )
     # rescue probe: any key whose kept count < min(n, cnt) was pruned
     # too hard — re-rank that key's FULL rows (exactness guard). Driven
@@ -210,15 +216,17 @@ def hash_priority_cap(
         )
         .select("__sk")
     )
+    # rescue keys: empty in every sane run, but unhinted for the same
+    # reason as the counts table — AQE picks broadcast when small
     rescue = (
         tagged.join(
-            F.broadcast(short), F.col(key_col).eqNullSafe(F.col("__sk")), "left_semi"
+            short, F.col(key_col).eqNullSafe(F.col("__sk")), "left_semi"
         )
         .withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= n)
     )
     ok = ranked.join(
-        F.broadcast(short), F.col(key_col).eqNullSafe(F.col("__sk")), "left_anti"
+        short, F.col(key_col).eqNullSafe(F.col("__sk")), "left_anti"
     )
     out_cols = [*cols, rank_col]
     return ok.select(*out_cols).unionByName(rescue.select(*out_cols))

@@ -950,7 +950,12 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti-join, final status projection); persist it so the batch
     # derivation runs once — in production the batch is its own table
     # and this cache is simply that table's scan
-    bh = batch.withColumn("__h", F.md5(F.col("text").cast("binary"))).persist()
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    bh = tracked_persist(
+        batch.withColumn("__h", F.md5(F.col("text").cast("binary"))),
+        scope="ingest",
+    )
     exact_ids = bh.join(corpus_digests, "__h", "left_semi").select("doc_id")
     survivors = bh.join(corpus_digests, "__h", "left_anti").select("doc_id", "text")
     near_ids = (
