@@ -29,6 +29,7 @@ from apde_etl_spark.plans import catalog_corpus  # noqa: E402,F401  (registers o
 from apde_etl_spark.plans import catalog_r2  # noqa: E402,F401  (registers on import)
 from apde_etl_spark.plans import catalog_r3  # noqa: E402,F401  (registers on import)
 from apde_etl_spark.plans import catalog_r3b  # noqa: E402,F401  (registers on import)
+from apde_etl_spark.plans import catalog_r4  # noqa: E402,F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:

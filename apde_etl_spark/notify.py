@@ -5,9 +5,12 @@ The reference keeps a 3-table normalized model — ``notify_msgs``
 and the ``notify_list`` join table (notify.R:679-682,483-487,649-653,
 828-843) — resolves recipient lists with inner joins
 (notify.R:596-602,646) and renders glue templates with caller variables
-at send time (notify.R:72-78). Actual mail transport is environment
-specific and out of scope; everything up to the rendered (subject, body,
-recipients) triple is reproduced here on DataFrames + ``str.format``.
+at send time (notify.R:72-78). Everything up to the rendered (subject,
+body, recipients) triple is reproduced here on DataFrames +
+``str.format``; delivery goes through an INJECTED transport callable
+(:func:`send_message` + :func:`smtp_transport`) so the engine covers the
+reference's full notify lifecycle while relay/credential specifics stay
+with the caller.
 
 These are tiny dimension tables: every join below broadcasts.
 
@@ -134,3 +137,61 @@ def prepare_message(
         body=render_template(msg["msg_body"], **vars),
         recipients=sorted(recipients),
     )
+
+
+def smtp_transport(
+    host: str = "localhost",
+    port: int = 25,
+    sender: str = "noreply@localhost",
+    starttls: bool = False,
+):
+    """Build a transport callable for :func:`send_message` backed by the
+    standard library's smtplib — the engine-side twin of the reference's
+    actual send (notify.R:72-78 renders, the surrounding machinery hands
+    the triple to the mail gateway). Environment-specific credentials/
+    relays stay OUT of the engine: callers wrap or replace this callable
+    (any ``Callable[[RenderedMessage], None]`` works), which is also what
+    makes the send path testable with a recording fake."""
+    def transport(msg: RenderedMessage) -> None:
+        import smtplib
+        from email.message import EmailMessage
+
+        em = EmailMessage()
+        em["Subject"] = msg.subject
+        em["From"] = sender
+        em["To"] = ", ".join(msg.recipients)
+        em.set_content(msg.body)
+        with smtplib.SMTP(host, port) as s:
+            if starttls:
+                s.starttls()
+            s.send_message(em)
+
+    return transport
+
+
+def send_message(
+    spark: SparkSession,
+    notify_msgs: DataFrame,
+    notify_list: DataFrame,
+    notify_addresses: DataFrame,
+    msg_name: str,
+    list_name: str,
+    transport,
+    **vars: object,
+) -> RenderedMessage:
+    """The reference's full notify lifecycle (template head -> render ->
+    recipients -> SEND): :func:`prepare_message` plus delivery through an
+    injected ``transport: Callable[[RenderedMessage], None]``. Raises
+    before attempting delivery when the recipient list is empty — a
+    silent zero-recipient send is the classic notify bug. Returns the
+    rendered message so callers can log/audit exactly what went out."""
+    rendered = prepare_message(
+        spark, notify_msgs, notify_list, notify_addresses,
+        msg_name, list_name, **vars,
+    )
+    if not rendered.recipients:
+        raise ValueError(
+            f"send_message: list {list_name!r} resolved to zero recipients"
+        )
+    transport(rendered)
+    return rendered

@@ -247,3 +247,51 @@ def extract_audio_features(
             )
 
     return src.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (optional dependency activation — Pillow)
+# ---------------------------------------------------------------------------
+
+def pillow_decoder(payload: bytes) -> dict:
+    """Real image decode via Pillow, matching the ``decoder`` contract of
+    :func:`decode_images` / :func:`extract_features`: width/height/
+    channels/format plus a FEATURE_DIM-dim feature vector (4x4 grayscale
+    thumbnail, scaled to [-1, 1]). Import stays inside the function so
+    the module loads without Pillow; tests/test_multimodal_codecs.py
+    activates this path end-to-end whenever the dependency exists
+    (pytest.importorskip) — the seam is provably one pip install from
+    working."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        fmt = (im.format or "unknown").lower()
+        channels = len(im.getbands())
+        thumb = im.convert("L").resize((4, 4))
+        feats = [px / 255.0 * 2.0 - 1.0 for px in thumb.getdata()]
+        return {
+            "width": im.width,
+            "height": im.height,
+            "channels": channels,
+            "format": fmt,
+            "features": feats,
+        }
+
+
+def pillow_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """Real resize via Pillow, matching the ``resizer`` contract of
+    :func:`resize_images`: re-encodes in the source format (PNG when the
+    source format is unknown)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        fmt = im.format or "PNG"
+        out = im.resize((w, h))
+        buf = io.BytesIO()
+        out.save(buf, format=fmt)
+        return buf.getvalue()

@@ -209,3 +209,25 @@ def test_band_self_join_skew_split_engages(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_partition_pruning_engages_on_partitioned_layout(spark, sf_dir, qs):
+    """The year-partitioned layout must prune at the DIRECTORY level:
+    the literal year predicate surfaces as a PartitionFilter on the
+    scan, not as a post-scan data filter over every row."""
+    df = qs["qa_profile_partition_pruned"](spark, sf_dir)
+    plan = _plan(df)
+    seg = plan.split("PartitionFilters: [", 1)
+    assert len(seg) == 2, f"no PartitionFilters in plan:\n{plan[:2000]}"
+    assert "o_year" in seg[1][:200]
+    # correct by construction too: partition count read == 1 year
+    assert "1995" in seg[1][:200]
+
+
+def test_dynamic_partition_pruning_engages_through_join(spark, sf_dir, qs):
+    """The dimension-join entry must trigger DPP: a runtime
+    dynamicpruning subquery lands in the fact scan's partition filters,
+    so only the joined years' directories are read."""
+    df = qs["orders_partitioned_dpp"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -74,6 +74,62 @@ def test_prepare_message_end_to_end(spark, msgs, nlist, addresses):
     assert m.recipients == ["a@x.org", "b@x.org"]
 
 
+def test_send_message_through_recorded_transport(spark, msgs, nlist, addresses):
+    sent = []
+    out = notify.send_message(
+        spark, msgs, nlist, addresses, "qa_done", "qa_team",
+        transport=sent.append, table="orders",
+    )
+    assert len(sent) == 1 and sent[0] is out
+    assert sent[0].subject == "QA complete: orders"
+    assert sent[0].recipients == ["a@x.org", "b@x.org"]
+
+
+def test_send_message_refuses_zero_recipients(spark, msgs, nlist, addresses):
+    sent = []
+    with pytest.raises(ValueError, match="zero recipients"):
+        notify.send_message(
+            spark, msgs, nlist, addresses, "qa_done", "no_such_list",
+            transport=sent.append, table="orders",
+        )
+    assert sent == []  # transport must not fire on the failure path
+
+
+def test_smtp_transport_builds_wellformed_email(monkeypatch):
+    """smtp_transport renders a correct RFC-2822 message and hands it to
+    smtplib; the SMTP session itself is faked (no network in tests)."""
+    import smtplib
+
+    captured = {}
+
+    class FakeSMTP:
+        def __init__(self, host, port):
+            captured["conn"] = (host, port)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def starttls(self):
+            captured["tls"] = True
+
+        def send_message(self, em):
+            captured["email"] = em
+
+    monkeypatch.setattr(smtplib, "SMTP", FakeSMTP)
+    t = notify.smtp_transport(host="mail.example", port=2525,
+                              sender="qa@example", starttls=True)
+    t(notify.RenderedMessage(subject="s", body="b", recipients=["a@x", "b@x"]))
+    assert captured["conn"] == ("mail.example", 2525)
+    assert captured["tls"] is True
+    em = captured["email"]
+    assert em["Subject"] == "s" and em["From"] == "qa@example"
+    assert em["To"] == "a@x, b@x"
+    assert em.get_content().strip() == "b"
+
+
 def test_export_excel_falls_back_to_csv(spark, tmp_path):
     miss = spark.createDataFrame(
         [(2023, "a", 1, 0.1), (2024, "a", 2, 0.2)],
