@@ -132,3 +132,81 @@ def orders_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_year", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# ===========================================================================
+# Bucketed co-located join — the exchange-free layout, executed
+# ===========================================================================
+
+#: sf_dir -> (orders_table, customer_table) bucketed catalog tables
+_BUCKET_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders + customer as BUCKETED catalog tables (8
+    buckets on the custkey join key, sorted within buckets) once per
+    scale factor — the write-time layout that makes every later
+    custkey equi-join/aggregation exchange-free
+    (write_bucketed_table; the lake counterpart of the reference's
+    clustered index on the join key, add_index.R:235-240)."""
+    from apde_etl_spark.sources.lifecycle import write_bucketed_table
+
+    key = os.path.abspath(sf_dir)
+    if key in _BUCKET_CACHE:
+        return _BUCKET_CACHE[key]
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    t_orders, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+
+    def _ensure(name: str, table: str, bucket_col: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # a previous PROCESS may have left the managed location on disk
+        # while this session's in-memory catalog has no such table —
+        # saveAsTable would refuse (LOCATION_ALREADY_EXISTS); clear the
+        # orphaned directory first (it is a derived cache, never a source)
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(wh, name)
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+        write_bucketed_table(
+            load(spark, sf_dir, table), name,
+            bucket_by=bucket_col, num_buckets=8,
+        )
+
+    _ensure(t_orders, "orders", "o_custkey")
+    _ensure(t_cust, "customer", "c_custkey")
+    _BUCKET_CACHE[key] = (t_orders, t_cust)
+    return t_orders, t_cust
+
+
+_BUCKETED_JOIN_ORACLE = f"""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_sql_round('SUM(CAST(o.o_totalprice AS DECIMAL(28,6)))', 4)} AS total_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("bucketed_join_revenue", _BUCKETED_JOIN_ORACLE)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through the BUCKETED layout: both
+    sides bucketed on the custkey join key, so the join runs with no
+    exchange on either side (asserted in tests/test_plan_shapes.py with
+    auto-broadcast disabled) — at 100 TB this converts the repeated
+    fact⋈dim shuffle into a local stitch, paid once at write time. The
+    oracle joins the flat tables: layout == values."""
+    t_orders, t_cust = bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_half_away(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), 4
+        ).alias("total_revenue"),
+    )

@@ -82,22 +82,32 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     # Per query: one untimed warm-up execution (plan analysis, codegen
-    # compile, shuffle-file and page-cache warm), then the timed run —
-    # steady-state cost, which is what repeated production runs and
-    # cluster-scale amortization actually see. The cold first-touch time
-    # is reported alongside for transparency.
+    # compile, shuffle-file and page-cache warm), then MEDIAN OF THREE
+    # timed runs — steady-state cost, which is what repeated production
+    # runs and cluster-scale amortization actually see, with the median
+    # absorbing transient host-load spikes (r2->r3 showed a uniform
+    # ~1.2x drift that nearly masked a real 14x family win; medians +
+    # the recorded loadavg make cross-round comparison mechanical).
+    # The cold first-touch time is reported alongside for transparency.
+    loadavg_start = os.getloadavg()
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
         n = len(fn(spark, SF_DIR).collect())
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        n = len(fn(spark, SF_DIR).collect())
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s steady / {cold[name]:.3f}s cold ({n} rows)",
-              file=sys.stderr)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = len(fn(spark, SF_DIR).collect())
+            samples.append(round(time.perf_counter() - t0, 3))
+        runs[name] = samples
+        times[name] = sorted(samples)[1]
+        print(f"# {name}: {times[name]:.3f}s median{samples} / "
+              f"{cold[name]:.3f}s cold ({n} rows)", file=sys.stderr)
+    loadavg_end = os.getloadavg()
 
     # The cold first-touch map is part of the record but NOT part of the
     # final stdout line: the driver captures a bounded tail of stdout, and
@@ -110,6 +120,9 @@ def main() -> None:
         "unit": "sec",
         "mode": "cold_first_touch",
         "queries": cold,
+        "runs": runs,
+        "loadavg_start": list(loadavg_start),
+        "loadavg_end": list(loadavg_end),
         "sf": sf,
     }
     print(json.dumps(cold_record), file=sys.stderr)
@@ -124,8 +137,9 @@ def main() -> None:
         "metric": "headline_queries_steady_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "mode": "steady_after_one_warmup",
+        "mode": "steady_median_of_3",
         "queries": times,
+        "loadavg": round(loadavg_start[0], 2),
         "sf": sf,
     }))
 

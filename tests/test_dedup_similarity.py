@@ -395,6 +395,29 @@ def test_multi_probe_lifts_recall(spark, sf_dir):
     assert out["ivf"][2] >= 0.10
 
 
+def test_pq_recall_floors_both_regimes(spark, sf_dir):
+    """ann_recall_pq measures both corpora: the uniform-noise testdata
+    (PQ's worst case — loose floors) and the clustered corpus real
+    embedding models produce, where IVFPQ + rerank with standard knobs
+    must reach production-grade recall (>= 0.9; measured 1.0)."""
+    from apde_etl_spark.operators.cache import release_scope
+    from apde_etl_spark.plans.catalog_r3 import ann_recall_pq
+
+    out = {r["method"]: r["recall_at_k"]
+           for r in ann_recall_pq(spark, sf_dir).collect()}
+    assert set(out) == {
+        "pq_m8_k16", "pq_m8_k16_rerank40", "ivfpq_c16_p2_rerank40",
+        "pq_m8_k16_rerank40_clustered", "ivfpq_c32_p4_rerank40_clustered",
+    }
+    # worst-case corpus: rerank must lift plain ADC; loose floors
+    assert out["pq_m8_k16_rerank40"] > out["pq_m8_k16"]
+    assert out["pq_m8_k16_rerank40"] >= 0.4
+    # operating-regime corpus: production-grade recall with standard knobs
+    assert out["pq_m8_k16_rerank40_clustered"] >= 0.9
+    assert out["ivfpq_c32_p4_rerank40_clustered"] >= 0.9
+    release_scope("similarity")
+
+
 def test_multi_probe_bounded_by_planes(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError):
@@ -462,9 +485,11 @@ def test_pq_rerank_lifts_recall(spark, sf_dir):
 
     out = {r["method"]: r["recall_at_k"]
            for r in ann_recall_pq(spark, sf_dir).collect()}
-    assert set(out) == {
-        "pq_m8_k16", "pq_m8_k16_rerank40", "ivfpq_c16_p2_rerank40"
-    }
+    # the entry also carries the clustered-corpus rows (asserted in
+    # test_pq_recall_floors_both_regimes); this test covers the
+    # uniform-noise worst-case floors
+    assert {"pq_m8_k16", "pq_m8_k16_rerank40",
+            "ivfpq_c16_p2_rerank40"} <= set(out)
     assert out["pq_m8_k16"] >= 0.08
     assert out["pq_m8_k16_rerank40"] >= out["pq_m8_k16"] + 0.1
     assert out["pq_m8_k16_rerank40"] >= 0.35

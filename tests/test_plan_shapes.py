@@ -231,3 +231,23 @@ def test_dynamic_partition_pruning_engages_through_join(spark, sf_dir, qs):
     df = qs["orders_partitioned_dpp"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_bucketed_join_entry_is_exchange_free_on_the_join(spark, sf_dir, qs):
+    """The bucketed-layout entry's join must satisfy its distribution
+    from the bucketing: with auto-broadcast disabled the sort-merge join
+    runs with NO exchange on either input — the only shuffle left is the
+    final segment aggregation."""
+    from apde_etl_spark.plans.catalog_r4 import bucketed_tables
+
+    t_orders, t_cust = bucketed_tables(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o, c = spark.table(t_orders), spark.table(t_cust)
+        j = o.join(c, o["o_custkey"] == c["c_custkey"])
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
