@@ -1583,3 +1583,55 @@ def ann_ivfpq_topk(
         .filter(F.col("__rk2") <= k)
         .select("id_a", "id_b")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 424242,
+    strategy: str = "auto",
+    broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    partition the corpus into semantic buckets (hyperplane-LSH sign
+    bits — deterministic, no trained k-means, so the result is
+    reproducible across engines and runs), then inside each bucket drop
+    every vector whose cosine similarity to a LOWER-id vector in the
+    same bucket reaches ``threshold``. Returns the full decision table
+    ``(id, bucket, kept)`` so callers can either filter to the kept
+    set or audit the drop rate per bucket.
+
+    This is the embedding analogue of keep-lowest-id exact dedup
+    (dedup.py keep_canonical): "semantically duplicated" replaces
+    "byte-identical", the lowest id in each similarity neighborhood
+    survives. The lower-id rule is a deterministic variant of the
+    SemDeDup paper's greedy within-cluster pruning (Abbas et al. 2023,
+    arXiv:2303.09540): greedy-sequential would re-check each candidate
+    only against already-KEPT vectors; checking against all lower ids
+    prunes at least as much and needs no sequential dependency, so it
+    stays one bucketed self-join — the property that lets it run as a
+    single shuffle at corpus scale (candidate volume ~n^2/2^planes,
+    size-gated broadcast vs salted shuffle like every other bucket
+    join in this module).
+    """
+    pairs = embed_neardup_pairs(
+        df, id_col, vec_col, threshold=threshold, num_planes=num_planes,
+        dim=dim, seed=seed, strategy=strategy,
+        broadcast_threshold_bytes=broadcast_threshold_bytes,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    planes = hyperplanes(num_planes, dim, seed)
+    base = df.select(
+        F.col(id_col),
+        lsh_bucket(as_double_array(vec_col), planes).alias("bucket"),
+    )
+    return base.join(
+        dropped.withColumn("__drop", F.lit(True)), on=id_col, how="left"
+    ).select(
+        id_col, "bucket",
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+    )

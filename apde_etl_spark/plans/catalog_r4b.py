@@ -1,0 +1,348 @@
+"""Round-4 catalog, part 2: temporal joins, runtime bloom pruning,
+semantic dedup, and deterministic sampling.
+
+The reference's event-time surface stops at lag/lead change flags
+(qa_load_data.R lag machinery, covered by W3); these entries extend the
+engine with the temporal operators an event/training-data pipeline
+needs, each expressed as a single equi-shuffle (operators/temporal.py),
+plus three scale tools: Spark's runtime Bloom-filter join pruning
+(executed), SemDeDup-style embedding dedup, and hash-deterministic
+stratified sampling (the reproducible alternative to ``sampleBy`` whose
+Bernoulli draws differ run to run and engine to engine).
+
+Oracles: DuckDB has a NATIVE ``ASOF JOIN`` — the as-of entries are
+hash-checked against it, so Spark's union+window formulation is proven
+value-identical to a first-class database implementation of the same
+semantics, not just to a re-statement of itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apde_etl_spark.functions.core import round_half_away
+from apde_etl_spark.operators import similarity as SIM
+from apde_etl_spark.operators.temporal import asof_join, range_join_binned
+from apde_etl_spark.plans.catalog import (
+    _sql_round,
+    load,
+    load_events,
+    register,
+)
+from apde_etl_spark.plans.catalog_ext import _sql_hash60
+
+
+def _clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+def _errors_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error events pre-aggregated to unique (user_id, ts) — the
+    deterministic build side both engines need (at duplicate build
+    timestamps, ASOF match choice is ambiguous in DuckDB and
+    order-dependent in the window formulation)."""
+    return (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
+        .agg(F.max("value").alias("err_value"))
+        .select("user_id", "err_ts", "err_value")
+    )
+
+
+# ===========================================================================
+# As-of join — backward (state at-or-before the observation)
+# ===========================================================================
+
+_ASOF_BACKWARD_ORACLE = f"""
+WITH probe AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), build AS (
+  SELECT user_id, ts AS err_ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       {_sql_round('p.value', 2)} AS click_value,
+       b.err_ts,
+       {_sql_round('b.err_value', 2)} AS err_value
+FROM probe p ASOF LEFT JOIN build b
+  ON p.user_id = b.user_id AND b.err_ts <= p.ts
+"""
+
+
+@register("asof_attribute_clicks", _ASOF_BACKWARD_ORACLE)
+def asof_attribute_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN, backward: attach to every click the most recent error
+    at-or-before it for the same user (left semantics — clicks before
+    any error keep NULLs). Spark lacks this operator; the union+window
+    formulation (operators/temporal.py) runs it as ONE hash shuffle on
+    user_id with a single ordered scan per user — no range join, no
+    nested loop, cost independent of lookback depth. The oracle is
+    DuckDB's NATIVE ``ASOF LEFT JOIN``, so the hash match proves the
+    formulation against a first-class implementation of the semantics."""
+    out = asof_join(
+        _clicks(spark, sf_dir),
+        _errors_unique(spark, sf_dir),
+        on=["user_id"],
+        probe_ts="ts",
+        build_ts="err_ts",
+        build_cols=["err_value"],
+        direction="backward",
+        allow_exact=True,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        round_half_away(F.col("value"), 2).alias("click_value"),
+        "err_ts",
+        round_half_away(F.col("err_value"), 2).alias("err_value"),
+    )
+
+
+# ===========================================================================
+# As-of join — forward strict (next state after the observation)
+# ===========================================================================
+
+_ASOF_FORWARD_ORACLE = f"""
+WITH probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), build AS (
+  SELECT user_id, ts AS err_ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       min(b.err_ts) AS next_err_ts,
+       {_sql_round('arg_min(b.err_value, b.err_ts)', 2)} AS next_err_value
+FROM probe p LEFT JOIN build b
+  ON p.user_id = b.user_id AND b.err_ts > p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+@register("asof_next_error", _ASOF_FORWARD_ORACLE)
+def asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN, forward strict: for every click, the EARLIEST error
+    strictly after it for the same user — time-to-failure shapes. Same
+    single-shuffle union+window machinery with the scan order mirrored
+    (ts descending). The oracle states the semantics independently as a
+    per-probe ``min``/``arg_min`` over the inequality join — quadratic
+    as written (fine for an oracle), which is exactly why the engine
+    side is the O(n log n)-per-key window instead."""
+    out = asof_join(
+        _clicks(spark, sf_dir).drop("value"),
+        _errors_unique(spark, sf_dir),
+        on=["user_id"],
+        probe_ts="ts",
+        build_ts="err_ts",
+        build_cols=["err_value"],
+        direction="forward",
+        allow_exact=False,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("err_ts").alias("next_err_ts"),
+        round_half_away(F.col("err_value"), 2).alias("next_err_value"),
+    )
+
+
+# ===========================================================================
+# Range join — points into intervals via bin equi-join
+# ===========================================================================
+
+_RANGE_WINDOW_MINUTES = 30
+
+_RANGE_JOIN_ORACLE = f"""
+WITH iv AS (
+  SELECT event_id AS err_id, ts AS w_start,
+         ts + INTERVAL {_RANGE_WINDOW_MINUTES} MINUTE AS w_end
+  FROM events WHERE event_type = 'error'
+), pt AS (
+  SELECT event_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT iv.err_id, iv.w_start,
+       CAST(count(pt.event_id) AS BIGINT) AS n_clicks,
+       {_sql_round('coalesce(sum(pt.value), 0)', 2)} AS click_value
+FROM iv LEFT JOIN pt
+  ON pt.ts >= iv.w_start AND pt.ts < iv.w_end
+GROUP BY iv.err_id, iv.w_start
+"""
+
+
+@register("range_windows_click_impact", _RANGE_JOIN_ORACLE)
+def range_windows_click_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: click activity inside the 30-minute window after each
+    error, zero-filled for quiet windows. There is NO equi-key — a naive
+    Spark join on the interval predicate is a BroadcastNestedLoop over
+    |errors| x |clicks|; ``range_join_binned`` explodes each interval to
+    its covered 30-minute bins and hashes each click to its single bin,
+    so the overlap test becomes a bin EQUI-join (one shuffle, candidate
+    volume = per-bin density x ~2 bins per interval) that survives 100x
+    data on both sides. The oracle states the semantics as the plain
+    inequality join."""
+    ev = load_events(spark, sf_dir)
+    iv = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr(f"INTERVAL {_RANGE_WINDOW_MINUTES} MINUTES"))
+            .alias("w_end"),
+        )
+    )
+    pt = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "ts", "value")
+    )
+    j = range_join_binned(
+        iv, pt, start_col="w_start", end_col="w_end", ts_col="ts",
+        bin_seconds=_RANGE_WINDOW_MINUTES * 60, how="left",
+    )
+    return j.groupBy("err_id", "w_start").agg(
+        F.count(F.col("event_id")).alias("n_clicks"),
+        round_half_away(F.coalesce(F.sum("value"), F.lit(0.0)), 2)
+        .alias("click_value"),
+    )
+
+
+# ===========================================================================
+# Runtime Bloom-filter join pruning — executed
+# ===========================================================================
+
+_BLOOM_ORACLE = f"""
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {_sql_round('sum(l.l_extendedprice)', 2)} AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_acctbal > 9900
+GROUP BY l.l_returnflag
+"""
+
+
+@register("bloom_pruned_supplier_revenue", _BLOOM_ORACLE)
+def bloom_pruned_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim⋈fact revenue where Spark injects a RUNTIME BLOOM
+    FILTER on the fact scan: the selective ``s_acctbal`` predicate makes
+    the supplier side tiny, and Catalyst rewrites the fact side to
+    ``might_contain(bloom(s_suppkey), xxhash64(l_suppkey))`` BEFORE the
+    shuffle, so non-matching fact rows die at the scan instead of
+    crossing the wire (SPARK-32268). The injection is size-gated by
+    ``spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold``
+    (default 10GB) — off at test scale, on exactly when the fact table
+    is big; tests/test_plan_shapes.py lowers the gate and asserts the
+    ``might_contain`` rewrite appears. Values are threshold-independent
+    (bloom false positives are re-checked by the join) — the oracle
+    checks the plain join."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9900)
+    j = li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        round_half_away(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+# ===========================================================================
+# SemDeDup-style semantic dedup over embeddings
+# ===========================================================================
+
+_SEMDEDUP_THRESHOLD = 0.35
+_SEMDEDUP_PLANES = 6
+
+
+def _sql_bucket(planes: list[list[int]]) -> str:
+    """DuckDB twin of similarity.lsh_bucket over DOUBLE[] column ``v`` —
+    explicit signed sums, left-to-right like Spark's fold."""
+    terms = []
+    for j, plane in enumerate(planes):
+        dotsum = " ".join(
+            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
+        )
+        terms.append(f"CASE WHEN ({dotsum}) >= 0 THEN {2 ** j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _sql_semantic_dedup(num_planes: int, dim: int, threshold: float) -> str:
+    planes = SIM.hyperplanes(num_planes, dim)
+    return f"""
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y*y))) AS n FROM raw
+), eb AS (
+  SELECT vec_id, v, n, {_sql_bucket(planes)} AS b FROM e
+), pairs AS (
+  SELECT b.vec_id AS id_b
+  FROM eb a JOIN eb b ON a.b = b.b AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / (a.n * b.n)
+        >= {threshold}
+)
+SELECT vec_id, CAST(b AS INTEGER) AS bucket,
+       vec_id NOT IN (SELECT id_b FROM pairs) AS kept
+FROM eb
+"""
+
+
+@register("semantic_dedup_lsh",
+          _sql_semantic_dedup(_SEMDEDUP_PLANES, 64, _SEMDEDUP_THRESHOLD))
+def semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): bucket the
+    corpus by hyperplane sign bits (deterministic stand-in for the
+    paper's k-means clusters), drop any vector cosine-similar
+    (>= 0.35) to a lower-id vector in its bucket, and emit the full
+    (vec_id, bucket, kept) decision table. Completes the dedup ladder:
+    exact -> MinHash/SimHash/Jaccard (lexical) -> embedding-cosine
+    clusters (neardup) -> SEMANTIC prune (this entry). One bucketed
+    self-join — ~n^2/2^planes candidates, size-gated broadcast vs
+    salted shuffle — so it holds at corpus scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        emb, "vec_id", "embedding",
+        threshold=_SEMDEDUP_THRESHOLD, num_planes=_SEMDEDUP_PLANES, dim=64,
+    )
+
+
+# ===========================================================================
+# Deterministic (hash-based) stratified sampling
+# ===========================================================================
+
+#: per-mille keep thresholds per order status — the strata rates
+_SAMPLE_RATES = {"O": 100, "F": 50, "P": 500}
+
+_SAMPLE_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       {_sql_round('o_totalprice', 2)} AS o_totalprice
+FROM orders
+WHERE {_sql_hash60("CAST(o_orderkey AS VARCHAR)")} % 1000 <
+      CASE o_orderstatus WHEN 'O' THEN {_SAMPLE_RATES['O']}
+                         WHEN 'F' THEN {_SAMPLE_RATES['F']}
+                         ELSE {_SAMPLE_RATES['P']} END
+"""
+
+
+@register("deterministic_stratified_sample", _SAMPLE_ORACLE)
+def deterministic_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic stratified sampling: keep a row iff
+    ``hash60(key) % 1000`` falls under its stratum's per-mille rate
+    (10% of open orders, 5% of fulfilled, 50% of pending). The
+    reproducible alternative to ``df.sampleBy`` — Bernoulli draws give a
+    DIFFERENT sample every run and every engine, which is useless for
+    debugging a 100 TB pipeline or holding out an eval set; the
+    content hash gives the SAME sample on every run, every engine
+    (md5-based hash60 — the DuckDB oracle reproduces it bit-for-bit),
+    and any cluster layout. Embarrassingly parallel: a per-row filter,
+    no shuffle, pushed to the scan."""
+    o = load(spark, sf_dir, "orders")
+    rate = (
+        F.when(F.col("o_orderstatus") == "O", F.lit(_SAMPLE_RATES["O"]))
+        .when(F.col("o_orderstatus") == "F", F.lit(_SAMPLE_RATES["F"]))
+        .otherwise(F.lit(_SAMPLE_RATES["P"]))
+    )
+    keep = (SIM.hash60(F.col("o_orderkey").cast("string")) % 1000) < rate
+    return o.filter(keep).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        round_half_away(F.col("o_totalprice"), 2).alias("o_totalprice"),
+    )

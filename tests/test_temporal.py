@@ -1,0 +1,223 @@
+"""Semantics tests for the temporal join operators (operators/temporal.py)
+and the round-4b catalog entries built on them."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators.temporal import asof_join, range_join_binned
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+@pytest.fixture()
+def quotes(spark):
+    # build side: per-key state changes
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100.0),
+            (1, _ts("2024-01-01 10:05:00"), 101.0),
+            (1, _ts("2024-01-01 10:10:00"), 102.0),
+            (2, _ts("2024-01-01 10:03:00"), 50.0),
+        ],
+        "k int, qts timestamp, px double",
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    # probe side: observations, incl. exact-tie and before-any-build rows
+    return spark.createDataFrame(
+        [
+            (10, 1, _ts("2024-01-01 10:04:59")),   # between 10:00 and 10:05
+            (11, 1, _ts("2024-01-01 10:05:00")),   # exact tie with a quote
+            (12, 1, _ts("2024-01-01 10:30:00")),   # after all quotes
+            (13, 1, _ts("2024-01-01 09:59:00")),   # before any quote
+            (14, 2, _ts("2024-01-01 10:03:00")),   # exact tie, key 2
+            (15, 3, _ts("2024-01-01 10:00:00")),   # key with no quotes at all
+        ],
+        "tid int, k int, tts timestamp",
+    )
+
+
+def _rows(df):
+    return {r["tid"]: (r["qts"], r["px"]) for r in df.collect()}
+
+
+def test_asof_backward_exact(spark, quotes, trades):
+    out = asof_join(trades, quotes, on=["k"], probe_ts="tts", build_ts="qts",
+                    build_cols=["px"], direction="backward", allow_exact=True)
+    m = _rows(out)
+    assert len(m) == 6                      # left semantics: every probe row
+    assert m[10] == (_ts("2024-01-01 10:00:00"), 100.0)
+    assert m[11] == (_ts("2024-01-01 10:05:00"), 101.0)   # tie IS eligible
+    assert m[12] == (_ts("2024-01-01 10:10:00"), 102.0)   # latest overall
+    assert m[13] == (None, None)                          # nothing before
+    assert m[14] == (_ts("2024-01-01 10:03:00"), 50.0)
+    assert m[15] == (None, None)                          # key never quoted
+
+
+def test_asof_backward_strict_excludes_tie(spark, quotes, trades):
+    out = asof_join(trades, quotes, on=["k"], probe_ts="tts", build_ts="qts",
+                    build_cols=["px"], direction="backward", allow_exact=False)
+    m = _rows(out)
+    assert m[11] == (_ts("2024-01-01 10:00:00"), 100.0)   # tie NOT eligible
+    assert m[14] == (None, None)                          # only quote is the tie
+    assert m[10] == (_ts("2024-01-01 10:00:00"), 100.0)   # unchanged
+
+
+def test_asof_forward_strict_and_exact(spark, quotes, trades):
+    strict = _rows(asof_join(
+        trades, quotes, on=["k"], probe_ts="tts", build_ts="qts",
+        build_cols=["px"], direction="forward", allow_exact=False))
+    assert strict[11] == (_ts("2024-01-01 10:10:00"), 102.0)  # skips the tie
+    assert strict[12] == (None, None)                          # nothing after
+    assert strict[13] == (_ts("2024-01-01 10:00:00"), 100.0)
+    exact = _rows(asof_join(
+        trades, quotes, on=["k"], probe_ts="tts", build_ts="qts",
+        build_cols=["px"], direction="forward", allow_exact=True))
+    assert exact[11] == (_ts("2024-01-01 10:05:00"), 101.0)   # tie eligible
+
+
+def test_asof_struct_payload_is_row_consistent(spark):
+    """A NULL build column in the matched row must come through as NULL,
+    not backfilled from an earlier build row (the struct-payload
+    guarantee)."""
+    build = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 1.0, "a"),
+         (1, _ts("2024-01-01 11:00:00"), None, "b")],
+        "k int, bts timestamp, x double, y string",
+    )
+    probe = spark.createDataFrame(
+        [(7, 1, _ts("2024-01-01 12:00:00"))], "pid int, k int, pts timestamp")
+    out = asof_join(probe, build, on=["k"], probe_ts="pts", build_ts="bts",
+                    build_cols=["x", "y"]).collect()[0]
+    assert out["y"] == "b" and out["x"] is None
+
+
+def test_asof_is_single_shuffle(spark, quotes, trades):
+    out = asof_join(trades, quotes, on=["k"], probe_ts="tts", build_ts="qts",
+                    build_cols=["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_binned_inner_and_left(spark):
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:30:00")),
+         (2, _ts("2024-01-01 12:00:00"), _ts("2024-01-01 12:30:00"))],
+        "iid int, s timestamp, e timestamp",
+    )
+    pt = spark.createDataFrame(
+        [(100, _ts("2024-01-01 10:00:00")),    # == start: in
+         (101, _ts("2024-01-01 10:29:59")),    # just inside
+         (102, _ts("2024-01-01 10:30:00")),    # == end: out (exclusive)
+         (103, _ts("2024-01-01 11:00:00"))],   # no interval
+        "pid int, ts timestamp",
+    )
+    inner = range_join_binned(iv, pt, "s", "e", "ts", bin_seconds=600)
+    got = {(r["iid"], r["pid"]) for r in inner.collect()}
+    assert got == {(1, 100), (1, 101)}
+    left = range_join_binned(iv, pt, "s", "e", "ts", bin_seconds=600, how="left")
+    rows = left.collect()
+    assert {(r["iid"], r["pid"]) for r in rows} == {(1, 100), (1, 101), (2, None)}
+    incl = range_join_binned(iv, pt, "s", "e", "ts", bin_seconds=600,
+                             end_inclusive=True)
+    assert (1, 102) in {(r["iid"], r["pid"]) for r in incl.collect()}
+
+
+def test_range_join_binned_no_duplicates_across_bins(spark):
+    """An interval spanning many bins must still match each point ONCE."""
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"))],
+        "iid int, s timestamp, e timestamp",
+    )
+    pt = spark.createDataFrame(
+        [(i, _ts("2024-01-01 06:00:00") + dt.timedelta(hours=i))
+         for i in range(10)],
+        "pid int, ts timestamp",
+    )
+    out = range_join_binned(iv, pt, "s", "e", "ts", bin_seconds=3600)
+    assert out.count() == 10
+    assert out.select("pid").distinct().count() == 10
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:30:00"))],
+        "iid int, s timestamp, e timestamp",
+    )
+    pt = spark.createDataFrame(
+        [(100, _ts("2024-01-01 10:10:00"))], "pid int, ts timestamp")
+    out = range_join_binned(iv, pt, "s", "e", "ts", bin_seconds=600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_semantic_dedup_drops_lower_id_neighbors(spark):
+    """Two near-identical vectors, one distant one: the higher id of the
+    near pair is dropped, the rest kept — and kept ids cover every
+    bucket that had members."""
+    from apde_etl_spark.operators.similarity import semantic_dedup
+
+    base = [1.0] * 8
+    rows = [
+        (1, base),
+        (2, [x + 0.001 for x in base]),      # near-dup of 1 -> dropped
+        (3, [(-1.0) ** i for i in range(8)]),  # orthogonal-ish -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup(df, dim=8, threshold=0.9).collect()}
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_bloom_filter_injects_when_gate_lowered(spark, sf_dir, qs):
+    """bloom_pruned_supplier_revenue: with the application-side scan-size
+    gate lowered to 0 (it defaults to 10GB — i.e. engaged exactly at
+    scale), Catalyst must inject the might_contain runtime filter on the
+    fact scan under a shuffle join."""
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    gate = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    prev_gate = spark.conf.get(gate)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(gate, "0")
+        df = qs["bloom_pruned_supplier_revenue"](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(gate, prev_gate)
+
+
+def test_deterministic_sample_is_stable_and_stratified(spark, sf_dir, qs):
+    a = qs["deterministic_stratified_sample"](spark, sf_dir)
+    b = qs["deterministic_stratified_sample"](spark, sf_dir)
+    ra = sorted(r["o_orderkey"] for r in a.collect())
+    rb = sorted(r["o_orderkey"] for r in b.collect())
+    assert ra == rb and len(ra) > 0
+    # rates land near the per-mille targets (md5 is uniform)
+    from apde_etl_spark.plans.catalog import load
+    totals = {r["o_orderstatus"]: r["n"] for r in
+              load(spark, sf_dir, "orders").groupBy("o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r["o_orderstatus"]: r["n"] for r in
+            a.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for status, rate in [("O", 0.10), ("F", 0.05), ("P", 0.50)]:
+        if totals.get(status, 0) >= 200:
+            frac = kept.get(status, 0) / totals[status]
+            assert abs(frac - rate) < rate * 0.5, (status, frac, rate)

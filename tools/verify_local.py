@@ -128,7 +128,8 @@ def main() -> int:
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
         print(f"wrote {path}")
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    n_run = len(only) if only else len(qs)
+    print(f"\n{n_run - len(failures)}/{n_run} passed")
     return 1 if failures else 0
 
 
