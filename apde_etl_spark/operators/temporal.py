@@ -1,28 +1,28 @@
 """Temporal joins Spark lacks as built-ins: as-of join and range join.
 
-The reference engine has no temporal-join surface (its event analysis
-stops at lag/lead change flags, qa_load_data.R-era semantics covered by
-W3); these operators extend the engine the way a training-data /
-event-analytics pipeline needs — attributing an observation to the most
-recent state row at-or-before it (as-of), and joining points into time
+The reference engine has no temporal-join surface (SURVEY.md §2.4: it
+never joins on inequality; its event analysis stops at lag/lead change
+flags, covered by W3); these operators extend the engine the way a
+training-data / event-analytics pipeline needs — attributing an
+observation to the nearest state row (as-of), and joining points into
 intervals (range) — while staying inside Spark's shuffle model:
 
 - :func:`asof_join` is the union + single-window formulation: both
   inputs are unioned on the join key and scanned ONCE in event-time
   order per key, so the whole operation is ONE hash shuffle on the key
   (plus Spark's in-partition sort) — no range-condition join, no
-  BroadcastNestedLoop, no per-probe binary search. This is the same
-  shape a 1000-executor cluster wants at 100 TB: cost is
-  O(shuffle(|probe| + |build|)), independent of how far back matches
-  reach.
-- :func:`range_join_binned` discretizes time into fixed-width bins and
-  turns the interval-overlap predicate into a bin EQUI-join (interval
-  side exploded to covered bins, point side hashed to its single bin)
-  refined by the exact predicate — candidate volume is
-  sum(interval_span/bin_width) x per-bin point density instead of
-  |intervals| x |points|, and the join shuffles on (key, bin) like any
-  other equi-join. A point lands in exactly one bin, so no
-  post-join dedup is needed.
+  BroadcastNestedLoop, no per-probe subquery. Cost is
+  O(shuffle(|probe| + |build|)), independent of how far matches reach.
+  This is the shape a 1000-executor cluster wants at 100 TB.
+- :func:`range_join_binned` discretizes the range dimension (time OR a
+  numeric measure) into fixed-width bins and turns the interval-overlap
+  predicate into a bin EQUI-join (interval side exploded to covered
+  bins, point side hashed to its single bin) refined by the exact
+  predicate — candidate volume is sum(interval_span/bin_width) x
+  per-bin point density instead of |intervals| x |points|, and the join
+  shuffles on (key, bin) like any other equi-join. A point lands in
+  exactly one bin, so no post-join dedup is needed; overlapping
+  intervals still each match (one candidate row per covering interval).
 
 Skew posture: both operators shuffle on the caller's key columns; a
 single pathological key (one user with 10^8 events) serializes into one
@@ -44,12 +44,13 @@ __all__ = ["asof_join", "range_join_binned"]
 def asof_join(
     probe: DataFrame,
     build: DataFrame,
-    on: Sequence[str],
-    probe_ts: str,
-    build_ts: str,
-    build_cols: Sequence[str],
+    on: str | Sequence[str],
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    build_cols: Sequence[str] | None = None,
     direction: str = "backward",
     allow_exact: bool = True,
+    tiebreak_cols: Sequence[str] | None = None,
     suffix: str = "",
 ) -> DataFrame:
     """For each probe row, attach the nearest build row per key:
@@ -57,26 +58,35 @@ def asof_join(
     or strictly-before the probe timestamp; ``forward`` = least
     ``build_ts`` at-or-after / strictly-after. Left semantics: probe
     rows with no eligible build row keep NULL build columns.
+    ``build_cols`` defaults to every build column except the key and
+    timestamp; each arrives as ``{name}{suffix}``, plus the matched
+    build timestamp as ``{build_ts}{suffix}`` (``{build_ts}_matched``
+    when that would collide with the probe timestamp column).
 
-    If ``build`` has several rows at the same (key, build_ts), the one
-    sorting last in the window order wins — pre-aggregate the build
-    side to unique (key, ts) when you need a deterministic result (the
-    catalog entries do; DuckDB's ASOF JOIN has the same ambiguity).
+    Several build rows at the same (key, build_ts) are ordered by
+    ``tiebreak_cols`` (default: all carried columns, in order) and the
+    LARGEST wins — deterministic regardless of partitioning. (DuckDB's
+    native ASOF JOIN leaves this case ambiguous; pre-aggregate the
+    build side to unique (key, ts) when comparing against it.)
 
     Implementation: tag and union both inputs, then one window per key
-    ordered by (ts, side-flag) taking ``last(payload, ignorenulls)``
-    over the unbounded-preceding frame — the running "latest build
-    state seen so far". The side-flag ordering encodes the bound: for
-    backward+exact, build rows sort BEFORE probe rows at equal ts (an
-    equal-ts build row is eligible); for strict, after. ``forward`` is
-    the mirror image, ordering ts descending. The build payload rides
-    as ONE struct so all attached columns come from the SAME matched
-    row (per-column ``last(ignorenulls)`` could mix rows when a build
-    column is NULL in the matched row)."""
+    ordered by (ts, side-flag, tiebreaks) taking
+    ``last(payload, ignorenulls)`` over the unbounded-preceding frame —
+    the running "latest build state seen so far". The side-flag
+    ordering encodes the bound: build rows sort BEFORE probe rows at
+    equal ts exactly when an equal-ts build row is eligible
+    (``allow_exact``); ``forward`` is the mirror image, ordering ts
+    descending. The build payload rides as ONE struct so all attached
+    columns come from the SAME matched row (per-column
+    ``last(ignorenulls)`` could mix rows when a build column is NULL in
+    the matched row)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    on = list(on)
+    on = [on] if isinstance(on, str) else list(on)
+    if build_cols is None:
+        build_cols = [c for c in build.columns if c not in on and c != build_ts]
     build_cols = list(build_cols)
+    tiebreak_cols = list(tiebreak_cols) if tiebreak_cols is not None else build_cols
 
     payload = F.struct(
         F.col(build_ts).alias("__match_ts"),
@@ -108,7 +118,7 @@ def asof_join(
     # Side-flag ordering encodes the bound at equal timestamps: the
     # window's last() at a probe row must have already scanned every
     # ELIGIBLE build row, so eligible-at-equal-ts => build sorts first.
-    # either direction: an equal-ts build row is eligible iff allow_exact
+    # Either direction: an equal-ts build row is eligible iff allow_exact.
     build_first = allow_exact
     ts_order: Column = (
         F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
@@ -116,23 +126,36 @@ def asof_join(
     flag = F.when(F.col("__is_build"), F.lit(0 if build_first else 1)).otherwise(
         F.lit(1 if build_first else 0)
     )
+    # Tiebreaks totally order equal-ts build rows (probe rows carry NULL
+    # payloads and sort among themselves, where order is irrelevant);
+    # ascending + last() => largest tiebreak wins.
+    order_cols: list[Column] = [ts_order, flag.asc()]
+    order_cols += [F.col(f"__payload.{c}").asc_nulls_first() for c in tiebreak_cols]
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts_order, flag.asc())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
 
-    out = matched.filter(~F.col("__is_build")).select(
+    match_ts_name = f"{build_ts}{suffix}"
+    if match_ts_name == probe_ts:
+        match_ts_name = f"{build_ts}_matched"
+    return matched.filter(~F.col("__is_build")).select(
         *on,
         F.col("__t").alias(probe_ts),
         *[F.col(c) for c in probe_payload_cols],
-        F.col("__m.__match_ts").alias(f"{build_ts}{suffix}"
-                                      if f"{build_ts}{suffix}" != probe_ts
-                                      else f"{build_ts}_matched"),
+        F.col("__m.__match_ts").alias(match_ts_name),
         *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in build_cols],
     )
-    return out
+
+
+def _bin_of(col: Column, dtype: str, width: float) -> Column:
+    """Bin index for a range-dimension column: timestamps bin on epoch
+    seconds (cast to long — monotone, so interval and point columns stay
+    consistent), numerics bin on their raw value."""
+    v = col.cast("long") if dtype.startswith(("timestamp", "date")) else col
+    return F.floor(v / F.lit(width)).cast("long")
 
 
 def range_join_binned(
@@ -141,34 +164,45 @@ def range_join_binned(
     start_col: str,
     end_col: str,
     ts_col: str,
-    bin_seconds: int,
+    bin_width: float,
     on: Sequence[str] | None = None,
     end_inclusive: bool = False,
     how: str = "inner",
 ) -> DataFrame:
-    """Join point rows into time intervals (``start <= ts < end``, or
+    """Join point rows into intervals (``start <= x < end``, or
     ``<= end`` with ``end_inclusive``) as a bin equi-join: the interval
-    side explodes to every ``bin_seconds``-wide bin it covers, the
-    point side hashes to its single bin, and the exact predicate
-    refines the per-bin candidates. ``on`` adds ordinary equi-key
-    columns to the bin key. ``how="left"`` keeps empty intervals with
-    NULL point columns (anti-join on the matched interval rows — the
-    bin join itself stays inner so unmatched interval×bin rows never
-    multiply).
+    side explodes to every ``bin_width``-wide bin it covers, the point
+    side hashes to its single bin, and the exact predicate refines the
+    per-bin candidates. The range dimension may be a timestamp (bins
+    are ``bin_width`` seconds) or a numeric column (bins are
+    ``bin_width`` units). ``on`` adds ordinary equi-key columns to the
+    bin key. ``how="left"`` keeps empty intervals with NULL point
+    columns (anti-join on the matched interval rows — the bin join
+    itself stays inner so unmatched interval×bin rows never multiply;
+    interval columns must be null-free for the anti-join's equality
+    match).
 
-    Pick ``bin_seconds`` near the typical interval span: each interval
-    explodes to ~span/bin_seconds + 1 rows, and each candidate list is
+    Pick ``bin_width`` near the typical interval span: each interval
+    explodes to ~span/bin_width + 1 rows, and each candidate list is
     one bin of points — both bounded, both shuffle-friendly. A 30-day
     retention window over years of data wants coarse bins; sub-second
     sensor windows want fine ones."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     on = list(on or [])
-    w = int(bin_seconds)
-    s_bin = F.floor(F.col(start_col).cast("long") / w)
-    e_bin = F.floor(F.col(end_col).cast("long") / w)
-    iv = intervals.withColumn("__bin", F.explode(F.sequence(s_bin, e_bin)))
-    pt = points.withColumn("__bin", F.floor(F.col(ts_col).cast("long") / w))
+    iv_dtypes = dict(intervals.dtypes)
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                _bin_of(F.col(start_col), iv_dtypes[start_col], bin_width),
+                _bin_of(F.col(end_col), iv_dtypes[end_col], bin_width),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__bin", _bin_of(F.col(ts_col), dict(points.dtypes)[ts_col], bin_width)
+    )
 
     upper = (
         F.col(ts_col) <= F.col(end_col)

@@ -435,9 +435,9 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("view_ts"),
     )
     out = asof_join(
-        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
-        right_cols=["view_event_id", "view_ts"], tie_col="view_event_id",
-        suffix="",
+        purchases, views, on="user_id",
+        build_cols=["view_event_id", "view_ts"],
+        tiebreak_cols=["view_event_id"],
     )
     return out.select(
         F.col("event_id").alias("purchase_event_id"), "user_id", "ts",
@@ -475,7 +475,8 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["tier", "lo", "hi"],
     )
     ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull()).select("value")
-    joined = range_join_binned(ev, F.broadcast(tiers), "value", bin_width=50.0)
+    joined = range_join_binned(F.broadcast(tiers), ev, "lo", "hi", "value",
+                               bin_width=50.0)
     return joined.groupBy("tier").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),

@@ -199,7 +199,7 @@ def range_windows_click_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = range_join_binned(
         iv, pt, start_col="w_start", end_col="w_end", ts_col="ts",
-        bin_seconds=_RANGE_WINDOW_MINUTES * 60, how="left",
+        bin_width=_RANGE_WINDOW_MINUTES * 60, how="left",
     )
     return j.groupBy("err_id", "w_start").agg(
         F.count(F.col("event_id")).alias("n_clicks"),

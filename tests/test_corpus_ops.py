@@ -204,7 +204,7 @@ def test_asof_join_inclusive_and_null_when_no_prior(spark):
     )
     out = {r["event_id"]: r["rid"]
            for r in asof_join(left, right, on="user_id",
-                              right_cols=["rid"], suffix="").collect()}
+                              build_cols=["rid"]).collect()}
     assert out[101] == 201    # latest right at-or-before t=2
     assert out[102] == 202    # inclusive: right at exactly t=3 matches
     assert out[103] is None   # no right row at-or-before t=0
@@ -226,7 +226,7 @@ def test_asof_join_carries_right_row_atomically(spark):
         "user_id int, ts timestamp, rid int, b int",
     )
     out = asof_join(left, right, on="user_id",
-                    right_cols=["rid", "b"], suffix="").collect()
+                    build_cols=["rid", "b"]).collect()
     assert out[0]["rid"] == 202
     assert out[0]["b"] is None   # NOT 5 from the older right row
 
@@ -273,8 +273,8 @@ def test_asof_join_tie_break_is_deterministic(spark):
     right = spark.createDataFrame(
         [(5, ts, 300), (5, ts, 301)], ["user_id", "ts", "rid"]
     )
-    out = asof_join(left, right, on="user_id", right_cols=["rid"],
-                    tie_col="rid", suffix="").collect()
+    out = asof_join(left, right, on="user_id", build_cols=["rid"],
+                    tiebreak_cols=["rid"]).collect()
     assert out[0]["rid"] == 301
 
 
@@ -289,7 +289,7 @@ def test_range_join_binned_boundaries(spark):
         ["tier", "lo", "hi"],
     )
     got = sorted((r["value"], r["tier"]) for r in
-                 range_join_binned(facts, tiers, "value", bin_width=50.0).collect())
+                 range_join_binned(tiers, facts, "lo", "hi", "value", bin_width=50.0).collect())
     # lo inclusive, hi exclusive; 500.0 falls outside every tier
     assert got == [(0.0, "lo"), (99.99, "lo"), (100.0, "mid"),
                    (249.9, "mid"), (499.99, "hi")]

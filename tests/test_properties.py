@@ -97,7 +97,7 @@ def test_asof_join_matches_bruteforce_on_random_inputs(spark):
     out = asof_join(
         spark.createDataFrame(left, ["event_id", "k", "ts"]),
         spark.createDataFrame(right, ["k", "ts", "rid"]),
-        on="k", right_cols=["rid"], tie_col="rid", suffix="",
+        on="k", build_cols=["rid"], tiebreak_cols=["rid"],
     ).collect()
     got = {r["event_id"]: r["rid"] for r in out}
     assert len(out) == len(left)
@@ -125,7 +125,7 @@ def test_range_join_binned_matches_inequality_join(spark):
     fdf = spark.createDataFrame(facts, ["value"])
     idf = spark.createDataFrame(ivs, ["tier", "lo", "hi"])
     got = sorted((r["value"], r["tier"]) for r in
-                 range_join_binned(fdf, idf, "value", bin_width=37.0).collect())
+                 range_join_binned(idf, fdf, "lo", "hi", "value", bin_width=37.0).collect())
     expect = sorted((v, tier) for (v,) in facts for (tier, lo, hi) in ivs
                     if lo <= v < hi)
     assert got == expect

@@ -128,13 +128,13 @@ def test_range_join_binned_inner_and_left(spark):
          (103, _ts("2024-01-01 11:00:00"))],   # no interval
         "pid int, ts timestamp",
     )
-    inner = range_join_binned(iv, pt, "s", "e", "ts", bin_seconds=600)
+    inner = range_join_binned(iv, pt, "s", "e", "ts", bin_width=600)
     got = {(r["iid"], r["pid"]) for r in inner.collect()}
     assert got == {(1, 100), (1, 101)}
-    left = range_join_binned(iv, pt, "s", "e", "ts", bin_seconds=600, how="left")
+    left = range_join_binned(iv, pt, "s", "e", "ts", bin_width=600, how="left")
     rows = left.collect()
     assert {(r["iid"], r["pid"]) for r in rows} == {(1, 100), (1, 101), (2, None)}
-    incl = range_join_binned(iv, pt, "s", "e", "ts", bin_seconds=600,
+    incl = range_join_binned(iv, pt, "s", "e", "ts", bin_width=600,
                              end_inclusive=True)
     assert (1, 102) in {(r["iid"], r["pid"]) for r in incl.collect()}
 
@@ -150,7 +150,7 @@ def test_range_join_binned_no_duplicates_across_bins(spark):
          for i in range(10)],
         "pid int, ts timestamp",
     )
-    out = range_join_binned(iv, pt, "s", "e", "ts", bin_seconds=3600)
+    out = range_join_binned(iv, pt, "s", "e", "ts", bin_width=3600)
     assert out.count() == 10
     assert out.select("pid").distinct().count() == 10
 
@@ -162,7 +162,7 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     )
     pt = spark.createDataFrame(
         [(100, _ts("2024-01-01 10:10:00"))], "pid int, ts timestamp")
-    out = range_join_binned(iv, pt, "s", "e", "ts", bin_seconds=600)
+    out = range_join_binned(iv, pt, "s", "e", "ts", bin_width=600)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
 
