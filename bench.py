@@ -60,6 +60,12 @@ HEADLINE = [
     "curation_pipeline_end2end",
     "incremental_ingest_dedup",
     "q17_small_quantity_revenue",
+    # round 4: temporal joins, layout/runtime pruning, semantic dedup
+    "asof_attribute_clicks",
+    "range_windows_click_impact",
+    "semantic_dedup_lsh",
+    "qa_profile_partition_pruned",
+    "bucketed_join_revenue",
 ]
 
 
