@@ -98,7 +98,9 @@ def asof_join(
         F.lit(True).alias("__is_build"),
         payload.alias("__payload"),
     )
-    payload_type = b.schema["__payload"].dataType.simpleString()
+    # cast via the DataType object, not simpleString: column names that
+    # need backquoting would break the string round-trip
+    payload_type = b.schema["__payload"].dataType
 
     probe_payload_cols = [c for c in probe.columns if c not in on and c != probe_ts]
     p = probe.select(
@@ -110,7 +112,7 @@ def asof_join(
     )
     b = b.select(
         *on, "__t", "__is_build", "__payload",
-        *[F.lit(None).cast(dict(probe.dtypes)[c]).alias(c)
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
           for c in probe_payload_cols],
     )
     u = p.unionByName(b)
@@ -220,5 +222,5 @@ def range_join_binned(
     empties = intervals.join(matched_keys, on=list(intervals.columns),
                              how="left_anti")
     for c in point_cols:
-        empties = empties.withColumn(c, F.lit(None).cast(dict(points.dtypes)[c]))
+        empties = empties.withColumn(c, F.lit(None).cast(points.schema[c].dataType))
     return joined.unionByName(empties)
