@@ -155,8 +155,15 @@ def asof_join(
 def _bin_of(col: Column, dtype: str, width: float) -> Column:
     """Bin index for a range-dimension column: timestamps bin on epoch
     seconds (cast to long — monotone, so interval and point columns stay
-    consistent), numerics bin on their raw value."""
-    v = col.cast("long") if dtype.startswith(("timestamp", "date")) else col
+    consistent), dates via timestamp so ``bin_width`` stays in seconds
+    for every temporal type (DATE has no direct long cast in Spark 4),
+    numerics bin on their raw value."""
+    if dtype.startswith("date"):
+        v = col.cast("timestamp").cast("long")
+    elif dtype.startswith("timestamp"):
+        v = col.cast("long")
+    else:
+        v = col
     return F.floor(v / F.lit(width)).cast("long")
 
 

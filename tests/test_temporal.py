@@ -221,3 +221,55 @@ def test_deterministic_sample_is_stable_and_stratified(spark, sf_dir, qs):
         if totals.get(status, 0) >= 200:
             frac = kept.get(status, 0) / totals[status]
             assert abs(frac - rate) < rate * 0.5, (status, frac, rate)
+
+
+def test_range_join_binned_date_intervals(spark):
+    """DATE interval bounds against TIMESTAMP points: bins stay in
+    seconds through the timestamp route (DATE has no direct long cast)."""
+    iv = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), dt.date(2024, 1, 3))],
+        "iid int, s date, e date",
+    )
+    pt = spark.createDataFrame(
+        [(100, _ts("2024-01-02 12:00:00")),     # inside
+         (101, _ts("2024-01-03 00:00:00")),     # == end midnight: out
+         (102, _ts("2024-01-05 00:00:00"))],    # after
+        "pid int, ts timestamp",
+    )
+    out = range_join_binned(iv, pt, "s", "e", "ts", bin_width=86400)
+    assert {(r["iid"], r["pid"]) for r in out.collect()} == {(1, 100)}
+
+
+def test_range_join_binned_with_equi_keys(spark):
+    """`on` keys compose with the bin key: a point only matches
+    intervals of ITS key, even when bins overlap across keys."""
+    iv = spark.createDataFrame(
+        [("a", 1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00")),
+         ("b", 2, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "k string, iid int, s timestamp, e timestamp",
+    )
+    pt = spark.createDataFrame(
+        [("a", 100, _ts("2024-01-01 10:30:00")),
+         ("b", 101, _ts("2024-01-01 10:30:00")),
+         ("c", 102, _ts("2024-01-01 10:30:00"))],
+        "k string, pid int, ts timestamp",
+    )
+    out = range_join_binned(iv, pt, "s", "e", "ts", bin_width=600, on=["k"])
+    assert {(r["iid"], r["pid"]) for r in out.collect()} == {(1, 100), (2, 101)}
+    left = range_join_binned(iv, pt, "s", "e", "ts", bin_width=600, on=["k"],
+                             how="left")
+    assert {(r["iid"], r["pid"]) for r in left.collect()} == {(1, 100), (2, 101)}
+
+
+def test_asof_join_string_key_and_default_build_cols(spark):
+    """The round-2 calling convention: a single string key and build
+    columns defaulted to everything but key + ts."""
+    probe = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 10:00:00"))], "pid int, k string, ts timestamp")
+    build = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 09:00:00"), 7.0, "x")],
+        "k string, ts timestamp, v double, tag string",
+    )
+    out = asof_join(probe, build, on="k").collect()[0]
+    assert out["v"] == 7.0 and out["tag"] == "x"
+    assert out["ts_matched"] == _ts("2024-01-01 09:00:00")
