@@ -48,6 +48,25 @@ def tracked_persist(df: DataFrame, scope: str = "default") -> DataFrame:
     return out
 
 
+def tracked_release(df: DataFrame) -> bool:
+    """Unpersist ``df`` AND drop it from the registry — the correct way
+    to release a tracked frame early (a bare ``df.unpersist()`` would
+    leave a dangling registry entry, inflating ``tracked_count`` and
+    ``release_scope`` return values). Returns True if the frame was
+    tracked."""
+    found = False
+    with _LOCK:
+        for frames in _SCOPES.values():
+            if any(f is df for f in frames):
+                frames[:] = [f for f in frames if f is not df]
+                found = True
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # session already stopped — nothing to release
+    return found
+
+
 def release_scope(scope: str | None = None) -> int:
     """Unpersist every DataFrame tracked under ``scope`` (all scopes when
     ``None``); returns the number released. Idempotent."""

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from apde_etl_spark.operators.cache import tracked_persist
+from apde_etl_spark.operators.cache import tracked_persist, tracked_release
 from apde_etl_spark.operators.skew import replicated_salted_join
 
 
@@ -266,10 +266,10 @@ def minhash_lsh_pairs(
         verified = verified.unionByName(star)
     if materialize:
         verified = verified.localCheckpoint(eager=True)
-        base.unpersist()
+        tracked_release(base)
         if collapse_identical_signatures:
-            tagged.unpersist()
-            star_checked.unpersist()
+            tracked_release(tagged)
+            tracked_release(star_checked)
     return verified
 
 
@@ -1369,7 +1369,7 @@ def ann_pq_topk(
     e = tracked_persist(e, scope="similarity")
     n_rows = e.count()  # materializes the cache training reuses anyway
     if resolve_pq_route(n_rows, m, broadcast_threshold_bytes) == "ivfpq":
-        e.unpersist()
+        tracked_release(e)
         if on_overflow == "error":
             raise ValueError(
                 f"ann_pq_topk: encoded corpus of {n_rows} rows exceeds the "

@@ -88,11 +88,28 @@ def asof_join(
     build_cols = list(build_cols)
     tiebreak_cols = list(tiebreak_cols) if tiebreak_cols is not None else build_cols
 
+    probe_payload_names = [c for c in probe.columns if c not in on and c != probe_ts]
+    match_ts_name = f"{build_ts}{suffix}"
+    if match_ts_name == probe_ts:
+        match_ts_name = f"{build_ts}_matched"
+    out_build_names = [match_ts_name] + [f"{c}{suffix}" for c in build_cols]
+    clashes = set(out_build_names) & set(on + [probe_ts] + probe_payload_names)
+    if clashes or len(set(out_build_names)) != len(out_build_names):
+        raise ValueError(
+            f"asof_join output name collision on {sorted(clashes) or out_build_names}; "
+            "pass suffix=... (or rename/trim build_cols) so attached build "
+            "columns don't shadow probe columns"
+        )
+
     payload = F.struct(
         F.col(build_ts).alias("__match_ts"),
         *[F.col(c).alias(c) for c in build_cols],
     )
-    b = build.select(
+    # a NULL build timestamp has no position on the time axis — it can
+    # never be "at-or-before/after" anything (DuckDB ASOF agrees: NULL
+    # never matches), so drop such rows instead of letting NULLS FIRST
+    # sort them ahead of every probe row
+    b = build.filter(F.col(build_ts).isNotNull()).select(
         *[F.col(k) for k in on],
         F.col(build_ts).alias("__t"),
         F.lit(True).alias("__is_build"),
@@ -102,7 +119,7 @@ def asof_join(
     # need backquoting would break the string round-trip
     payload_type = b.schema["__payload"].dataType
 
-    probe_payload_cols = [c for c in probe.columns if c not in on and c != probe_ts]
+    probe_payload_cols = probe_payload_names
     p = probe.select(
         *[F.col(k) for k in on],
         F.col(probe_ts).alias("__t"),
@@ -121,9 +138,13 @@ def asof_join(
     # window's last() at a probe row must have already scanned every
     # ELIGIBLE build row, so eligible-at-equal-ts => build sorts first.
     # Either direction: an equal-ts build row is eligible iff allow_exact.
+    # NULLS FIRST in BOTH directions: a NULL-ts probe row then precedes
+    # every (non-null-ts) build row in the scan, so its last() sees
+    # nothing and it gets the NULL match its undefined position deserves.
     build_first = allow_exact
     ts_order: Column = (
-        F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+        F.col("__t").asc_nulls_first() if direction == "backward"
+        else F.col("__t").desc_nulls_first()
     )
     flag = F.when(F.col("__is_build"), F.lit(0 if build_first else 1)).otherwise(
         F.lit(1 if build_first else 0)
@@ -140,9 +161,6 @@ def asof_join(
     )
     matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
 
-    match_ts_name = f"{build_ts}{suffix}"
-    if match_ts_name == probe_ts:
-        match_ts_name = f"{build_ts}_matched"
     return matched.filter(~F.col("__is_build")).select(
         *on,
         F.col("__t").alias(probe_ts),
@@ -224,10 +242,29 @@ def range_join_binned(
     if how == "inner":
         return joined
 
+    from functools import reduce
+
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    # the matched rows feed BOTH output branches (the union and the
+    # anti-join's key set) — persist so the explode+join+refine subplan
+    # runs once, not twice; release with release_scope("temporal") once
+    # the result is consumed
+    joined = tracked_persist(joined, scope="temporal")
     point_cols = [c for c in points.columns if c not in on and c != "__bin"]
-    matched_keys = joined.select(*intervals.columns).distinct()
-    empties = intervals.join(matched_keys, on=list(intervals.columns),
-                             how="left_anti")
+    iv_cols = list(intervals.columns)
+    mk = joined.select(*iv_cols).distinct().select(
+        *[F.col(c).alias(f"__mk_{i}") for i, c in enumerate(iv_cols)]
+    )
+    # null-safe equality: an interval row with a NULL attribute must
+    # still count as matched (plain left_anti equality would re-emit it
+    # as an empty row — the double-count bug)
+    cond = reduce(
+        lambda a, b: a & b,
+        [intervals[c].eqNullSafe(F.col(f"__mk_{i}"))
+         for i, c in enumerate(iv_cols)],
+    )
+    empties = intervals.join(mk, on=cond, how="left_anti")
     for c in point_cols:
         empties = empties.withColumn(c, F.lit(None).cast(points.schema[c].dataType))
     return joined.unionByName(empties)

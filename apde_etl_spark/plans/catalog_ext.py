@@ -113,6 +113,22 @@ def _sql_hash60(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def _sql_hyperplane_bucket(planes: list[list[int]]) -> str:
+    """DuckDB expression for the hyperplane-LSH bucket id over a
+    DOUBLE[] column ``v`` — explicit signed sums, left-to-right like
+    Spark's fold (similarity.lsh_bucket). The ONE generator every
+    plane-bucket oracle must share: the expression is float-summation-
+    order-sensitive, so a second hand-synchronized copy is a latent
+    oracle desync."""
+    terms = []
+    for j, plane in enumerate(planes):
+        dotsum = " ".join(
+            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
+        )
+        terms.append(f"CASE WHEN ({dotsum}) >= 0 THEN {2 ** j} ELSE 0 END")
+    return " + ".join(terms)
+
+
 _JACCARD_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks)
@@ -385,13 +401,7 @@ def _sql_ann_lsh(num_planes: int, dim: int, k: int) -> str:
     over the RAW vector, carry the norm as a scalar, verify with
     dot/(na*nb) — the exact op sequence of the Spark side."""
     planes = SIM.hyperplanes(num_planes, dim)
-    bucket_terms = []
-    for j, plane in enumerate(planes):
-        dotsum = " ".join(
-            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
-        )
-        bucket_terms.append(f"CASE WHEN ({dotsum}) >= 0 THEN {2 ** j} ELSE 0 END")
-    bucket = " + ".join(bucket_terms)
+    bucket = _sql_hyperplane_bucket(planes)
     return f"""
 WITH raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -444,13 +454,7 @@ def _sql_embed_neardup(num_planes: int, dim: int, threshold: float) -> str:
     hyperplanes, bucket equi-join candidates, exact cosine >= threshold,
     then transitive closure -> min-reachable component label."""
     planes = SIM.hyperplanes(num_planes, dim)
-    bucket_terms = []
-    for j, plane in enumerate(planes):
-        dotsum = " ".join(
-            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
-        )
-        bucket_terms.append(f"CASE WHEN ({dotsum}) >= 0 THEN {2 ** j} ELSE 0 END")
-    bucket = " + ".join(bucket_terms)
+    bucket = _sql_hyperplane_bucket(planes)
     return f"""
 WITH RECURSIVE raw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -30,15 +30,11 @@ _RECALL_NPROBE = 2
 
 
 def _bucket_sql(planes: list[list[int]]) -> str:
-    """DuckDB expression for the hyperplane bucket id over column ``v`` —
-    explicit signed sums, left-to-right like Spark's fold."""
-    terms = []
-    for j, plane in enumerate(planes):
-        dotsum = " ".join(
-            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
-        )
-        terms.append(f"CASE WHEN ({dotsum}) >= 0 THEN {2 ** j} ELSE 0 END")
-    return " + ".join(terms)
+    """DuckDB expression for the hyperplane bucket id over column ``v``
+    (shared generator — see catalog_ext._sql_hyperplane_bucket)."""
+    from apde_etl_spark.plans.catalog_ext import _sql_hyperplane_bucket
+
+    return _sql_hyperplane_bucket(planes)
 
 
 _RECALL_TABLES = 4
@@ -404,11 +400,18 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`clustered_embeddings` — the shape real embedding models
     emit), where IVFPQ+rerank reaches production-grade recall. Floors
     for both regimes are asserted in tests/test_dedup_similarity.py."""
+    from apde_etl_spark.operators.cache import tracked_persist
+
     emb = load(spark, sf_dir, "embeddings")
-    exact = exact_topk_pairs(emb, "vec_id", "embedding", k=_RECALL_K).persist()
+    exact = tracked_persist(
+        exact_topk_pairs(emb, "vec_id", "embedding", k=_RECALL_K),
+        scope="similarity")
     ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    clus = clustered_embeddings(spark, n=emb.count()).persist()
-    exact_c = exact_topk_pairs(clus, "vec_id", "embedding", k=_RECALL_K).persist()
+    clus = tracked_persist(clustered_embeddings(spark, n=emb.count()),
+                           scope="similarity")
+    exact_c = tracked_persist(
+        exact_topk_pairs(clus, "vec_id", "embedding", k=_RECALL_K),
+        scope="similarity")
     ex_n_c = exact_c.agg(F.count(F.lit(1)).alias("n_exact"))
     methods = [
         ("pq_m8_k16", SIM.ann_pq_topk(

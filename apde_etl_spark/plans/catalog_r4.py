@@ -38,20 +38,40 @@ from apde_etl_spark.functions.core import round_half_away
 _PART_CACHE: dict[str, str] = {}
 
 
+def _source_fingerprint(path: str) -> str:
+    """mtime+size digest of a source parquet file/dir — keyed into every
+    derived-layout cache so REGENERATED testdata at the same path
+    invalidates the cached layout instead of silently serving stale rows
+    (the flat-table oracle would read fresh data while the layout entry
+    read the old copy)."""
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    else:
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders partitioned by ``o_year`` (hive layout, sorted
     within files by o_custkey — the write_analytic_table headline shape)
     under the system temp dir; reuse across calls and processes when the
-    layout already exists."""
+    layout already exists (keyed by source fingerprint, so regenerated
+    testdata invalidates it)."""
     from apde_etl_spark.sources.lifecycle import write_analytic_table
 
     key = os.path.abspath(sf_dir)
     if key in _PART_CACHE:
         return _PART_CACHE[key]
+    fp = _source_fingerprint(os.path.join(key, "orders.parquet"))
     base = os.path.join(
         tempfile.gettempdir(),
         "apde_etl_partitioned",
-        hashlib.md5(key.encode()).hexdigest()[:12],
+        hashlib.md5(f"{key}:{fp}".encode()).hexdigest()[:12],
         "orders_by_year",
     )
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
@@ -154,7 +174,9 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = os.path.abspath(sf_dir)
     if key in _BUCKET_CACHE:
         return _BUCKET_CACHE[key]
-    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    fp_o = _source_fingerprint(os.path.join(key, "orders.parquet"))
+    fp_c = _source_fingerprint(os.path.join(key, "customer.parquet"))
+    tag = hashlib.md5(f"{key}:{fp_o}:{fp_c}".encode()).hexdigest()[:10]
     t_orders, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
 
     def _ensure(name: str, table: str, bucket_col: str) -> None:

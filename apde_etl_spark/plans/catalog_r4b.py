@@ -30,7 +30,10 @@ from apde_etl_spark.plans.catalog import (
     load_events,
     register,
 )
-from apde_etl_spark.plans.catalog_ext import _sql_hash60
+from apde_etl_spark.plans.catalog_ext import (
+    _sql_hash60,
+    _sql_hyperplane_bucket,
+)
 
 
 def _clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,18 +256,6 @@ _SEMDEDUP_THRESHOLD = 0.35
 _SEMDEDUP_PLANES = 6
 
 
-def _sql_bucket(planes: list[list[int]]) -> str:
-    """DuckDB twin of similarity.lsh_bucket over DOUBLE[] column ``v`` —
-    explicit signed sums, left-to-right like Spark's fold."""
-    terms = []
-    for j, plane in enumerate(planes):
-        dotsum = " ".join(
-            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(plane)
-        )
-        terms.append(f"CASE WHEN ({dotsum}) >= 0 THEN {2 ** j} ELSE 0 END")
-    return " + ".join(terms)
-
-
 def _sql_semantic_dedup(num_planes: int, dim: int, threshold: float) -> str:
     planes = SIM.hyperplanes(num_planes, dim)
     return f"""
@@ -273,7 +264,7 @@ WITH raw AS (
 ), e AS (
   SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y*y))) AS n FROM raw
 ), eb AS (
-  SELECT vec_id, v, n, {_sql_bucket(planes)} AS b FROM e
+  SELECT vec_id, v, n, {_sql_hyperplane_bucket(planes)} AS b FROM e
 ), pairs AS (
   SELECT b.vec_id AS id_b
   FROM eb a JOIN eb b ON a.b = b.b AND a.vec_id < b.vec_id

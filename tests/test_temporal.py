@@ -273,3 +273,76 @@ def test_asof_join_string_key_and_default_build_cols(spark):
     out = asof_join(probe, build, on="k").collect()[0]
     assert out["v"] == 7.0 and out["tag"] == "x"
     assert out["ts_matched"] == _ts("2024-01-01 09:00:00")
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL-ts build rows are dropped (no position on the time axis);
+    NULL-ts probe rows get NULL matches in BOTH directions — matching
+    DuckDB ASOF, where NULL never matches."""
+    build = spark.createDataFrame(
+        [(1, None, 999.0), (1, _ts("2024-01-01 10:00:00"), 1.0)],
+        "k int, bts timestamp, px double",
+    )
+    probe = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-01 09:00:00")),   # before any real build
+         (11, 1, _ts("2024-01-01 11:00:00")),   # after the real build
+         (12, 1, None)],                         # undefined position
+        "pid int, k int, pts timestamp",
+    )
+    for direction in ("backward", "forward"):
+        m = {r["pid"]: r["px"] for r in asof_join(
+            probe, build, on=["k"], probe_ts="pts", build_ts="bts",
+            build_cols=["px"], direction=direction).collect()}
+        assert m[12] is None, direction          # NULL probe ts -> no match
+        if direction == "backward":
+            assert m[10] is None and m[11] == 1.0
+        else:
+            assert m[10] == 1.0 and m[11] is None
+
+
+def test_asof_output_name_collision_raises(spark):
+    """A build column shadowing a probe column with suffix='' must fail
+    loudly, not emit ambiguous duplicate output names."""
+    probe = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 10:00:00"), 5.0)],
+        "pid int, k int, ts timestamp, value double")
+    build = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 7.0)],
+        "k int, bts timestamp, value double")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(probe, build, on=["k"], probe_ts="ts", build_ts="bts",
+                  build_cols=["value"])
+    out = asof_join(probe, build, on=["k"], probe_ts="ts", build_ts="bts",
+                    build_cols=["value"], suffix="_b").collect()[0]
+    assert out["value"] == 5.0 and out["value_b"] == 7.0
+
+
+def test_range_join_left_null_interval_attr_not_duplicated(spark):
+    """A matched interval carrying a NULL attribute must NOT reappear as
+    a spurious empty row (null-safe anti join)."""
+    iv = spark.createDataFrame(
+        [(None, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "label string, s timestamp, e timestamp",
+    )
+    pt = spark.createDataFrame(
+        [(100, _ts("2024-01-01 10:30:00"))], "pid int, ts timestamp")
+    rows = range_join_binned(iv, pt, "s", "e", "ts", bin_width=600,
+                             how="left").collect()
+    assert len(rows) == 1 and rows[0]["pid"] == 100
+
+
+def test_tracked_release_keeps_registry_truthful(spark):
+    from apde_etl_spark.operators.cache import (
+        release_scope,
+        tracked_count,
+        tracked_persist,
+        tracked_release,
+    )
+
+    release_scope("t_test")
+    df = tracked_persist(spark.range(5), scope="t_test")
+    assert tracked_count("t_test") == 1
+    assert tracked_release(df) is True
+    assert tracked_count("t_test") == 0
+    assert release_scope("t_test") == 0
+    assert tracked_release(df) is False   # idempotent, already gone

@@ -66,6 +66,10 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     record: dict[str, dict] = {}
+    unknown = sorted(only - set(qs)) if only else []
+    for name in unknown:
+        failures.append((name, "no such query in the registry"))
+        print(f"FAIL {name}: no such query in the registry")
     for name, fn in qs.items():
         if only and name not in only:
             continue
