@@ -337,3 +337,52 @@ def deterministic_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFra
         "o_orderkey", "o_custkey", "o_orderstatus",
         round_half_away(F.col("o_totalprice"), 2).alias("o_totalprice"),
     )
+
+
+# ===========================================================================
+# Priority sampling — deterministic weighted k-sample per stratum
+# ===========================================================================
+
+_PRIORITY_K = 32
+
+_PRIORITY_ORACLE = f"""
+WITH pr AS (
+  SELECT o_orderkey, o_orderstatus,
+         {_sql_round('o_totalprice', 2)} AS o_totalprice,
+         o_totalprice / ((({_sql_hash60("CAST(o_orderkey AS VARCHAR)")}) + CAST(1 AS DOUBLE))
+                         / CAST(1152921504606846976 AS DOUBLE)) AS q
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       {_sql_round('q', 4)} AS priority
+FROM pr
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY q DESC, o_orderkey ASC) <= {_PRIORITY_K}
+"""
+
+
+@register("priority_sample_orders", _PRIORITY_ORACLE)
+def priority_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY SAMPLING (Duffield-Lund-Thorup, JACM 2007): the
+    deterministic weighted k-sample — per order status, keep the 32
+    rows with the largest priority q = totalprice/u, u derived from the
+    md5 hash of the key. High-value orders are (near-)certainly
+    sampled, small ones proportionally to value, and the whole sample
+    is a pure function of the data: same rows on every run, engine, and
+    cluster layout (q is a single IEEE division — correctly rounded,
+    so DuckDB and the JVM agree bit-for-bit; pow/ln-based weighted
+    sampling cannot make that guarantee). One projection + one
+    per-stratum top-k window."""
+    from apde_etl_spark.operators.sampling import priority_sample
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    out = priority_sample(
+        o, key_col="o_orderkey", weight_col="o_totalprice",
+        k=_PRIORITY_K, strata=["o_orderstatus"],
+    )
+    return out.select(
+        "o_orderkey", "o_orderstatus",
+        round_half_away(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        round_half_away(F.col("priority"), 4).alias("priority"),
+    )

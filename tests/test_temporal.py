@@ -346,3 +346,37 @@ def test_tracked_release_keeps_registry_truthful(spark):
     assert tracked_count("t_test") == 0
     assert release_scope("t_test") == 0
     assert tracked_release(df) is False   # idempotent, already gone
+
+
+def test_priority_sample_properties(spark, sf_dir):
+    """Priority sampling: exact k per stratum, deterministic repeats,
+    and weight dominance — the sampled mean weight must exceed the
+    population mean (heavy rows are preferentially included)."""
+    from apde_etl_spark.operators.sampling import priority_sample
+    from apde_etl_spark.plans.catalog import load
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    a = priority_sample(o, "o_orderkey", "o_totalprice", k=32,
+                        strata=["o_orderstatus"])
+    per = {r["o_orderstatus"]: r["n"] for r in
+           a.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["o_orderstatus"]: r["n"] for r in
+              o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in per.items():
+        assert n == min(32, totals[s]), (s, n)
+    b = priority_sample(o, "o_orderkey", "o_totalprice", k=32,
+                        strata=["o_orderstatus"])
+    assert sorted(r["o_orderkey"] for r in a.collect()) == \
+           sorted(r["o_orderkey"] for r in b.collect())
+    pop_mean = o.agg(F.avg("o_totalprice")).first()[0]
+    samp_mean = a.agg(F.avg("o_totalprice")).first()[0]
+    assert samp_mean > pop_mean
+
+
+def test_priority_sample_rejects_bad_k(spark):
+    from apde_etl_spark.operators.sampling import priority_sample
+
+    df = spark.range(3).select(F.col("id"), F.lit(1.0).alias("w"))
+    with pytest.raises(ValueError, match="k must be"):
+        priority_sample(df, "id", "w", k=0)
