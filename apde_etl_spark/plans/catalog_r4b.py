@@ -386,3 +386,97 @@ def priority_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_away(F.col("o_totalprice"), 2).alias("o_totalprice"),
         round_half_away(F.col("priority"), 4).alias("priority"),
     )
+
+
+# ===========================================================================
+# Forward fill — carry the last observation forward per key
+# ===========================================================================
+
+_FFILL_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+  FROM events
+)
+SELECT event_id, user_id, ts, event_type,
+       {_sql_round('''last_value(purchase_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 2)}
+       AS last_purchase_value
+FROM e
+"""
+
+
+@register("fill_forward_events", _FFILL_ORACLE)
+def fill_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD FILL (time-series gap carry): every event row carries the
+    most recent purchase value of its user so far — ``last(x,
+    ignorenulls)`` over the per-key unbounded-preceding frame, the
+    same single-shuffle carry machinery as the as-of join applied to
+    self-join-free within-stream filling (the reference's template
+    completion fills CATEGORY grids, R2; this fills the TIME axis).
+    Deterministic tie order (ts, event_id)."""
+    ev = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.withColumn(
+        "last_purchase_value",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return filled.select(
+        "event_id", "user_id", "ts", "event_type",
+        round_half_away(F.col("last_purchase_value"), 2)
+        .alias("last_purchase_value"),
+    )
+
+
+# ===========================================================================
+# Pivot — long-to-wide (the inverse of R1 melt)
+# ===========================================================================
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+           f" AS n_{t}" for t in _EVENT_TYPES)},
+       {_sql_round("sum(CASE WHEN event_type = 'purchase' THEN value END)", 2)}
+       AS purchase_total
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("pivot_user_event_matrix", _PIVOT_ORACLE)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long->wide): per-user event-type count matrix + purchase
+    revenue — the inverse of R1 melt, completing the reshape pair
+    (SURVEY §2.3). The value list is EXPLICIT, which is the only sane
+    form at scale: an unlisted pivot forces an extra distinct pass over
+    the fact table to discover columns, and nondeterministic column
+    sets break downstream schemas. One shuffle, map-side partial aggs,
+    no melt-style row explosion."""
+    ev = load_events(spark, sf_dir)
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+        )
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _EVENT_TYPES],
+        round_half_away(F.col("purchase_total"), 2).alias("purchase_total"),
+    )
