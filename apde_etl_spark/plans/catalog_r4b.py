@@ -480,3 +480,80 @@ def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
           for t in _EVENT_TYPES],
         round_half_away(F.col("purchase_total"), 2).alias("purchase_total"),
     )
+
+
+# ===========================================================================
+# Count-min sketch — bounded-memory frequency estimates, deterministic
+# ===========================================================================
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 64
+
+
+def _sql_cms_bucket(d: int, key_expr: str) -> str:
+    inner = f"concat('cms{d}:', {key_expr})"
+    return f"{_sql_hash60(inner)} % {_CMS_WIDTH}"
+
+
+_CMS_ORACLE = f"""
+WITH rows_h AS (
+  SELECT user_id, CAST(user_id AS VARCHAR) AS ks FROM events
+),
+{", ".join(f'''c{d} AS (
+  SELECT {_sql_cms_bucket(d, "ks")} AS b, CAST(count(*) AS BIGINT) AS n
+  FROM rows_h GROUP BY 1
+)''' for d in range(_CMS_DEPTH))},
+keys AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n,
+         CAST(user_id AS VARCHAR) AS ks
+  FROM events GROUP BY user_id
+)
+SELECT k.user_id, k.exact_n,
+       LEAST({", ".join(
+           f"(SELECT n FROM c{d} WHERE b = {_sql_cms_bucket(d, 'k.ks')})"
+           for d in range(_CMS_DEPTH))}) AS cms_est
+FROM keys k
+"""
+
+
+@register("cms_user_frequency", _CMS_ORACLE)
+def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimates with DETERMINISTIC hash rows
+    (md5-derived, so the sketch itself is oracle-checkable — stock CMS
+    libraries seed randomly and can't be cross-engine-verified): depth 3
+    x width 64 counters summarize the stream in O(depth*width) memory
+    regardless of key cardinality; each key's estimate is the MIN of its
+    depth buckets (never an underestimate — asserted in tests). The
+    per-depth build is one groupBy over fixed-width bucket ids — the
+    bounded-state path when exact per-key counts (billions of keys)
+    would not fit; exact counts ride along here only to exhibit the
+    overestimate structure. Completes the sketch family: HLL (distinct
+    gate A6), GK (median mode), CMS (frequency)."""
+    from apde_etl_spark.operators.similarity import hash60
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.col("user_id").cast("string").alias("ks"))
+
+    def bucket(d: int, col):
+        return hash60(F.concat(F.lit(f"cms{d}:"), col)) % _CMS_WIDTH
+
+    sketches = []
+    for d in range(_CMS_DEPTH):
+        sketches.append(
+            ev.groupBy(bucket(d, F.col("ks")).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    keys = ev.groupBy("user_id", "ks").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = keys
+    for d, sk in enumerate(sketches):
+        est = est.join(
+            F.broadcast(sk.withColumnRenamed("n", f"n{d}")
+                        .withColumnRenamed("b", f"b{d}")),
+            bucket(d, F.col("ks")) == F.col(f"b{d}"),
+        )
+    return est.select(
+        "user_id",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.least(*[F.col(f"n{d}") for d in range(_CMS_DEPTH)])
+        .cast("long").alias("cms_est"),
+    )

@@ -380,3 +380,15 @@ def test_priority_sample_rejects_bad_k(spark):
     df = spark.range(3).select(F.col("id"), F.lit(1.0).alias("w"))
     with pytest.raises(ValueError, match="k must be"):
         priority_sample(df, "id", "w", k=0)
+
+
+def test_cms_never_underestimates(spark, sf_dir, qs):
+    """Count-min property: the estimate is >= the exact count for every
+    key, and with 150 keys in 64-wide rows collisions force at least
+    one strict overestimate."""
+    rows = qs["cms_user_frequency"](spark, sf_dir).collect()
+    assert all(r["cms_est"] >= r["exact_n"] for r in rows)
+    # collisions in all 3 rows need enough keys; at the 15-user sf0.001
+    # fixture every key is alone in some row and est == exact is correct
+    if len(rows) >= 100:
+        assert any(r["cms_est"] > r["exact_n"] for r in rows)
