@@ -1635,3 +1635,79 @@ def semantic_dedup(
         id_col, "bucket",
         F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
     )
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 424242,
+    strategy: str = "auto",
+    broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Incremental SemDeDup: admit only the batch vectors that are NOT
+    cosine-similar (>= threshold) to the existing corpus or to a
+    lower-id batch vector in the same semantic bucket — the embedding
+    mirror of incremental_ingest_dedup's asymmetric MinHash band join.
+    Returns the batch decision table ``(id, bucket, kept)``.
+
+    The scale property this preserves: the CORPUS NEVER SELF-PAIRS.
+    Candidates are batch-bucket x (corpus + batch) — per daily ingest
+    the cost is O(|batch| x bucket density), flat in corpus size beyond
+    the bucket lookup, instead of the O(n^2/2^planes) full-corpus
+    self-join a naive "union then dedup" would re-pay every day. The
+    batch-vs-batch half keeps the same lower-id rule as
+    :func:`semantic_dedup`; the batch-vs-corpus half drops the batch
+    side unconditionally (the corpus is already canonical). The
+    bucket join is size-gated broadcast vs salted shuffle like every
+    candidate join in this module."""
+    planes = hyperplanes(num_planes, dim, seed)
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        raw = as_double_array(vec_col)
+        return (
+            df.select(F.col(id_col), raw.alias("__v"))
+            .withColumn("__n", l2_norm(F.col("__v")))
+            .withColumn("__b", lsh_bucket(F.col("__v"), planes))
+        )
+
+    eb = prep(batch, "batch")
+    a = eb.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+                  F.col("__n").alias("__na"), "__b")
+    # build side: corpus rows always dominate; batch rows only via the
+    # lower-id rule (flagged so the filter can tell them apart)
+    ec = prep(corpus, "corpus").select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__b", F.lit(True).alias("__is_corpus"))
+    eb_b = eb.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__b", F.lit(False).alias("__is_corpus"))
+    build = ec.unionByName(eb_b)
+
+    strategy = resolve_candidate_strategy(build, strategy,
+                                          broadcast_threshold_bytes)
+    cand = candidate_join(
+        a, build, "__b", strategy=strategy,
+        broadcast_threshold_bytes=broadcast_threshold_bytes,
+        salt_buckets=salt_buckets,
+    ).filter(F.col("__is_corpus") | (F.col("id_b") < F.col("id_a")))
+    dropped = (
+        cand.withColumn(
+            "__cos",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("__cos") >= F.lit(threshold))
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        eb.select(id_col, F.col("__b").alias("bucket"))
+        .join(dropped.withColumn("__drop", F.lit(True)), on=id_col, how="left")
+        .select(id_col, "bucket",
+                F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"))
+    )

@@ -557,3 +557,59 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(*[F.col(f"n{d}") for d in range(_CMS_DEPTH)])
         .cast("long").alias("cms_est"),
     )
+
+
+# ===========================================================================
+# Incremental semantic dedup — batch vs corpus, corpus never self-pairs
+# ===========================================================================
+
+def _sql_semantic_dedup_incremental(num_planes: int, dim: int,
+                                    threshold: float) -> str:
+    planes = SIM.hyperplanes(num_planes, dim)
+    return f"""
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y*y))) AS n FROM raw
+), eb AS (
+  SELECT vec_id, v, n, {_sql_hyperplane_bucket(planes)} AS b FROM e
+), batch AS (
+  SELECT * FROM eb WHERE vec_id % 5 = 0
+), corpus AS (
+  SELECT * FROM eb WHERE vec_id % 5 != 0
+), build AS (
+  SELECT vec_id AS id_b, v, n, b, TRUE AS isc FROM corpus
+  UNION ALL
+  SELECT vec_id, v, n, b, FALSE FROM batch
+), pairs AS (
+  SELECT a.vec_id AS id_a
+  FROM batch a JOIN build bl
+    ON a.b = bl.b AND (bl.isc OR bl.id_b < a.vec_id)
+  WHERE list_sum(list_transform(list_zip(a.v, bl.v), p -> p[1]*p[2]))
+        / (a.n * bl.n) >= {threshold}
+)
+SELECT vec_id, CAST(b AS INTEGER) AS bucket,
+       vec_id NOT IN (SELECT id_a FROM pairs) AS kept
+FROM batch
+"""
+
+
+@register("semantic_dedup_incremental",
+          _sql_semantic_dedup_incremental(_SEMDEDUP_PLANES, 64,
+                                          _SEMDEDUP_THRESHOLD))
+def semantic_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: a 20% batch (vec_id % 5 == 0) arrives
+    against the standing 80% corpus; admit only batch vectors with no
+    cosine-neighbor (>= 0.35) in the corpus or among lower-id batch
+    peers of the same semantic bucket. The CORPUS NEVER SELF-PAIRS —
+    per-ingest cost is O(|batch| x bucket density), flat in corpus
+    size, the property that keeps daily embedding ingest affordable at
+    10^9+ corpus vectors (the embedding mirror of
+    incremental_ingest_dedup's asymmetric band join)."""
+    emb = load(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    return SIM.semantic_dedup_incremental(
+        batch, corpus, "vec_id", "embedding",
+        threshold=_SEMDEDUP_THRESHOLD, num_planes=_SEMDEDUP_PLANES, dim=64,
+    )

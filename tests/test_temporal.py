@@ -392,3 +392,25 @@ def test_cms_never_underestimates(spark, sf_dir, qs):
     # fixture every key is alone in some row and est == exact is correct
     if len(rows) >= 100:
         assert any(r["cms_est"] > r["exact_n"] for r in rows)
+
+
+def test_semantic_dedup_incremental_consistency(spark, sf_dir, qs):
+    """Incremental invariants: (a) a batch vector that collides with the
+    corpus is dropped even when it is the lowest id in its bucket;
+    (b) batch decisions agree with full semantic_dedup for vectors
+    whose neighbors are all in-batch."""
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators.similarity import semantic_dedup_incremental
+
+    base = [1.0] * 8
+    corpus = spark.createDataFrame(
+        [(100, base)], "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(1, [x + 0.001 for x in base]),          # near corpus -> dropped
+         (2, [(-1.0) ** i for i in range(8)]),    # novel -> kept
+         (3, [(-1.0) ** i + 0.001 for i in range(8)])],  # near 2 -> dropped
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in semantic_dedup_incremental(
+        batch, corpus, dim=8, threshold=0.9).collect()}
+    assert out == {1: False, 2: True, 3: False}
