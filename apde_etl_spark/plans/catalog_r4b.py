@@ -613,3 +613,42 @@ def semantic_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, corpus, "vec_id", "embedding",
         threshold=_SEMDEDUP_THRESHOLD, num_planes=_SEMDEDUP_PLANES, dim=64,
     )
+
+
+# ===========================================================================
+# Collapse consecutive duplicate states — change-point compression
+# ===========================================================================
+
+_COLLAPSE_ORACLE = f"""
+WITH o AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT event_id, user_id, ts, event_type
+FROM o
+WHERE prev_type IS NULL OR event_type != prev_type
+"""
+
+
+@register("collapse_consecutive_states", _COLLAPSE_ORACLE)
+def collapse_consecutive_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-POINT COMPRESSION: drop events that repeat the previous
+    event_type for the same user (keep only state TRANSITIONS) — the
+    compression half of the reference's lag change-flag machinery (W3
+    flags changes; this materializes the compressed stream, the form
+    state histories are stored in at scale). One window shuffle on the
+    key; deterministic (ts, event_id) order. Output is the surviving
+    original rows, so downstream joins keep working."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    return (
+        ev.withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNull()
+                | (F.col("event_type") != F.col("__prev")))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
