@@ -232,3 +232,92 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), 4
         ).alias("total_revenue"),
     )
+
+
+# ===========================================================================
+# Cost-based optimization — ANALYZE stats flip the join order, executed
+# ===========================================================================
+
+#: sf_dir -> analyzed catalog-table names (lineitem, part, supplier)
+_CBO_CACHE: dict[str, tuple[str, str, str]] = {}
+
+
+def cbo_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Materialize lineitem/part/supplier as catalog tables with FULL
+    column statistics (ANALYZE TABLE ... FOR ALL COLUMNS) once per scale
+    factor — the stats layer Spark's cost-based optimizer reads. The
+    lake analogue of SQL Server's auto-created statistics the
+    reference's query plans silently rely on (its T-SQL generation,
+    etl_qa_run_pipeline.R:1208+, leaves plan choice entirely to the
+    engine); on Spark the stats must be MATERIALIZED for CBO to see
+    them, so the engine ships the step as a first-class layout tool."""
+    key = os.path.abspath(sf_dir)
+    if key in _CBO_CACHE:
+        return _CBO_CACHE[key]
+    fp = _source_fingerprint(os.path.join(key, "lineitem.parquet"))
+    tag = hashlib.md5(f"{key}:{fp}".encode()).hexdigest()[:10]
+    names = tuple(f"cbo_{t}_{tag}" for t in ("lineitem", "part", "supplier"))
+    for t, name in zip(("lineitem", "part", "supplier"), names):
+        if not spark.catalog.tableExists(name):
+            import shutil
+
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            loc = os.path.join(wh, name)
+            if os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+            load(spark, sf_dir, t).write.mode("overwrite").saveAsTable(name)
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    _CBO_CACHE[key] = names
+    return names
+
+
+_CBO_ORACLE = f"""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {_sql_round('sum(l.l_extendedprice)', 2)} AS revenue
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_acctbal > 9900
+GROUP BY p.p_brand
+"""
+
+
+@register("cbo_reordered_join", _CBO_ORACLE)
+def cbo_reordered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-BASED JOIN REORDER, executed: the query is WRITTEN
+    part->lineitem->supplier, but with column stats + CBO the optimizer
+    joins the selective supplier filter into lineitem FIRST
+    (tests/test_plan_shapes.py asserts the reorder happens and that it
+    needs the stats) — at 100 TB this is the difference between carrying
+    the full fact x part join to a 99%-discarding filter and pruning
+    the fact first. Values are order-independent; the oracle states the
+    same query over the flat tables. The optimized plan is materialized
+    INSIDE the CBO-enabled window (QueryExecution caches it), so the
+    returned lazy DataFrame keeps the reordered plan after the session
+    confs are restored."""
+    t_li, t_p, t_s = cbo_tables(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    prev_r = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        p = spark.table(t_p)
+        li = spark.table(t_li)
+        su = spark.table(t_s).filter(F.col("s_acctbal") > 9900)
+        df = (
+            p.join(li, li["l_partkey"] == p["p_partkey"])
+            .join(su, li["l_suppkey"] == su["s_suppkey"])
+            .groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                round_half_away(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+        )
+        df._jdf.queryExecution().optimizedPlan()  # bake the CBO plan in
+        return df
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev_r)
