@@ -66,6 +66,8 @@ HEADLINE = [
     "semantic_dedup_lsh",
     "qa_profile_partition_pruned",
     "bucketed_join_revenue",
+    "semantic_dedup_incremental",
+    "cbo_reordered_join",
 ]
 
 
