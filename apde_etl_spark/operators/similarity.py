@@ -1676,7 +1676,10 @@ def semantic_dedup_incremental(
             .withColumn("__b", lsh_bucket(F.col("__v"), planes))
         )
 
-    eb = prep(batch, "batch")
+    # the batch projection feeds three consumers (probe, build half,
+    # final decision join) — persist so one scan serves all; release
+    # with release_scope("similarity")
+    eb = tracked_persist(prep(batch, "batch"), scope="similarity")
     a = eb.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
                   F.col("__n").alias("__na"), "__b")
     # build side: corpus rows always dominate; batch rows only via the

@@ -537,25 +537,34 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucket(d: int, col):
         return hash60(F.concat(F.lit(f"cms{d}:"), col)) % _CMS_WIDTH
 
-    sketches = []
-    for d in range(_CMS_DEPTH):
-        sketches.append(
-            ev.groupBy(bucket(d, F.col("ks")).alias("b"))
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
+    # ALL depth rows in ONE scan: per input row emit (depth, bucket)
+    # via a tiny inline array + explode (fan-out = depth, the sketch
+    # update cost), then a single (d, b) groupBy — the streaming-ingest
+    # shape (one pass, O(depth*width) final state), not depth scans
+    sketch = (
+        ev.select(F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"), bucket(d, F.col("ks")).alias("b"))
+            for d in range(_CMS_DEPTH)])).alias("db"))
+        .groupBy(F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     keys = ev.groupBy("user_id", "ks").agg(F.count(F.lit(1)).alias("exact_n"))
-    est = keys
-    for d, sk in enumerate(sketches):
-        est = est.join(
-            F.broadcast(sk.withColumnRenamed("n", f"n{d}")
-                        .withColumnRenamed("b", f"b{d}")),
-            bucket(d, F.col("ks")) == F.col(f"b{d}"),
-        )
-    return est.select(
-        "user_id",
-        F.col("exact_n").cast("long").alias("exact_n"),
-        F.least(*[F.col(f"n{d}") for d in range(_CMS_DEPTH)])
-        .cast("long").alias("cms_est"),
+    # melt each key to its depth buckets, ONE broadcast join against the
+    # whole sketch, min over depths = the CMS estimate — 2 scans total
+    # (sketch pass + key pass), not one sketch scan per depth
+    key_buckets = keys.select(
+        "user_id", "exact_n",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"), bucket(d, F.col("ks")).alias("b"))
+            for d in range(_CMS_DEPTH)])).alias("db"),
+    ).select("user_id", "exact_n", "db.d", "db.b")
+    return (
+        key_buckets.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+        .select("user_id",
+                F.col("exact_n").cast("long").alias("exact_n"),
+                F.col("cms_est").cast("long").alias("cms_est"))
     )
 
 
