@@ -1668,7 +1668,7 @@ def semantic_dedup_incremental(
     candidate join in this module."""
     planes = hyperplanes(num_planes, dim, seed)
 
-    def prep(df: DataFrame, side: str) -> DataFrame:
+    def prep(df: DataFrame) -> DataFrame:
         raw = as_double_array(vec_col)
         return (
             df.select(F.col(id_col), raw.alias("__v"))
@@ -1679,12 +1679,16 @@ def semantic_dedup_incremental(
     # the batch projection feeds three consumers (probe, build half,
     # final decision join) — persist so one scan serves all; release
     # with release_scope("similarity")
-    eb = tracked_persist(prep(batch, "batch"), scope="similarity")
+    eb = tracked_persist(prep(batch), scope="similarity")
+    # same probe-spread as embed_neardup_pairs: under the broadcast
+    # strategy a cluster-ordered batch would concentrate the heaviest
+    # buckets in a few input partitions — spread probes by id first
+    nparts = int(batch.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = eb.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
                   F.col("__n").alias("__na"), "__b")
     # build side: corpus rows always dominate; batch rows only via the
     # lower-id rule (flagged so the filter can tell them apart)
-    ec = prep(corpus, "corpus").select(
+    ec = prep(corpus).select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"), "__b", F.lit(True).alias("__is_corpus"))
     eb_b = eb.select(
@@ -1694,6 +1698,8 @@ def semantic_dedup_incremental(
 
     strategy = resolve_candidate_strategy(build, strategy,
                                           broadcast_threshold_bytes)
+    if strategy == "broadcast":
+        a = a.repartition(nparts, "id_a")
     cand = candidate_join(
         a, build, "__b", strategy=strategy,
         broadcast_threshold_bytes=broadcast_threshold_bytes,

@@ -158,6 +158,25 @@ def orders_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bucketed co-located join — the exchange-free layout, executed
 # ===========================================================================
 
+def _clear_stale_managed(spark: SparkSession, name: str, prefix: str) -> None:
+    """Clear derived managed-table debris before (re)writing ``name``:
+    the same-name directory a crashed previous process left behind
+    (saveAsTable refuses with LOCATION_ALREADY_EXISTS), AND any
+    sibling directories with the same prefix but an older fingerprint
+    tag — every testdata regeneration mints a new tag, so without the
+    sweep each regeneration strands three table copies in the
+    warehouse forever. These are derived caches, never sources."""
+    import shutil
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            if d == name or (d.startswith(prefix) and d != name):
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+
+
 #: sf_dir -> (orders_table, customer_table) bucketed catalog tables
 _BUCKET_CACHE: dict[str, tuple[str, str]] = {}
 
@@ -182,18 +201,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     def _ensure(name: str, table: str, bucket_col: str) -> None:
         if spark.catalog.tableExists(name):
             return
-        # a previous PROCESS may have left the managed location on disk
-        # while this session's in-memory catalog has no such table —
-        # saveAsTable would refuse (LOCATION_ALREADY_EXISTS); clear the
-        # orphaned directory first (it is a derived cache, never a source)
-        import shutil
-
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        loc = os.path.join(wh, name)
-        if os.path.exists(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+        _clear_stale_managed(spark, name, prefix=f"{table}_bkt_")
         write_bucketed_table(
             load(spark, sf_dir, table), name,
             bucket_by=bucket_col, num_buckets=8,
@@ -259,14 +267,7 @@ def cbo_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     names = tuple(f"cbo_{t}_{tag}" for t in ("lineitem", "part", "supplier"))
     for t, name in zip(("lineitem", "part", "supplier"), names):
         if not spark.catalog.tableExists(name):
-            import shutil
-
-            wh = spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:")
-            loc = os.path.join(wh, name)
-            if os.path.exists(loc):
-                shutil.rmtree(loc, ignore_errors=True)
+            _clear_stale_managed(spark, name, prefix=f"cbo_{t}_")
             load(spark, sf_dir, t).write.mode("overwrite").saveAsTable(name)
             spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
     _CBO_CACHE[key] = names

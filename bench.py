@@ -76,6 +76,7 @@ def main() -> None:
     from apde_etl_spark.session import get_spark
 
     spark = get_spark("apde-etl-bench")
+    from apde_etl_spark.operators.cache import release_scope
     qs = entrymod.queries()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -113,6 +114,11 @@ def main() -> None:
             samples.append(round(time.perf_counter() - t0, 3))
         runs[name] = samples
         times[name] = sorted(samples)[1]
+        # release operator-internal caches between queries: persisted
+        # projections (similarity/skew/temporal scopes) would otherwise
+        # accumulate across 48 entries x 4 executions and distort later
+        # timings via storage-memory pressure
+        release_scope(None)
         print(f"# {name}: {times[name]:.3f}s median{samples} / "
               f"{cold[name]:.3f}s cold ({n} rows)", file=sys.stderr)
     loadavg_end = os.getloadavg()

@@ -395,10 +395,9 @@ def test_cms_never_underestimates(spark, sf_dir, qs):
 
 
 def test_semantic_dedup_incremental_consistency(spark, sf_dir, qs):
-    """Incremental invariants: (a) a batch vector that collides with the
+    """Incremental invariants: a batch vector that collides with the
     corpus is dropped even when it is the lowest id in its bucket;
-    (b) batch decisions agree with full semantic_dedup for vectors
-    whose neighbors are all in-batch."""
+    novel vectors are kept; in-batch lower-id pruning still applies."""
     from pyspark.sql import functions as F
 
     from apde_etl_spark.operators.similarity import semantic_dedup_incremental
@@ -414,3 +413,36 @@ def test_semantic_dedup_incremental_consistency(spark, sf_dir, qs):
     out = {r["vec_id"]: r["kept"] for r in semantic_dedup_incremental(
         batch, corpus, dim=8, threshold=0.9).collect()}
     assert out == {1: False, 2: True, 3: False}
+
+
+def test_semantic_dedup_incremental_agrees_with_full_on_empty_corpus(spark, sf_dir):
+    """Against an EMPTY corpus the incremental decision must equal the
+    full semantic_dedup of the batch alone — the two operators share one
+    lower-id rule, and this pins them together (also exercises the
+    empty-build-side edge of the candidate join)."""
+    from apde_etl_spark.operators.cache import release_scope
+    from apde_etl_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    empty = emb.limit(0)
+    full = {r["vec_id"]: (r["bucket"], r["kept"])
+            for r in semantic_dedup(emb, dim=64, threshold=0.35).collect()}
+    inc = {r["vec_id"]: (r["bucket"], r["kept"])
+           for r in semantic_dedup_incremental(
+               emb, empty, dim=64, threshold=0.35).collect()}
+    assert inc == full
+    release_scope(None)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_operator_caches():
+    """Module teardown: free every tracked operator cache the entries in
+    this file created (similarity/temporal scopes) so later test modules
+    start with clean executor storage."""
+    yield
+    from apde_etl_spark.operators.cache import release_scope
+
+    release_scope(None)

@@ -54,6 +54,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from apde_etl_spark.operators import similarity as SIM
+    from apde_etl_spark.operators.cache import release_scope
     from apde_etl_spark.session import get_spark
 
     n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
@@ -72,6 +73,7 @@ def main() -> None:
                               num_planes=n_planes, dim=DIM)
     n_dropped_full = full.filter(~F.col("kept")).count()
     t["full_semantic_dedup"] = round(time.perf_counter() - t0, 2)
+    release_scope(None)
 
     batch = emb.filter(F.col("vec_id") % 6 == 0)
     corpus_small = emb.filter((F.col("vec_id") % 6 != 0)
@@ -86,6 +88,7 @@ def main() -> None:
         num_planes=n_planes, dim=DIM)
     n_admit_small = inc_small.filter(F.col("kept")).count()
     t["incremental_small_corpus"] = round(time.perf_counter() - t0, 2)
+    release_scope(None)
 
     t0 = time.perf_counter()
     inc_full = SIM.semantic_dedup_incremental(
@@ -93,6 +96,7 @@ def main() -> None:
         num_planes=n_planes, dim=DIM)
     n_admit_full = inc_full.filter(F.col("kept")).count()
     t["incremental_full_corpus"] = round(time.perf_counter() - t0, 2)
+    release_scope(None)
 
     print(json.dumps({
         "n_total": n_total, "dim": DIM, "n_planes": n_planes,

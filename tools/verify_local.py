@@ -62,6 +62,8 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from apde_etl_spark.operators.cache import release_scope
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -115,6 +117,7 @@ def main() -> int:
             record[name] = {"status": "pass", "mode": "hash_oracle",
                             "spark_rows": len(srows), "hash": sh[:16]}
             print(f"PASS {name}: {len(srows)} rows hash={sh[:12]}")
+        release_scope(None)   # free operator-internal caches per entry
 
     if not only:
         import json
