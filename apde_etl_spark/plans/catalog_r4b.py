@@ -661,3 +661,73 @@ def collapse_consecutive_states(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.col("event_type") != F.col("__prev")))
         .select("event_id", "user_id", "ts", "event_type")
     )
+
+
+# ===========================================================================
+# Streaming as-of enrichment — stream probes vs static state table
+# ===========================================================================
+
+_STREAM_ASOF_ORACLE = f"""
+WITH probe AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), build AS (
+  SELECT user_id, ts AS err_ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       max(b.err_ts) AS err_ts,
+       {_sql_round('arg_max(b.err_value, b.err_ts)', 2)} AS err_value
+FROM probe p LEFT JOIN build b
+  ON p.user_id = b.user_id AND b.err_ts <= p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+@register("stream_asof_enrich", _STREAM_ASOF_ORACLE)
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING AS-OF: the click stream enriched with each user's most
+    recent prior error from a STATIC state table — executed as a real
+    Structured Streaming query (file source -> stream-static left join
+    on user + the inequality -> per-probe max_by aggregation ->
+    availableNow -> memory sink). The static build side broadcasts, so
+    per-micro-batch cost is O(batch x per-user error count) with no
+    stream-side state beyond the aggregation. Complete output mode keeps
+    the one-shot run exhaustive; a production deployment would use
+    append + watermark (the tail inside the watermark lag emits next
+    batch) and swap the static table under the query between days. The
+    batch oracle states identical semantics — Spark's unified
+    batch/stream model makes them hash-equal once the trigger drains."""
+    from apde_etl_spark.plans.catalog import normalize_ts
+
+    load_events(spark, sf_dir)  # sets nanosAsLong conf for the schema read
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    clicks = (
+        normalize_ts(src)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    build = F.broadcast(_errors_unique(spark, sf_dir))
+    j = clicks.join(
+        build,
+        (clicks["user_id"] == build["user_id"])
+        & (build["err_ts"] <= clicks["ts"]),
+        "left",
+    ).select(clicks["event_id"], clicks["user_id"], clicks["ts"],
+             build["err_ts"], build["err_value"])
+    agg = j.groupBy("event_id", "user_id", "ts").agg(
+        F.max("err_ts").alias("err_ts"),
+        round_half_away(F.max_by("err_value", "err_ts"), 2).alias("err_value"),
+    )
+    name = "stream_asof_enrich_sink"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id", "ts", "err_ts", "err_value")

@@ -109,6 +109,55 @@ def test_asof_join_matches_bruteforce_on_random_inputs(spark):
         assert got[event_id] == expect, (event_id, k, ts, got[event_id], expect)
 
 
+def test_asof_join_all_modes_match_bruteforce(spark):
+    """Every (direction, allow_exact) mode == its brute-force definition
+    on randomized colliding inputs: backward takes the max eligible
+    (ts, tie), forward the min eligible ts with max tie at that ts."""
+    import datetime
+
+    from apde_etl_spark.operators.temporal import asof_join
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 1, 1)
+    t = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    left = [(i, rng.randint(0, 4), t(rng.randint(0, 20)))
+            for i in range(100)]
+    right = [(rng.randint(0, 4), t(rng.randint(0, 20)), 1000 + j)
+             for j in range(70)]
+    ldf = spark.createDataFrame(left, ["event_id", "k", "ts"])
+    rdf = spark.createDataFrame(right, ["k", "ts", "rid"])
+
+    for direction in ("backward", "forward"):
+        for allow_exact in (True, False):
+            out = asof_join(ldf, rdf, on="k", build_cols=["rid"],
+                            tiebreak_cols=["rid"], direction=direction,
+                            allow_exact=allow_exact).collect()
+            got = {r["event_id"]: r["rid"] for r in out}
+            assert len(out) == len(left)
+            for event_id, k, ts in left:
+                if direction == "backward":
+                    ok = (lambda rts: rts <= ts) if allow_exact else (
+                        lambda rts: rts < ts)
+                    cands = [(rts, rid) for (rk, rts, rid) in right
+                             if rk == k and ok(rts)]
+                    expect = max(cands)[1] if cands else None
+                else:
+                    ok = (lambda rts: rts >= ts) if allow_exact else (
+                        lambda rts: rts > ts)
+                    cands = [(rts, rid) for (rk, rts, rid) in right
+                             if rk == k and ok(rts)]
+                    if cands:
+                        # nearest future ts; at that ts the largest tie wins
+                        mints = min(rts for rts, _ in cands)
+                        expect = max(rid for rts, rid in cands
+                                     if rts == mints)
+                    else:
+                        expect = None
+                assert got[event_id] == expect, (
+                    direction, allow_exact, event_id, k, ts,
+                    got[event_id], expect)
+
+
 def test_range_join_binned_matches_inequality_join(spark):
     """Binned equi-join + residual filter == the naive inequality join,
     on random values and random (possibly overlapping) intervals that do
