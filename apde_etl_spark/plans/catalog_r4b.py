@@ -731,3 +731,73 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.table(name).select(
         "event_id", "user_id", "ts", "err_ts", "err_value")
+
+
+# ===========================================================================
+# Temporal end-to-end — compress -> attribute -> aggregate, one lazy DAG
+# ===========================================================================
+
+_TEMPORAL_E2E_ORACLE = """
+WITH o AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), compressed AS (
+  SELECT event_id, user_id, ts, event_type FROM o
+  WHERE prev_type IS NULL OR event_type != prev_type
+), probe AS (
+  SELECT event_id, user_id, ts FROM compressed WHERE event_type = 'click'
+), build AS (
+  SELECT user_id, ts AS err_ts FROM compressed WHERE event_type = 'error'
+), attributed AS (
+  SELECT p.event_id, p.user_id, p.ts, max(b.err_ts) AS err_ts
+  FROM probe p LEFT JOIN build b
+    ON p.user_id = b.user_id AND b.err_ts <= p.ts
+  GROUP BY p.event_id, p.user_id, p.ts
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(count(err_ts) AS BIGINT) AS n_attributed,
+       CAST(max(epoch_us(ts) - epoch_us(err_ts)) AS BIGINT) AS max_gap_us
+FROM attributed
+GROUP BY user_id
+"""
+
+
+@register("temporal_pipeline_end2end", _TEMPORAL_E2E_ORACLE)
+def temporal_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal operators COMPOSED in one lazy DAG: change-point
+    compression (transitions only) -> backward as-of attribution of the
+    surviving clicks to the surviving errors -> per-user conversion
+    aggregate (click count, attributed count, widest click-to-error
+    gap). Everything stays on the user_id shuffle key — Catalyst reuses
+    the partitioning across the window, the as-of union-window, and the
+    final aggregate, the composition property that makes these
+    operators pipeline-friendly at 100 TB. The oracle replays the exact
+    composition relationally."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    compressed = (
+        ev.withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNull()
+                | (F.col("event_type") != F.col("__prev")))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    probe = compressed.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    build = compressed.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"))
+    attributed = asof_join(
+        probe, build, on=["user_id"], probe_ts="ts", build_ts="err_ts",
+        build_cols=[],
+    )
+    return attributed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("err_ts").alias("n_attributed"),
+        F.max(F.unix_micros("ts") - F.unix_micros("err_ts"))
+        .alias("max_gap_us"),
+    )
