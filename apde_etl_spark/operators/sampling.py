@@ -64,11 +64,20 @@ def priority_sample(
     strata = list(strata or [])
     q = (F.col(weight_col).cast("double")
          / deterministic_uniform(F.col(key_col).cast("string")))
-    part = Window.partitionBy(*strata) if strata else Window.partitionBy()
-    w = part.orderBy(F.col(priority_name).desc(), F.col(key_col).asc())
+    scored = df.withColumn(priority_name, q)
+    if not strata:
+        # global top-k: orderBy().limit() compiles to
+        # TakeOrderedAndProject — per-partition top-k + a k-row driver
+        # merge. An empty-partition window here would move EVERY row to
+        # one reducer, the classic WindowExec trap this branch avoids.
+        return scored.orderBy(F.col(priority_name).desc(),
+                              F.col(key_col).asc()).limit(k)
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(F.col(priority_name).desc(), F.col(key_col).asc())
+    )
     return (
-        df.withColumn(priority_name, q)
-        .withColumn("__rn", F.row_number().over(w))
+        scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

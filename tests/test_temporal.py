@@ -446,3 +446,22 @@ def _release_operator_caches():
     from apde_etl_spark.operators.cache import release_scope
 
     release_scope(None)
+
+
+def test_priority_sample_global_topk_avoids_single_partition_window(spark):
+    """The strata-less path must compile to TakeOrderedAndProject (per-
+    partition top-k + k-row driver merge), never an empty-partition
+    window that serializes the whole input on one reducer."""
+    from apde_etl_spark.operators.sampling import priority_sample
+
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 100 + 1).cast("double").alias("w"))
+    out = priority_sample(df, "id", "w", k=25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    rows = out.collect()
+    assert len(rows) == 25
+    # determinism across repeats
+    again = priority_sample(df, "id", "w", k=25).collect()
+    assert sorted(r["id"] for r in rows) == sorted(r["id"] for r in again)
