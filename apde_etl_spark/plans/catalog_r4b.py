@@ -18,6 +18,8 @@ semantics, not just to a re-statement of itself.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -875,3 +877,79 @@ def neardup_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ===========================================================================
+# Multimodal ingest source — Spark binaryFile, byte-for-byte checked
+# ===========================================================================
+
+_BLOB_FIXTURE: dict[str, str] = {}
+
+
+def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a deterministic raw-media fixture once per SF: one
+    .bin file per sampled document, content = md5(text) digest bytes +
+    a doc_id-dependent tail slice of md5('x'+text) — real NON-UTF8
+    bytes with varying lengths, derived purely from table data so the
+    oracle can regenerate the expectation from the documents view. The
+    driver loop is fixture materialization (~40 tiny files), not a data
+    path."""
+    import hashlib as _h
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    if key in _BLOB_FIXTURE:
+        return _BLOB_FIXTURE[key]
+    base = os.path.join(
+        tempfile.gettempdir(), "apde_etl_blobs",
+        _h.md5(key.encode()).hexdigest()[:12],
+    )
+    if not os.path.isdir(base) or not os.listdir(base):
+        os.makedirs(base, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 12 == 0)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            text = r["text"]
+            payload = (_h.md5(text.encode()).digest()
+                       + _h.md5(b"x" + text.encode()).digest()[: r["doc_id"] % 16])
+            with open(os.path.join(base, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+                fh.write(payload)
+    _BLOB_FIXTURE[key] = base
+    return base
+
+
+_BLOB_ORACLE = """
+SELECT concat('doc_', doc_id, '.bin') AS file_name,
+       CAST(16 + doc_id % 16 AS BIGINT) AS byte_len,
+       upper(md5(text)) ||
+       substr(upper(md5(concat('x', text))), 1,
+              CAST(2 * (doc_id % 16) AS INTEGER)) AS content_hex
+FROM documents WHERE doc_id % 12 = 0
+"""
+
+
+@register("mm_binaryfile_ingest", _BLOB_ORACLE)
+def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL INGEST SOURCE: raw media files read with Spark's
+    built-in ``binaryFile`` source — (path, length, content) per file,
+    distributed file listing and reads, the front door of every
+    image/audio pipeline (the decode/resize/feature stages downstream
+    are the mm_* entries). Output is byte-exact: name, length, and full
+    content hex are hash-checked against the documents-derived
+    expectation, proving the binary payload survives ingest untouched
+    (non-UTF8 bytes included)."""
+    d = _binary_fixture_dir(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        F.col("length").cast("long").alias("byte_len"),
+        F.hex(F.col("content")).alias("content_hex"),
+    )
