@@ -953,3 +953,62 @@ def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("byte_len"),
         F.hex(F.col("content")).alias("content_hex"),
     )
+
+
+# ===========================================================================
+# Time spine — complete hourly grid with zero-filled gaps
+# ===========================================================================
+
+_SPINE_ORACLE = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+  FROM bounds
+), actual AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         {_sql_round('coalesce(sum(value), 0)', 2)} AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT s.hour_start,
+       CAST(coalesce(a.n_purchases, 0) AS BIGINT) AS n_purchases,
+       {_sql_round('coalesce(a.purchase_value, 0)', 2)} AS purchase_value
+FROM spine s LEFT JOIN actual a ON a.hour_start = s.hour_start
+"""
+
+
+@register("time_spine_hourly_purchases", _SPINE_ORACLE)
+def time_spine_hourly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME SPINE: the complete hourly grid between the stream's bounds,
+    left-joined with actual purchase aggregates so quiet hours emit
+    explicit zeros — the TIME-axis twin of R2's category-grid template
+    completion (reports and anomaly detectors need the absent hours,
+    not just the present ones). The spine is ONE ``sequence`` +
+    ``explode`` from a two-value aggregate (no driver loop, no
+    range-table literal); the hourly aggregate is map-side-combined
+    before its single shuffle."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+        .alias("hour_start")
+    )
+    actual = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"),
+             F.sum("value").alias("purchase_value"))
+    )
+    return spine.join(actual, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce(F.col("n_purchases"), F.lit(0)).cast("long")
+        .alias("n_purchases"),
+        round_half_away(F.coalesce(F.col("purchase_value"), F.lit(0.0)), 2)
+        .alias("purchase_value"),
+    )
