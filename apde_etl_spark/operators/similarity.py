@@ -1720,3 +1720,25 @@ def semantic_dedup_incremental(
         .select(id_col, "bucket",
                 F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"))
     )
+
+
+def recommend_planes(n_vectors: int, target_bucket_size: int = 64) -> int:
+    """Plane count that keeps expected hyperplane-LSH bucket size near
+    ``target_bucket_size`` for an ``n_vectors`` corpus: buckets double
+    per plane, so planes = ceil(log2(n / target)). The knob every
+    bucketed similarity operator (ann_lsh_topk, embed_neardup_pairs,
+    semantic_dedup*) should be fed at scale — candidate volume tracks
+    n * bucket_size, so a fixed plane count that is right at 10^5
+    vectors is 1000x too coarse at 10^8. Clamped to [1, 30]; recall
+    degrades as planes grow (near-neighbors split across buckets), so
+    pair a high plane count with multi-probe or a rerank stage."""
+    if n_vectors < 1:
+        raise ValueError(f"n_vectors must be >= 1, got {n_vectors}")
+    if target_bucket_size < 1:
+        raise ValueError(
+            f"target_bucket_size must be >= 1, got {target_bucket_size}")
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return 1
+    return min(30, max(1, math.ceil(math.log2(n_vectors / target_bucket_size))))

@@ -479,3 +479,16 @@ def test_neardup_method_recall_matrix(spark, sf_dir, qs):
     sh = out["simhash_64b_h3"]
     assert 0 < sh["n_hits"] <= sh["n_truth"]
     assert sh["n_hits"] == sh["n_found"] or sh["n_found"] > sh["n_hits"]
+
+
+def test_recommend_planes_tracks_corpus_size():
+    from apde_etl_spark.operators.similarity import recommend_planes
+
+    assert recommend_planes(500) == 3            # testdata scale
+    assert recommend_planes(600_000) == 14       # the stress tool's choice
+    assert recommend_planes(10**8) == 21
+    assert recommend_planes(10) == 1
+    assert recommend_planes(10**12) == 30        # clamp
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        recommend_planes(0)
