@@ -56,6 +56,22 @@ def _source_fingerprint(path: str) -> str:
     return h.hexdigest()[:12]
 
 
+def _sweep_stale_siblings(root: str, keep: str) -> None:
+    """Remove sibling fixture directories for the SAME source (same
+    prefix segment before the dash) with a different fingerprint —
+    each testdata regeneration mints a new fingerprint tag, and without
+    the sweep the stale copies accumulate for the life of /tmp. Other
+    sources' fixtures (other scale factors) are left alone. Derived
+    caches only, never sources."""
+    import shutil
+
+    prefix = keep.split("-", 1)[0]
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d != keep and d.split("-", 1)[0] == prefix:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders partitioned by ``o_year`` (hive layout, sorted
     within files by o_custkey — the write_analytic_table headline shape)
@@ -68,12 +84,11 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     if key in _PART_CACHE:
         return _PART_CACHE[key]
     fp = _source_fingerprint(os.path.join(key, "orders.parquet"))
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "apde_etl_partitioned",
-        hashlib.md5(f"{key}:{fp}".encode()).hexdigest()[:12],
-        "orders_by_year",
-    )
+    root = os.path.join(tempfile.gettempdir(), "apde_etl_partitioned")
+    tag = (hashlib.md5(key.encode()).hexdigest()[:8] + "-"
+           + hashlib.md5(fp.encode()).hexdigest()[:8])
+    _sweep_stale_siblings(root, keep=tag)
+    base = os.path.join(root, tag, "orders_by_year")
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
         orders = load(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate").cast("int")
@@ -195,13 +210,17 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         return _BUCKET_CACHE[key]
     fp_o = _source_fingerprint(os.path.join(key, "orders.parquet"))
     fp_c = _source_fingerprint(os.path.join(key, "customer.parquet"))
-    tag = hashlib.md5(f"{key}:{fp_o}:{fp_c}".encode()).hexdigest()[:10]
+    sfseg = hashlib.md5(key.encode()).hexdigest()[:6]
+    fpseg = hashlib.md5(f"{fp_o}:{fp_c}".encode()).hexdigest()[:6]
+    tag = f"{sfseg}_{fpseg}"
     t_orders, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
 
     def _ensure(name: str, table: str, bucket_col: str) -> None:
         if spark.catalog.tableExists(name):
             return
-        _clear_stale_managed(spark, name, prefix=f"{table}_bkt_")
+        # sweep only THIS source's stale fingerprints — other scale
+        # factors' tables keep their sfseg prefix and survive
+        _clear_stale_managed(spark, name, prefix=f"{table}_bkt_{sfseg}_")
         write_bucketed_table(
             load(spark, sf_dir, table), name,
             bucket_by=bucket_col, num_buckets=8,
@@ -263,11 +282,12 @@ def cbo_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     if key in _CBO_CACHE:
         return _CBO_CACHE[key]
     fp = _source_fingerprint(os.path.join(key, "lineitem.parquet"))
-    tag = hashlib.md5(f"{key}:{fp}".encode()).hexdigest()[:10]
+    sfseg = hashlib.md5(key.encode()).hexdigest()[:6]
+    tag = f"{sfseg}_{hashlib.md5(fp.encode()).hexdigest()[:6]}"
     names = tuple(f"cbo_{t}_{tag}" for t in ("lineitem", "part", "supplier"))
     for t, name in zip(("lineitem", "part", "supplier"), names):
         if not spark.catalog.tableExists(name):
-            _clear_stale_managed(spark, name, prefix=f"cbo_{t}_")
+            _clear_stale_managed(spark, name, prefix=f"cbo_{t}_{sfseg}_")
             load(spark, sf_dir, t).write.mode("overwrite").saveAsTable(name)
             spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
     _CBO_CACHE[key] = names

@@ -897,13 +897,21 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     import hashlib as _h
     import tempfile
 
+    from apde_etl_spark.plans.catalog_r4 import _source_fingerprint
+
     key = os.path.abspath(sf_dir)
     if key in _BLOB_FIXTURE:
         return _BLOB_FIXTURE[key]
-    base = os.path.join(
-        tempfile.gettempdir(), "apde_etl_blobs",
-        _h.md5(key.encode()).hexdigest()[:12],
-    )
+    # fingerprint the SOURCE into the fixture key: regenerated testdata
+    # must invalidate the fixture (content derives from documents.text)
+    from apde_etl_spark.plans.catalog_r4 import _sweep_stale_siblings
+
+    fp = _source_fingerprint(os.path.join(key, "documents.parquet"))
+    root = os.path.join(tempfile.gettempdir(), "apde_etl_blobs")
+    tag = (_h.md5(key.encode()).hexdigest()[:8] + "-"
+           + _h.md5(fp.encode()).hexdigest()[:8])
+    _sweep_stale_siblings(root, keep=tag)
+    base = os.path.join(root, tag)
     if not os.path.isdir(base) or not os.listdir(base):
         os.makedirs(base, exist_ok=True)
         rows = (
