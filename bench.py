@@ -68,6 +68,7 @@ HEADLINE = [
     "bucketed_join_revenue",
     "semantic_dedup_incremental",
     "cbo_reordered_join",
+    "temporal_pipeline_end2end",
 ]
 
 
