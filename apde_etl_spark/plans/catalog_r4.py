@@ -62,7 +62,8 @@ def _sweep_stale_siblings(root: str, keep: str) -> None:
     each testdata regeneration mints a new fingerprint tag, and without
     the sweep the stale copies accumulate for the life of /tmp. Other
     sources' fixtures (other scale factors) are left alone. Derived
-    caches only, never sources."""
+    caches only, never sources. Call AFTER the current fixture is fully
+    built, so a failed build never destroys the last good copy."""
     import shutil
 
     prefix = keep.split("-", 1)[0]
@@ -70,6 +71,31 @@ def _sweep_stale_siblings(root: str, keep: str) -> None:
         for d in os.listdir(root):
             if d != keep and d.split("-", 1)[0] == prefix:
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def fixture_dir(root_name: str, sf_dir: str, source_file: str) -> tuple[str, bool]:
+    """Shared fixture-cache addressing: returns (dir, is_complete) for a
+    derived fixture under ``/tmp/<root_name>/<sfseg>-<fpseg>`` keyed by
+    the source file's content fingerprint. The caller builds into the
+    dir when ``is_complete`` is False and MUST call
+    :func:`fixture_complete` afterward — that writes the ``_SUCCESS``
+    marker (a crash mid-build leaves no marker, so the next run
+    rebuilds instead of serving a partial fixture) and only then sweeps
+    stale same-source siblings."""
+    key = os.path.abspath(sf_dir)
+    fp = _source_fingerprint(os.path.join(key, source_file))
+    root = os.path.join(tempfile.gettempdir(), root_name)
+    tag = (hashlib.md5(key.encode()).hexdigest()[:8] + "-"
+           + hashlib.md5(fp.encode()).hexdigest()[:8])
+    base = os.path.join(root, tag)
+    return base, os.path.exists(os.path.join(base, "_FIXTURE_SUCCESS"))
+
+
+def fixture_complete(base: str) -> None:
+    """Mark ``base`` fully built and sweep stale same-source siblings."""
+    with open(os.path.join(base, "_FIXTURE_SUCCESS"), "w") as fh:
+        fh.write("ok")
+    _sweep_stale_siblings(os.path.dirname(base), os.path.basename(base))
 
 
 def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
@@ -83,13 +109,9 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.abspath(sf_dir)
     if key in _PART_CACHE:
         return _PART_CACHE[key]
-    fp = _source_fingerprint(os.path.join(key, "orders.parquet"))
-    root = os.path.join(tempfile.gettempdir(), "apde_etl_partitioned")
-    tag = (hashlib.md5(key.encode()).hexdigest()[:8] + "-"
-           + hashlib.md5(fp.encode()).hexdigest()[:8])
-    _sweep_stale_siblings(root, keep=tag)
-    base = os.path.join(root, tag, "orders_by_year")
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+    fdir, done = fixture_dir("apde_etl_partitioned", sf_dir, "orders.parquet")
+    base = os.path.join(fdir, "orders_by_year")
+    if not done:
         orders = load(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate").cast("int")
         )
@@ -97,6 +119,7 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
             orders, base, partition_by="o_year", cluster_by="o_custkey",
             target_file_rows=500_000,
         )
+        fixture_complete(fdir)
     _PART_CACHE[key] = base
     return base
 

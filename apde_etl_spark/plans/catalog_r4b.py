@@ -852,7 +852,13 @@ def neardup_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_neardup_pairs_q,
     )
 
-    truth = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    # the quadratic truth DAG feeds n_truth and one join per method —
+    # persist so it executes once (release_scope("similarity") frees it)
+    truth = tracked_persist(
+        ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b"),
+        scope="similarity")
     methods = [
         ("minhash_lsh_16x4",
          minhash_lsh_neardup(spark, sf_dir).select("id_a", "id_b")),
@@ -862,6 +868,7 @@ def neardup_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_n = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     rows = []
     for name, found in methods:
+        found = tracked_persist(found, scope="similarity")
         f_n = found.agg(F.count(F.lit(1)).alias("n_found"))
         h_n = (found.join(truth, ["id_a", "id_b"])
                .agg(F.count(F.lit(1)).alias("n_hits")))
@@ -895,24 +902,18 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     driver loop is fixture materialization (~40 tiny files), not a data
     path."""
     import hashlib as _h
-    import tempfile
 
-    from apde_etl_spark.plans.catalog_r4 import _source_fingerprint
+    from apde_etl_spark.plans.catalog_r4 import fixture_complete, fixture_dir
 
     key = os.path.abspath(sf_dir)
     if key in _BLOB_FIXTURE:
         return _BLOB_FIXTURE[key]
-    # fingerprint the SOURCE into the fixture key: regenerated testdata
-    # must invalidate the fixture (content derives from documents.text)
-    from apde_etl_spark.plans.catalog_r4 import _sweep_stale_siblings
-
-    fp = _source_fingerprint(os.path.join(key, "documents.parquet"))
-    root = os.path.join(tempfile.gettempdir(), "apde_etl_blobs")
-    tag = (_h.md5(key.encode()).hexdigest()[:8] + "-"
-           + _h.md5(fp.encode()).hexdigest()[:8])
-    _sweep_stale_siblings(root, keep=tag)
-    base = os.path.join(root, tag)
-    if not os.path.isdir(base) or not os.listdir(base):
+    # fixture key carries the SOURCE fingerprint (regenerated testdata
+    # must invalidate it — content derives from documents.text) and
+    # completion is marker-gated: a crash mid-generation leaves no
+    # marker, so the next run rebuilds instead of serving partial files
+    base, done = fixture_dir("apde_etl_blobs", sf_dir, "documents.parquet")
+    if not done:
         os.makedirs(base, exist_ok=True)
         rows = (
             load(spark, sf_dir, "documents")
@@ -926,6 +927,7 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                        + _h.md5(b"x" + text.encode()).digest()[: r["doc_id"] % 16])
             with open(os.path.join(base, f"doc_{r['doc_id']}.bin"), "wb") as fh:
                 fh.write(payload)
+        fixture_complete(base)
     _BLOB_FIXTURE[key] = base
     return base
 

@@ -478,7 +478,11 @@ def test_neardup_method_recall_matrix(spark, sf_dir, qs):
     assert mh["n_hits"] == mh["n_truth"] == mh["n_found"]
     sh = out["simhash_64b_h3"]
     assert 0 < sh["n_hits"] <= sh["n_truth"]
-    assert sh["n_hits"] == sh["n_found"] or sh["n_found"] > sh["n_hits"]
+    # hamming<=3 is strictly tighter than Jaccard>=0.2 at these knobs:
+    # SimHash must find FEWER pairs than MinHash finds, and MinHash must
+    # dominate SimHash's hit count
+    assert sh["n_found"] < mh["n_found"]
+    assert sh["n_hits"] <= mh["n_hits"]
 
 
 def test_recommend_planes_tracks_corpus_size():

@@ -57,8 +57,12 @@ def main() -> None:
     from apde_etl_spark.operators.cache import release_scope
     from apde_etl_spark.session import get_spark
 
+    from apde_etl_spark.operators.similarity import recommend_planes
+
     n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
-    n_planes = int(sys.argv[2]) if len(sys.argv) > 2 else 14
+    # default plane count from the corpus-sizing rule (600k -> 14)
+    n_planes = (int(sys.argv[2]) if len(sys.argv) > 2
+                else recommend_planes(n_total, target_bucket_size=64))
     spark = get_spark("scale-stress-semdedup")
     path = "/tmp/stress_semdedup_embeddings"
     t: dict[str, float] = {}
