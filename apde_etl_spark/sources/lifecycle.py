@@ -221,8 +221,11 @@ def write_bucketed_table(
 
     Two fact tables bucketed on their join key with the same bucket
     count join WITHOUT a shuffle exchange on either side (Catalyst
-    reads the bucketing as a satisfied HashClusteredDistribution); with
-    ``sort_by`` the sort-merge join also skips the per-task sort. At
+    reads the bucketing as a satisfied HashClusteredDistribution); the
+    writer leaves exactly ONE sorted file per bucket, so with
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` the
+    sort-merge join also skips the per-task sort — a pure local merge
+    (plan-asserted in tests/test_plan_shapes.py). At
     100 TB this turns every repeated key-equi-join/aggregation on the
     bucket key from a full-network shuffle into a local stitch — the
     lake counterpart of the reference's clustered index on the join key
@@ -230,8 +233,14 @@ def write_bucketed_table(
     """
     keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
     sort = [sort_by] if isinstance(sort_by, str) else list(sort_by or keys)
+    # one file per bucket: Spark only treats a bucketed table's sortBy
+    # metadata as a real sort order when each bucket is a single file
+    # (multi-file buckets are concatenated unsorted at read) — this
+    # repartition is what lets downstream sort-merge joins skip the
+    # per-task sort entirely, not just the exchange
     (
-        df.write.mode(mode).format(file_format)
+        df.repartition(num_buckets, *[F.col(k) for k in keys])
+        .write.mode(mode).format(file_format)
         .bucketBy(num_buckets, *keys)
         .sortBy(*sort)
         .saveAsTable(name)

@@ -234,14 +234,19 @@ def test_dynamic_partition_pruning_engages_through_join(spark, sf_dir, qs):
 
 
 def test_bucketed_join_entry_is_exchange_free_on_the_join(spark, sf_dir, qs):
-    """The bucketed-layout entry's join must satisfy its distribution
-    from the bucketing: with auto-broadcast disabled the sort-merge join
-    runs with NO exchange on either input — the only shuffle left is the
-    final segment aggregation."""
+    """The bucketed-layout join must satisfy BOTH requirements from the
+    layout: with auto-broadcast disabled the sort-merge join runs with
+    NO exchange on either input (bucketing satisfies the distribution),
+    and — because write_bucketed_table leaves exactly one sorted file
+    per bucket — enabling the sorted-bucket-scan conf removes the
+    per-task Sorts too: the join is a pure local merge."""
     from apde_etl_spark.plans.catalog_r4 import bucketed_tables
 
     t_orders, t_cust = bucketed_tables(spark, sf_dir)
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k) for k in [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.legacy.bucketedTableScan.outputOrdering",
+    ]}
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         o, c = spark.table(t_orders), spark.table(t_cust)
@@ -249,8 +254,16 @@ def test_bucketed_join_entry_is_exchange_free_on_the_join(spark, sf_dir, qs):
         plan = _plan(j)
         assert "SortMergeJoin" in plan
         assert "Exchange hashpartitioning" not in plan
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        j2 = o.join(c, o["o_custkey"] == c["c_custkey"])
+        plan2 = _plan(j2)
+        assert "SortMergeJoin" in plan2
+        assert "Exchange hashpartitioning" not in plan2
+        assert plan2.count("Sort [") == 0, plan2[:1500]
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def test_aqe_splits_skewed_join_partition(spark):
