@@ -1618,22 +1618,14 @@ def semantic_dedup(
     size-gated broadcast vs salted shuffle like every other bucket
     join in this module).
     """
-    pairs = embed_neardup_pairs(
-        df, id_col, vec_col, threshold=threshold, num_planes=num_planes,
-        dim=dim, seed=seed, strategy=strategy,
+    # the incremental operator with an EMPTY corpus is exactly this
+    # operator (equality pinned in tests), and its persisted batch prep
+    # serves probe, build, and decision join from ONE scan instead of
+    # the three separate reads the standalone formulation paid
+    return semantic_dedup_incremental(
+        df, df.limit(0), id_col, vec_col, threshold=threshold,
+        num_planes=num_planes, dim=dim, seed=seed, strategy=strategy,
         broadcast_threshold_bytes=broadcast_threshold_bytes,
-    )
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    planes = hyperplanes(num_planes, dim, seed)
-    base = df.select(
-        F.col(id_col),
-        lsh_bucket(as_double_array(vec_col), planes).alias("bucket"),
-    )
-    return base.join(
-        dropped.withColumn("__drop", F.lit(True)), on=id_col, how="left"
-    ).select(
-        id_col, "bucket",
-        F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
     )
 
 

@@ -81,7 +81,12 @@ def fixture_dir(root_name: str, sf_dir: str, source_file: str) -> tuple[str, boo
     :func:`fixture_complete` afterward — that writes the ``_SUCCESS``
     marker (a crash mid-build leaves no marker, so the next run
     rebuilds instead of serving a partial fixture) and only then sweeps
-    stale same-source siblings."""
+    stale same-source siblings. Concurrency caveat: the sweep can
+    remove a stale-fingerprint directory another LIVE process (pinned
+    to older testdata) is still scanning — acceptable for derived
+    caches in this workflow (processes run against one testdata
+    generation at a time); a shared multi-writer cache would need
+    generation-pinned retention instead."""
     key = os.path.abspath(sf_dir)
     fp = _source_fingerprint(os.path.join(key, source_file))
     root = os.path.join(tempfile.gettempdir(), root_name)
