@@ -496,3 +496,23 @@ def test_recommend_planes_tracks_corpus_size():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         recommend_planes(0)
+
+
+def test_asof_join_composite_key(spark):
+    """Multiple key columns partition independently — a build row only
+    matches probes sharing BOTH keys."""
+    probe = spark.createDataFrame(
+        [(1, "a", 1, _ts("2024-01-01 10:00:00")),
+         (2, "a", 2, _ts("2024-01-01 10:00:00")),
+         (3, "b", 1, _ts("2024-01-01 10:00:00"))],
+        "pid int, region string, dev int, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [("a", 1, _ts("2024-01-01 09:00:00"), 10.0),
+         ("b", 1, _ts("2024-01-01 09:30:00"), 30.0)],
+        "region string, dev int, bts timestamp, v double",
+    )
+    out = {r["pid"]: r["v"] for r in asof_join(
+        probe, build, on=["region", "dev"], probe_ts="ts", build_ts="bts",
+        build_cols=["v"]).collect()}
+    assert out == {1: 10.0, 2: None, 3: 30.0}
