@@ -204,10 +204,11 @@ def range_join_binned(
     are ``bin_width`` seconds) or a numeric column (bins are
     ``bin_width`` units). ``on`` adds ordinary equi-key columns to the
     bin key. ``how="left"`` keeps empty intervals with NULL point
-    columns (anti-join on the matched interval rows — the bin join
-    itself stays inner so unmatched interval×bin rows never multiply;
-    interval columns must be null-free for the anti-join's equality
-    match).
+    columns (null-safe anti-join on the matched interval rows — the bin
+    join itself stays inner so unmatched interval×bin rows never
+    multiply, and intervals carrying NULL attributes are matched
+    correctly). Interval and point column names must not collide
+    (beyond ``on``) — raises otherwise.
 
     Pick ``bin_width`` near the typical interval span: each interval
     explodes to ~span/bin_width + 1 rows, and each candidate list is
@@ -217,6 +218,12 @@ def range_join_binned(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     on = list(on or [])
+    overlap = (set(intervals.columns) & set(points.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"range_join_binned column name collision on {sorted(overlap)}; "
+            "rename one side (only `on` keys may be shared)"
+        )
     iv_dtypes = dict(intervals.dtypes)
     iv = intervals.withColumn(
         "__bin",
