@@ -26,9 +26,22 @@ recompute.
 
 from __future__ import annotations
 
+import logging
 import threading
 
 from pyspark.sql import DataFrame
+
+_LOG = logging.getLogger(__name__)
+
+#: Soft cap per scope: crossing it logs a warning so a long-lived driver
+#: that uses persisting operators without knowing the release convention
+#: sees the leak instead of silently pinning JVM caches forever. Not a
+#: hard limit — tracked frames are the unpersist handles, so dropping
+#: them would leak harder, and evicting the JVM cache under a still-lazy
+#: caller is correctness-neutral but perf-surprising. The warning fires
+#: once per scope per threshold crossing.
+SCOPE_WARN_THRESHOLD = 64
+_WARNED_SCOPES: set[str] = set()
 
 _LOCK = threading.Lock()
 #: scope -> list of persisted DataFrames. STRONG references on purpose:
@@ -44,7 +57,16 @@ def tracked_persist(df: DataFrame, scope: str = "default") -> DataFrame:
     """``df.persist()`` registered under ``scope`` for later bulk release."""
     out = df.persist()
     with _LOCK:
-        _SCOPES.setdefault(scope, []).append(out)
+        frames = _SCOPES.setdefault(scope, [])
+        frames.append(out)
+        if len(frames) > SCOPE_WARN_THRESHOLD and scope not in _WARNED_SCOPES:
+            _WARNED_SCOPES.add(scope)
+            _LOG.warning(
+                "cache scope %r holds %d tracked persisted frames "
+                "(threshold %d) — call release_scope(%r) after consuming "
+                "results, or caches accumulate for the driver's lifetime",
+                scope, len(frames), SCOPE_WARN_THRESHOLD, scope,
+            )
     return out
 
 
@@ -73,6 +95,7 @@ def release_scope(scope: str | None = None) -> int:
     with _LOCK:
         keys = list(_SCOPES) if scope is None else [scope]
         frames = [f for k in keys for f in _SCOPES.pop(k, [])]
+        _WARNED_SCOPES.difference_update(keys)
     n = 0
     for df in frames:
         try:

@@ -108,8 +108,15 @@ def asof_join(
     # a NULL build timestamp has no position on the time axis — it can
     # never be "at-or-before/after" anything (DuckDB ASOF agrees: NULL
     # never matches), so drop such rows instead of letting NULLS FIRST
-    # sort them ahead of every probe row
-    b = build.filter(F.col(build_ts).isNotNull()).select(
+    # sort them ahead of every probe row. NULL join KEYS are dropped for
+    # the same reason: Window.partitionBy groups NULLs together, so
+    # without this filter a NULL-key probe row would pick up a NULL-key
+    # build row — SQL equality (and DuckDB ASOF) says NULL = NULL never
+    # matches. NULL-key probe rows are kept and get NULL matches.
+    build_eligible = F.col(build_ts).isNotNull()
+    for k in on:
+        build_eligible = build_eligible & F.col(k).isNotNull()
+    b = build.filter(build_eligible).select(
         *[F.col(k) for k in on],
         F.col(build_ts).alias("__t"),
         F.lit(True).alias("__is_build"),
@@ -217,6 +224,11 @@ def range_join_binned(
     sensor windows want fine ones."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    # a non-positive (or NaN) width would produce Infinity/NaN bin
+    # indices or degenerate F.sequence ranges and fail opaquely at
+    # execution time — reject at call time instead
+    if not bin_width > 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
     on = list(on or [])
     overlap = (set(intervals.columns) & set(points.columns)) - set(on)
     if overlap:

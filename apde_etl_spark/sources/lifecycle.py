@@ -133,16 +133,32 @@ def write_analytic_table(
     out = df
     if target_file_rows:
         if part:
-            # One task per partition VALUE (hash repartition on the
-            # partition columns — deterministic), then let the WRITER
-            # split oversized files at the target row count. A salt
-            # derived from monotonically_increasing_id() would split
-            # hot partitions across tasks, but that expression is
-            # nondeterministic under partial stage retry (the
-            # SPARK-23207 row-loss/duplication class) — file sizing
-            # belongs to maxRecordsPerFile, which costs no shuffle and
-            # is retry-safe.
-            out = out.repartition(*part)
+            # Spread each partition VALUE across up to n_salt tasks with
+            # a salt that is a PURE FUNCTION OF ROW CONTENT
+            # (xxhash64 over stable data columns) — retry-safe under
+            # partial stage retry (a recomputed task deals every row to
+            # the same bucket, unlike monotonically_increasing_id, the
+            # SPARK-23207 row-loss/duplication class) while still
+            # writing a hot partition (one skewed year) in parallel
+            # instead of serially from one task. maxRecordsPerFile then
+            # caps file sizes within each task.
+            salt_cols = clust or [c for c in out.columns if c not in part]
+            if salt_cols:
+                # explicit numPartitions: an unsized repartition is fair
+                # game for AQE partition coalescing, which would merge
+                # the salted buckets back into few tasks and defeat the
+                # spread (observed at small scale)
+                n_salt = max(1, min(out.count() // target_file_rows, 2048))
+                out = (
+                    out.withColumn(
+                        "__write_salt",
+                        F.pmod(F.xxhash64(*salt_cols), F.lit(n_salt)),
+                    )
+                    .repartition(n_salt, *part, "__write_salt")
+                    .drop("__write_salt")
+                )
+            else:
+                out = out.repartition(*part)
         else:
             # round-robin repartition(n) is retry-safe: Spark inserts a
             # local sort before the round-robin exchange precisely so

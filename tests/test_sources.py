@@ -319,6 +319,36 @@ def test_analytic_table_splits_large_partitions(spark, tmp_path):
         assert len(files) >= 2, (v, files)
 
 
+def test_analytic_table_hot_partition_written_in_parallel(spark, tmp_path):
+    """One skewed partition value must be WRITTEN by multiple tasks (the
+    content-hash salt spreads it), not merely split into files by
+    maxRecordsPerFile from a single serial task. Distinct part-NNNNN
+    task prefixes in the hot dir prove task-level parallelism; the salt
+    is a pure function of row content, so it is retry-safe."""
+    import glob
+    import os
+    import re
+
+    from apde_etl_spark.sources.lifecycle import write_analytic_table
+
+    # 9k rows in partition "hot", 1k in "cold"
+    df = spark.range(10_000).select(
+        F.col("id"),
+        F.when(F.col("id") < 9_000, F.lit("hot")).otherwise(F.lit("cold"))
+         .alias("part"),
+    )
+    path = str(tmp_path / "hot_salted")
+    write_analytic_table(df, path, partition_by="part", target_file_rows=1_000)
+    prefixes = {
+        re.match(r"(part-\d+)", os.path.basename(f)).group(1)
+        for f in glob.glob(f"{path}/part=hot/*.parquet")
+    }
+    assert len(prefixes) >= 2, prefixes
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.filter(F.col("part") == "hot").count() == 9_000
+
+
 def test_duplicate_table_confirm_false_refuses_overwrite(spark):
     import pytest as _pytest
 

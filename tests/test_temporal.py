@@ -300,6 +300,41 @@ def test_asof_null_timestamps_never_match(spark):
             assert m[10] == 1.0 and m[11] is None
 
 
+def test_asof_null_keys_never_match(spark):
+    """NULL join keys never match (SQL equality: NULL = NULL is not
+    true, and DuckDB ASOF agrees): NULL-key build rows are dropped, and
+    a NULL-key probe row gets a NULL match instead of picking up a
+    NULL-key build row via Window.partitionBy's NULL grouping."""
+    build = spark.createDataFrame(
+        [(None, _ts("2024-01-01 08:00:00"), 999.0),
+         (1, _ts("2024-01-01 08:00:00"), 1.0)],
+        "k int, bts timestamp, px double",
+    )
+    probe = spark.createDataFrame(
+        [(10, None, _ts("2024-01-01 09:00:00")),  # NULL key
+         (11, 1, _ts("2024-01-01 09:00:00"))],    # real key
+        "pid int, k int, pts timestamp",
+    )
+    for direction in ("backward", "forward"):
+        d = {"backward": probe, "forward": probe}[direction]
+        m = {r["pid"]: r["px"] for r in asof_join(
+            d, build, on=["k"], probe_ts="pts", build_ts="bts",
+            build_cols=["px"], direction=direction).collect()}
+        assert len(m) == 2, direction             # NULL-key probe row kept
+        assert m[10] is None, direction           # ...but never matched
+        expected_11 = 1.0 if direction == "backward" else None
+        assert m[11] == expected_11 or (m[11] is None and expected_11 is None)
+
+
+def test_range_join_rejects_nonpositive_bin_width(spark):
+    iv = spark.createDataFrame(
+        [(1.0, 2.0)], "lo double, hi double")
+    pt = spark.createDataFrame([(1.5,)], "v double")
+    for bad in (0, -1.0, float("nan")):
+        with pytest.raises(ValueError, match="bin_width"):
+            range_join_binned(iv, pt, "lo", "hi", "v", bin_width=bad)
+
+
 def test_asof_output_name_collision_raises(spark):
     """A build column shadowing a probe column with suffix='' must fail
     loudly, not emit ambiguous duplicate output names."""
