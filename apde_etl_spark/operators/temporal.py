@@ -38,7 +38,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_binned"]
+__all__ = ["asof_join", "asof_join_salted", "range_join_binned"]
 
 
 def asof_join(
@@ -175,6 +175,144 @@ def asof_join(
         F.col("__m.__match_ts").alias(match_ts_name),
         *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in build_cols],
     )
+
+
+def _axis_num(col: Column, dtype: str) -> Column:
+    """Monotone numeric image of the time axis for slicing: timestamps
+    via epoch seconds, dates via timestamp (no direct long cast in
+    Spark 4), numerics as-is."""
+    if dtype.startswith("date"):
+        return col.cast("timestamp").cast("double")
+    if dtype.startswith("timestamp"):
+        return col.cast("double")
+    return col.cast("double")
+
+
+def asof_join_salted(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | Sequence[str],
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    build_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    allow_exact: bool = True,
+    tiebreak_cols: Sequence[str] | None = None,
+    suffix: str = "",
+    n_slices: int = 32,
+) -> DataFrame:
+    """Skew-safe :func:`asof_join`: identical semantics and output, but a
+    single pathological key no longer serializes into one task. The time
+    axis is cut into ``n_slices`` equal slices (bounds from one tiny
+    2-value aggregate over both inputs) and the window key widens to
+    ``(key, slice)``, so a hot key's rows spread across up to
+    ``n_slices`` tasks.
+
+    Correctness hinges on the carry-in rows — the state-replication
+    analogue of ``replicated_salted_join`` (operators/skew.py): a probe
+    row early in slice *s* may match a build row from an EARLIER slice,
+    so for each (key, slice) the winning build row of that slice (the
+    one the plain formulation would pick at the slice boundary: max
+    (ts, tiebreaks) for backward, min ts / max tiebreaks for forward) is
+    replicated into the slices it can carry into — only up to the next
+    occupied build slice (``lead`` over the per-key slice list; later
+    representatives dominate beyond it, and a dominated extra copy would
+    be harmless anyway since the inner window still picks the latest),
+    so replication is O(#occupied_slices + n_slices) rows per key, NOT
+    O(n_slices^2), and only fixed-width boundary rows are duplicated.
+    The sliced problem then delegates to the plain :func:`asof_join` on
+    ``on + [slice]`` — one shuffle, same NULL semantics (NULL-ts/NULL-key
+    probe rows land in windows with no build rows and keep NULL matches).
+
+    Trade-off vs the plain form: one extra tiny aggregate (axis bounds)
+    and the representative/carry computation (a per-(key, slice) top-1 —
+    itself sliced, so skew-safe) — worth it when one key dominates;
+    pointless when keys are well-distributed. ``n_slices=1`` degenerates
+    to the plain operator."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
+    on = [on] if isinstance(on, str) else list(on)
+    if build_cols is None:
+        build_cols = [c for c in build.columns if c not in on and c != build_ts]
+    build_cols = list(build_cols)
+    tiebreak_cols = list(tiebreak_cols) if tiebreak_cols is not None else build_cols
+
+    if n_slices == 1:
+        return asof_join(probe, build, on, probe_ts, build_ts, build_cols,
+                         direction, allow_exact, tiebreak_cols, suffix)
+
+    p_num = _axis_num(F.col(probe_ts), dict(probe.dtypes)[probe_ts])
+    b_num = _axis_num(F.col(build_ts), dict(build.dtypes)[build_ts])
+    bounds = (
+        probe.select(p_num.alias("v")).unionByName(build.select(b_num.alias("v")))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .first()
+    )
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None or hi <= lo:
+        # empty or degenerate axis — nothing to slice
+        return asof_join(probe, build, on, probe_ts, build_ts, build_cols,
+                         direction, allow_exact, tiebreak_cols, suffix)
+    width = (hi - lo) / n_slices
+
+    def slice_of(num: Column) -> Column:
+        return F.least(
+            F.floor((num - F.lit(lo)) / F.lit(width)), F.lit(n_slices - 1)
+        ).cast("int")
+
+    probe_s = probe.withColumn("__slice", slice_of(p_num))
+
+    eligible = F.col(build_ts).isNotNull()
+    for k in on:
+        eligible = eligible & F.col(k).isNotNull()
+    b = build.filter(eligible).withColumn("__slice", slice_of(b_num))
+
+    # per-(key, slice) winning representative, ordered exactly as the
+    # inner window would pick it at the slice boundary
+    if direction == "backward":
+        rep_order = [F.col(build_ts).desc()] + [F.col(c).desc_nulls_last()
+                                                for c in tiebreak_cols]
+    else:
+        rep_order = [F.col(build_ts).asc()] + [F.col(c).desc_nulls_last()
+                                               for c in tiebreak_cols]
+    rep_w = Window.partitionBy(*on, "__slice").orderBy(*rep_order)
+    reps = (
+        b.withColumn("__rn", F.row_number().over(rep_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # replicate each representative only across the gap to the adjacent
+    # occupied slice (lead/lag over the per-key occupied-slice list — a
+    # window over <= n_slices rows per key, never over the raw events)
+    gap_w = Window.partitionBy(*on).orderBy("__slice")
+    if direction == "backward":
+        nxt = F.coalesce(F.lead("__slice").over(gap_w), F.lit(n_slices - 1))
+        lo_t, hi_t = F.col("__slice") + 1, nxt
+    else:
+        prv = F.coalesce(F.lag("__slice").over(gap_w), F.lit(0))
+        lo_t, hi_t = prv, F.col("__slice") - 1
+    carry = (
+        reps.withColumn(
+            "__targets",
+            F.when(lo_t <= hi_t, F.sequence(lo_t, hi_t))
+             .otherwise(F.array().cast("array<int>")),
+        )
+        .withColumn("__slice2", F.explode("__targets"))
+        .drop("__targets", "__slice")
+        .withColumnRenamed("__slice2", "__slice")
+    )
+
+    build_salted = b.unionByName(carry.select(*b.columns))
+    out = asof_join(
+        probe_s, build_salted, on=on + ["__slice"],
+        probe_ts=probe_ts, build_ts=build_ts, build_cols=build_cols,
+        direction=direction, allow_exact=allow_exact,
+        tiebreak_cols=tiebreak_cols, suffix=suffix,
+    )
+    return out.drop("__slice")
 
 
 def _bin_of(col: Column, dtype: str, width: float) -> Column:

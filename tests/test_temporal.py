@@ -352,6 +352,88 @@ def test_asof_output_name_collision_raises(spark):
     assert out["value"] == 5.0 and out["value_b"] == 7.0
 
 
+def test_asof_salted_matches_plain_all_modes(spark):
+    """asof_join_salted == asof_join in every (direction, allow_exact)
+    mode over randomized colliding inputs, across slice counts — the
+    carry-in replication must be invisible in the results."""
+    import random as _random
+
+    from apde_etl_spark.operators.temporal import asof_join, asof_join_salted
+
+    rng = _random.Random(41)
+    left = [(i, rng.randint(0, 3), _ts(f"2024-01-01 0{rng.randint(0, 9)}:0"
+                                       f"{rng.randint(0, 9)}:00"))
+            for i in range(150)]
+    right = [(rng.randint(0, 3), _ts(f"2024-01-01 0{rng.randint(0, 9)}:0"
+                                     f"{rng.randint(0, 9)}:00"), 1000 + j)
+             for j in range(90)]
+    ldf = spark.createDataFrame(left, "event_id int, k int, ts timestamp")
+    rdf = spark.createDataFrame(right, "k int, ts timestamp, rid int")
+
+    for direction in ("backward", "forward"):
+        for allow_exact in (True, False):
+            plain = {r["event_id"]: r["rid"] for r in asof_join(
+                ldf, rdf, on="k", build_cols=["rid"], tiebreak_cols=["rid"],
+                direction=direction, allow_exact=allow_exact).collect()}
+            for n_slices in (1, 3, 8, 64):
+                salted = {r["event_id"]: r["rid"] for r in asof_join_salted(
+                    ldf, rdf, on="k", build_cols=["rid"],
+                    tiebreak_cols=["rid"], direction=direction,
+                    allow_exact=allow_exact, n_slices=n_slices).collect()}
+                assert salted == plain, (direction, allow_exact, n_slices)
+
+
+def test_asof_salted_null_semantics_match_plain(spark):
+    """NULL probe timestamps and NULL keys keep NULL matches through the
+    sliced path too (NULL slice / no eligible build rows)."""
+    from apde_etl_spark.operators.temporal import asof_join_salted
+
+    build = spark.createDataFrame(
+        [(None, _ts("2024-01-01 08:00:00"), 999.0),
+         (1, None, 888.0),
+         (1, _ts("2024-01-01 10:00:00"), 1.0),
+         (1, _ts("2024-01-01 12:00:00"), 2.0)],
+        "k int, bts timestamp, px double",
+    )
+    probe = spark.createDataFrame(
+        [(10, None, _ts("2024-01-01 11:00:00")),
+         (11, 1, None),
+         (12, 1, _ts("2024-01-01 11:00:00")),
+         (13, 1, _ts("2024-01-01 13:00:00"))],
+        "pid int, k int, pts timestamp",
+    )
+    m = {r["pid"]: r["px"] for r in asof_join_salted(
+        probe, build, on=["k"], probe_ts="pts", build_ts="bts",
+        build_cols=["px"], n_slices=4).collect()}
+    assert m == {10: None, 11: None, 12: 1.0, 13: 2.0}
+
+
+def test_asof_salted_spreads_hot_key(spark):
+    """The point of the operator: ONE key's probe rows must occupy
+    multiple window partitions (distinct slices), where the plain
+    formulation puts them all in one."""
+    import datetime
+
+    from apde_etl_spark.operators.temporal import asof_join_salted
+
+    base = datetime.datetime(2024, 1, 1)
+    probe = spark.createDataFrame(
+        [(i, 1, base + datetime.timedelta(seconds=i)) for i in range(2000)],
+        "pid int, k int, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [(1, base + datetime.timedelta(seconds=s), s) for s in range(0, 2000, 50)],
+        "k int, bts timestamp, rid int",
+    )
+    out = asof_join_salted(probe, build, on=["k"], probe_ts="ts",
+                           build_ts="bts", build_cols=["rid"], n_slices=16)
+    rows = out.collect()
+    assert len(rows) == 2000
+    # every probe row matched the floor-to-50s build row
+    for r in rows:
+        assert r["rid"] == (r["pid"] // 50) * 50, r
+
+
 def test_range_join_left_null_interval_attr_not_duplicated(spark):
     """A matched interval carrying a NULL attribute must NOT reappear as
     a spurious empty row (null-safe anti join)."""
