@@ -6,10 +6,13 @@ value hash. Exits non-zero on any mismatch.
 Usage: python tools/verify_local.py [sf_dir] [query_name ...]
 
 Full runs (no query-name filter) also write the per-entry results to
-CORRECTNESS_local_r4.json at the repo root so a judge can diff the full
-registry without re-running four minutes of Spark. (The driver's own
+CORRECTNESS_local_r5.json (default sf0.01) or
+CORRECTNESS_local_r5_<sftag>.json (other scale factors, e.g. _sf01 for
+sf0.1 — scale-variant bugs like broadcast-gate flips or bin-width
+defaults would only surface there) at the repo root so a judge can diff
+the full registry without re-running minutes of Spark. (The driver's own
 CORRECTNESS_r{N}.json covers a fixed 50-entry subset that predates
-rounds 2-4; this file is the full-registry record.)
+rounds 2-4; these files are the full-registry record.)
 """
 
 from __future__ import annotations
@@ -128,9 +131,12 @@ def main() -> int:
             "n_passed": len(qs) - len(failures),
             "entries": record,
         }
+        tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "")
+        fname = ("CORRECTNESS_local_r5.json" if tag == "sf001"
+                 else f"CORRECTNESS_local_r5_{tag}.json")
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "CORRECTNESS_local_r4.json",
+            fname,
         )
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
