@@ -252,6 +252,93 @@ NGRAM_PROFILES: dict[str, list[str]] = {
 }
 
 
+def repeated_max_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """VARIABLE-LENGTH repeated-substring mining: the maximal-run
+    extension of the fixed-``k`` span pass. A repeated substring of L
+    tokens (L >= k) shows up as L-k+1 CONSECUTIVE positions whose
+    k-gram is cross-document repeated; chaining those positions per doc
+    (the classic gaps-and-islands ``pos - row_number()`` trick) and
+    re-reading the token slice recovers the FULL span in one pass — no
+    suffix array, no iteration. The final groupBy on the extended span
+    text re-verifies that the WHOLE span (not just its k-gram pieces)
+    is shared by >= ``min_docs`` documents, so no false maximal span
+    survives. This is the dense version of winnowing-anchored
+    extension: every repeated k-gram position is an anchor (the
+    winnowing minima are a subset of them), and the "bidirectional
+    extension" is exactly the run chaining.
+
+    Semantics note (documented approximation): each doc contributes its
+    MAXIMAL repeated runs; when a shared span abuts other repeated
+    material in only some docs, those docs' longer runs group
+    separately and the common core may undercount. The fixed-length
+    pass (``repeated_span_docs``) still reports the k-gram pieces, so
+    nothing is silently lost — this operator adds the full-span view
+    the fixed pass provably cannot produce (spans strictly longer than
+    ``k`` are filtered to, so every output row is evidence).
+
+    Scale shape: one posexplode -> distinct -> groupBy on md5 gram
+    digests (fixed-width shuffle keys) to find repeated grams; one join
+    of positions against them; one per-doc window over REPEATED
+    positions only (a tiny fraction of the corpus — skew-bounded by
+    per-doc repeated-position count, not corpus size); one join back to
+    the tokens table to slice span text; one final groupBy per span
+    digest. No driver loop, no all-pairs."""
+    toks_df = df.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    )
+    n = F.size("__t")
+    # positions 0-based: gram i covers tokens [i, i+k)
+    grams = toks_df.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
+                lambda i: F.md5(
+                    F.array_join(F.slice("__t", i + 1, k), " ").cast("binary")
+                ),
+            )
+        ).alias("pos", "__gh"),
+    )
+    rep = (
+        grams.select(id_col, "__gh").distinct()
+        .groupBy("__gh").agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__gh")
+    )
+    marked = grams.join(rep, "__gh")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        marked.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(F.min("pos").alias("__start"), F.max("pos").alias("__end"))
+        .filter(F.col("__end") > F.col("__start"))  # strictly longer than k
+        .drop("__isl")
+    )
+    spans = islands.join(toks_df, id_col).select(
+        id_col,
+        F.array_join(
+            F.slice("__t", F.col("__start") + 1,
+                    F.col("__end") - F.col("__start") + k),
+            " ",
+        ).alias("span"),
+        (F.col("__end") - F.col("__start") + k).cast("int").alias("span_tokens"),
+    )
+    return (
+        spans.groupBy(F.md5(F.col("span").cast("binary")).alias("__sh"))
+        .agg(F.min("span").alias("span"),
+             F.min("span_tokens").alias("span_tokens"),
+             F.countDistinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span", "span_tokens", F.col("n_docs").cast("long").alias("n_docs"))
+    )
+
+
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of lowercased text -> array<string>,
     built natively (sequence + transform + substr): no Python in the row

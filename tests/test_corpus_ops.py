@@ -293,3 +293,70 @@ def test_range_join_binned_boundaries(spark):
     # lo inclusive, hi exclusive; 500.0 falls outside every tier
     assert got == [(0.0, "lo"), (99.99, "lo"), (100.0, "mid"),
                    (249.9, "mid"), (499.99, "hi")]
+
+
+def test_repeated_max_spans_catches_what_fixed_length_misses(spark):
+    """A 9-token boilerplate shared by 3 docs: the fixed-length k=5 pass
+    reports only its five overlapping 5-gram FRAGMENTS (never the whole
+    span); repeated_max_spans recovers the full 9-token span, and only
+    it (span_tokens > k filter)."""
+    from apde_etl_spark.operators.similarity import word_shingles
+    from apde_etl_spark.operators.text import repeated_max_spans
+
+    boiler = "this content is provided as is without warranty whatsoever"
+    assert len(boiler.split()) == 9
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma delta"),
+            (2, f"{boiler} unrelated tail words here"),
+            (3, f"pre amble words {boiler}"),
+            (4, "completely different text with no shared runs at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = repeated_max_spans(docs, k=5, min_docs=3).collect()
+    spans = {r["span"]: r for r in out}
+    assert boiler in spans, spans
+    assert spans[boiler]["n_docs"] == 3
+    assert spans[boiler]["span_tokens"] == 9
+    # nothing shorter-or-equal to k leaks through
+    assert all(r["span_tokens"] > 5 for r in out)
+
+    # the fixed-length pass over the same docs: every output is exactly
+    # a 5-gram; the full boilerplate is provably absent
+    sp = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("span")
+    )
+    fixed = (
+        sp.groupBy("span").agg(F.countDistinct("doc_id").alias("n"))
+        .filter(F.col("n") >= 3).collect()
+    )
+    fixed_spans = {r["span"] for r in fixed}
+    assert boiler not in fixed_spans
+    assert all(len(s.split()) == 5 for s in fixed_spans)
+    # ...but its fragments are there (sanity that the fixture is shared)
+    assert any(s in boiler for s in fixed_spans)
+
+
+def test_repeated_max_spans_distinct_partner_sets_still_verified(spark):
+    """Chained positions whose grams are repeated with DIFFERENT partner
+    docs must not fabricate a long span count: the final full-span
+    groupBy re-verifies, so a span only counts docs containing the WHOLE
+    span."""
+    from apde_etl_spark.operators.text import repeated_max_spans
+
+    a = "one two three four five six"           # 6 tokens, shared by 1-3
+    docs = spark.createDataFrame(
+        [
+            (1, a),
+            (2, a),
+            (3, a),
+            (4, "one two three four five zzz"),  # shares only a 5-prefix
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["span"]: r for r in repeated_max_spans(docs, k=5, min_docs=3).collect()}
+    assert a in out and out[a]["n_docs"] == 3
+    # doc 4's 5-token prefix run is not longer than k, so it cannot
+    # appear as a maxspan row
+    assert all(r.span_tokens > 5 for r in out.values())
