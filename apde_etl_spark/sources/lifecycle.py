@@ -115,6 +115,8 @@ def write_analytic_table(
     target_file_rows: int | None = None,
     file_format: str = "parquet",
     mode: str = "overwrite",
+    zorder: bool = False,
+    writer_options: dict | None = None,
 ) -> None:
     """The add_index analogue: physical layout instead of indices.
 
@@ -127,10 +129,31 @@ def write_analytic_table(
     skip pages (the secondary index); ``target_file_rows`` repartitions
     ahead of the write so files land at a sane size instead of one file
     per shuffle partition.
+
+    ``zorder=True`` (exactly two ``cluster_by`` columns) clusters on the
+    bit-interleaved Morton key of the two columns instead of the
+    lexicographic sort: a lexicographic (a, b) sort only localizes ``a``
+    (row-group min/max on ``b`` span the whole domain inside each ``a``
+    run — the CCS-index analogue only helps the leading column,
+    add_index.R:235-240), while the interleave localizes BOTH, so
+    single-column range predicates on EITHER key skip row groups. Both
+    columns are min/max-scaled to the full bit width first (one tiny
+    aggregate) — raw interleave of unequal-width domains degenerates.
+    ``writer_options`` passes writer options through (e.g. a small
+    ``parquet.block.size`` to get many row groups per file).
     """
     part = [partition_by] if isinstance(partition_by, str) else (partition_by or [])
     clust = [cluster_by] if isinstance(cluster_by, str) else (cluster_by or [])
     out = df
+    zcol = None
+    if zorder:
+        if len(clust) != 2:
+            raise ValueError(
+                f"zorder=True needs exactly two cluster_by columns, got {clust}"
+            )
+        zcol = scaled_zorder_key(out, clust[0], clust[1])
+        if zcol is None:
+            zorder = False  # empty/all-NULL input: fall back to lexicographic
     if target_file_rows:
         if part:
             # Spread each partition VALUE across up to n_salt tasks with
@@ -159,17 +182,30 @@ def write_analytic_table(
                 )
             else:
                 out = out.repartition(*part)
+        elif zorder:
+            # range partitioning on the z-key keeps key ranges disjoint
+            # across files, so every file covers a compact rectangle of
+            # the 2-D key space and file-level min/max prune too
+            n = max(1, out.count() // target_file_rows)
+            out = out.withColumn("__zorder", zcol).repartitionByRange(
+                n, "__zorder")
         else:
             # round-robin repartition(n) is retry-safe: Spark inserts a
             # local sort before the round-robin exchange precisely so
             # recomputed tasks deal the same rows to the same buckets
             n = max(1, out.count() // target_file_rows)
             out = out.repartition(n)
-    if clust:
+    if zorder:
+        if "__zorder" not in out.columns:
+            out = out.withColumn("__zorder", zcol)
+        out = out.sortWithinPartitions("__zorder").drop("__zorder")
+    elif clust:
         out = out.sortWithinPartitions(*clust)
     writer = out.write.mode(mode).format(file_format)
     if target_file_rows:
         writer = writer.option("maxRecordsPerFile", int(target_file_rows))
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
     if part:
         writer = writer.partitionBy(*part)
     writer.save(path)
@@ -436,6 +472,27 @@ def zorder_key(col_a, col_b, bits: int = 16):
     return out
 
 
+def scaled_zorder_key(df: DataFrame, col_a: str, col_b: str, bits: int = 16):
+    """The min/max-scaled Morton key of two columns as a Column (one tiny
+    bounds aggregate; returns None when the input is empty or a cluster
+    column is all-NULL). Both dims are normalized to the full bit width
+    first: raw interleave of unequal-width keys degenerates (every top
+    Morton bit comes from the wider key, so range splits never constrain
+    the narrower one)."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    if lo_a is None or lo_b is None:
+        return None
+    top = (1 << bits) - 1
+
+    def scaled(c, lo, hi):
+        span = max(hi - lo, 1)
+        return ((F.col(c) - F.lit(lo)).cast("double") * top / span).cast("long")
+
+    return zorder_key(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b), bits)
+
+
 def write_zordered_table(
     df: DataFrame,
     path: str,
@@ -449,25 +506,12 @@ def write_zordered_table(
     disjoint across files) then sortWithinPartitions, so every file
     covers a compact rectangle of (col_a, col_b) space and min/max
     stats prune on either predicate."""
-    # normalize both dims to the full bit width first: raw interleave of
-    # unequal-width keys degenerates (every top Morton bit comes from the
-    # wider key, so range splits never constrain the narrower one)
-    lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
-    ).collect()[0]
-    if lo_a is None or lo_b is None:
+    key = scaled_zorder_key(df, col_a, col_b, bits)
+    if key is None:
         # empty input (or all-NULL cluster columns): nothing to
         # Z-order — write plainly instead of crashing on None-None
         df.write.mode("overwrite").parquet(path)
         return
-    top = (1 << bits) - 1
-
-    def scaled(c, lo, hi):
-        span = max(hi - lo, 1)
-        return ((F.col(c) - F.lit(lo)).cast("double") * top / span).cast("long")
-
-    key = zorder_key(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b),
-                     bits).alias("__zkey")
     (
         df.withColumn("__zkey", key)
         .repartitionByRange(target_files, "__zkey")

@@ -3,6 +3,14 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--full`` benches EVERY registered entry instead of the headline
+subset (same protocol: untimed warm-up, median of 3, loadavg, per-query
+cache release), so a perf regression in any of the ~180 entries is
+visible round-over-round, not just in the 49 headliners; results land
+in BENCH_FULL.json (the stdout line stays the short parseable record).
+The headline subset and its metric name are unchanged for cross-round
+continuity.
 """
 
 from __future__ import annotations
@@ -76,9 +84,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from apde_etl_spark.session import get_spark
 
+    full = "--full" in sys.argv[1:]
     spark = get_spark("apde-etl-bench")
     from apde_etl_spark.operators.cache import release_scope
     qs = entrymod.queries()
+    bench_list = list(qs) if full else HEADLINE
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -103,7 +113,7 @@ def main() -> None:
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in bench_list:
         fn = qs[name]
         t0 = time.perf_counter()
         n = len(fn(spark, SF_DIR).collect())
@@ -130,7 +140,8 @@ def main() -> None:
     # (round-2 BENCH had "parsed": null).  Cold numbers go to stderr and a
     # sidecar file; the last stdout line stays short and parseable.
     cold_record = {
-        "metric": "headline_queries_cold_first_touch_total",
+        "metric": ("full_registry_cold_first_touch_total" if full
+                   else "headline_queries_cold_first_touch_total"),
         "value": round(sum(cold.values()), 3),
         "unit": "sec",
         "mode": "cold_first_touch",
@@ -142,21 +153,32 @@ def main() -> None:
     }
     print(json.dumps(cold_record), file=sys.stderr)
     try:
+        sidecar = "BENCH_FULL.json" if full else "BENCH_COLD.json"
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_COLD.json"), "w") as fh:
-            json.dump(cold_record, fh, indent=1)
+                               sidecar), "w") as fh:
+            json.dump({**cold_record, "steady_median_of_3": times}, fh, indent=1)
     except OSError:
         pass
 
-    print(json.dumps({
-        "metric": "headline_queries_steady_total",
+    record = {
+        "metric": ("full_registry_steady_total" if full
+                   else "headline_queries_steady_total"),
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "mode": "steady_median_of_3",
-        "queries": times,
+        "n_queries": len(bench_list),
         "loadavg": round(loadavg_start[0], 2),
         "sf": sf,
-    }))
+    }
+    if full:
+        # ~180 timings would push the stdout line past the driver's
+        # bounded tail and truncate mid-JSON (seen in round 2) — the
+        # full map lives in BENCH_FULL.json; stdout carries the top-10
+        # slowest for at-a-glance reading
+        record["slowest"] = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    else:
+        record["queries"] = times
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

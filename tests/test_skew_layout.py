@@ -203,3 +203,98 @@ def test_hll_sketch_daily_rollup_approximates_exact(spark):
     ).collect()[0]["est"]
     exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def _rg_overlap_counts(path: str, col: str, thr) -> tuple[int, int]:
+    """(row groups whose [min,max] overlaps `col <= thr`, total row
+    groups) across all parquet files under path — the metadata a
+    min/max-pruning reader consults."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    touched = total = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st is None or st.min <= thr:
+                touched += 1
+    return touched, total
+
+
+def _scan_output_rows(df) -> int:
+    """Runtime 'number of output rows' of the (single) parquet scan leaf
+    after executing df's own plan — rows the reader actually emitted,
+    i.e. the rows of row groups that SURVIVED min/max skipping."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+
+        def leaves(p):
+            cs = p.children()
+            if cs.size() == 0:
+                return [p]
+            return [l for i in range(cs.size()) for l in leaves(cs.apply(i))]
+
+        for leaf in leaves(plan):
+            if "Scan" in leaf.nodeName():
+                it = leaf.metrics().iterator()
+                while it.hasNext():
+                    e = it.next()
+                    if e._1() == "numOutputRows":
+                        return int(e._2().value())
+        raise AssertionError("no scan leaf with numOutputRows found")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_zorder_layout_skips_row_groups_both_dims(spark, tmp_path):
+    """The executed Z-order proof: with many row groups per file, a
+    narrow predicate on EITHER interleaved key overlaps a strict subset
+    of row groups (parquet min/max metadata), and the runtime scan emits
+    fewer rows than the table holds (actual reader skipping) — while the
+    lexicographic (a, b) sort skips on the leading column only: its
+    trailing-column predicate overlaps EVERY row group."""
+    from apde_etl_spark.sources.lifecycle import write_analytic_table
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    n_total = li.count()
+    zpath = str(tmp_path / "z")
+    lexpath = str(tmp_path / "lex")
+    opts = {"parquet.block.size": 64 * 1024}
+    write_analytic_table(li, zpath, cluster_by=["l_orderkey", "l_partkey"],
+                         zorder=True, target_file_rows=200_000,
+                         writer_options=opts)
+    write_analytic_table(li, lexpath, cluster_by=["l_orderkey", "l_partkey"],
+                         target_file_rows=200_000, writer_options=opts)
+
+    thr_o = li.agg(F.max("l_orderkey")).first()[0] // 10
+    thr_p = li.agg(F.max("l_partkey")).first()[0] // 10
+
+    # metadata: Z-order overlaps a strict subset on BOTH dims
+    for col, thr in (("l_orderkey", thr_o), ("l_partkey", thr_p)):
+        z_touch, z_total = _rg_overlap_counts(zpath, col, thr)
+        assert z_total >= 8, "fixture too few row groups to prove anything"
+        assert z_touch < z_total * 0.6, (col, z_touch, z_total)
+
+    # lexicographic: leading column skips, trailing column cannot
+    lex_lead, lex_total = _rg_overlap_counts(lexpath, "l_orderkey", thr_o)
+    lex_trail, _ = _rg_overlap_counts(lexpath, "l_partkey", thr_p)
+    assert lex_lead < lex_total * 0.6
+    assert lex_trail == lex_total, "trailing col unexpectedly localized"
+
+    # runtime: the reader actually skipped (scan emitted < table rows)
+    # on BOTH dims of the Z layout
+    back = spark.read.parquet(zpath)
+    for col, thr in (("l_orderkey", thr_o), ("l_partkey", thr_p)):
+        probe = back.filter(F.col(col) <= thr).select(F.sum("l_quantity"))
+        emitted = _scan_output_rows(probe)
+        assert emitted < n_total * 0.7, (col, emitted, n_total)
