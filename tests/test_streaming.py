@@ -283,3 +283,91 @@ def test_tws_sessionize_matches_batch_and_apws(spark, events_batch, events_strea
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def _write_stream_file(spark, rows, dirpath, name, mtime):
+    import glob
+    import os
+    import shutil
+
+    df = spark.createDataFrame(rows, "id int, s string").select(
+        "id", F.col("s").cast("timestamp").alias("ts"))
+    tmp = f"{dirpath}__tmp_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = glob.glob(f"{tmp}/*.parquet")[0]
+    dst = f"{dirpath}/{name}.parquet"
+    shutil.copy(src, dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+def test_watermark_keep_drop_boundary_pinned(spark, tmp_path):
+    """The exact late-data semantics the stream_late_data_boundary
+    oracle replays, pinned on a constructed 3-batch sequence: the
+    late-event filter of batch k uses the watermark through batch k-2
+    (one batch behind eviction), so a late row whose window end <=
+    max(batch-0 ts) - delay is DROPPED while a later-windowed row from
+    the same file merges; availableNow's final no-data batch emits every
+    window whose end <= max(all ts) - delay."""
+    import os
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    # batch0: on-time, max ts 13:30 -> late-WM for batch2 = 12:30
+    _write_stream_file(spark, [(1, "2024-01-01 10:15:00"),
+                               (2, "2024-01-01 11:20:00"),
+                               (3, "2024-01-01 13:30:00")], d, "f1", 1.7e9)
+    # batch1: advances eviction (windows <= 12:30 evicted at its commit)
+    _write_stream_file(spark, [(5, "2024-01-01 13:40:00")], d, "f2", 1.7e9 + 100)
+    # batch2: 10:50 (win end 11:00 <= 12:30 -> DROP), 12:50 (win end
+    # 13:00 > 12:30 -> KEEP, but its window is withheld: final WM =
+    # 13:45 - 1h = 12:45 < 13:00), 13:45 (advances final WM)
+    _write_stream_file(spark, [(10, "2024-01-01 10:50:00"),
+                               (11, "2024-01-01 12:50:00"),
+                               (12, "2024-01-01 13:45:00")], d, "f3", 1.7e9 + 200)
+
+    schema = spark.read.parquet(d).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(d))
+    agg = (src.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.collect_list("id").alias("ids")))
+    q = (agg.select(F.col("w.start").alias("ws"), "n", "ids")
+         .writeStream.format("memory").queryName("wm_pin_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {str(r["ws"]): sorted(r["ids"])
+           for r in spark.table("wm_pin_sink").collect()}
+    # id 10 dropped (NOT re-emitted into the already-finalized window),
+    # id 11 kept but unfinalized, ids 1..3/5/12 in their windows
+    assert got == {"2024-01-01 10:00:00": [1],
+                   "2024-01-01 11:00:00": [2]}, got
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress if p["stateOperators"])
+    assert dropped == 1
+
+
+def test_stream_late_fixture_straddles_boundary(spark):
+    """The gate entry is only meaningful if the late batch has rows on
+    BOTH sides of the watermark: assert non-empty drop AND keep sets at
+    the test SF."""
+    import os
+
+    from apde_etl_spark.operators.similarity import hash60
+    from apde_etl_spark.plans.catalog import load_events
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    ev = load_events(spark, sf_dir).select("event_id", "ts")
+    b = hash60(F.col("event_id").cast("string")) % 20
+    tagged = ev.withColumn("b", b)
+    wm = (tagged.filter(F.col("b") >= 2)
+          .agg(F.max("ts")).first()[0])
+    import datetime
+
+    cut = wm - datetime.timedelta(hours=24)
+    f3 = tagged.filter(F.col("b") == 0)
+    win_end = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+    n_drop = f3.filter(win_end <= F.lit(cut)).count()
+    n_keep = f3.filter(win_end > F.lit(cut)).count()
+    assert n_drop > 0 and n_keep > 0, (n_drop, n_keep)
