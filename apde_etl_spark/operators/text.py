@@ -226,12 +226,25 @@ def pack_sequences(
     pads at the boundary). One window pass; the group is the partition
     key, so packs never span groups and the cumsum never shuffles twice.
     """
+    return pack_by_counts(df, token_count(text_col), group_col, id_col,
+                          token_budget)
+
+
+def pack_by_counts(
+    df: DataFrame,
+    n_tok: Column,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    token_budget: int = 2048,
+) -> DataFrame:
+    """:func:`pack_sequences` over an arbitrary per-row token-count
+    expression — e.g. a joined exact-BPE count column instead of the
+    whitespace heuristic, so pack sizing follows the real token budget."""
     w = (
         Window.partitionBy(group_col)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n_tok = token_count(text_col)
     cum = F.sum(n_tok).over(w)
     return df.select(
         F.col(id_col),
