@@ -122,25 +122,40 @@ def main() -> int:
             print(f"PASS {name}: {len(srows)} rows hash={sh[:12]}")
         release_scope(None)   # free operator-internal caches per entry
 
-    if not only:
-        import json
+    import json
 
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "")
+    fname = ("CORRECTNESS_local_r5.json" if tag == "sf001"
+             else f"CORRECTNESS_local_r5_{tag}.json")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        fname,
+    )
+    if not only:
         out = {
             "sf_dir": sf_dir,
             "n_entries": len(qs),
             "n_passed": len(qs) - len(failures),
             "entries": record,
         }
-        tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "")
-        fname = ("CORRECTNESS_local_r5.json" if tag == "sf001"
-                 else f"CORRECTNESS_local_r5_{tag}.json")
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            fname,
-        )
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
         print(f"wrote {path}")
+    elif record and os.path.exists(path):
+        # Subset runs fold their results into an existing full-run record
+        # (entries registered after the full run, re-verified fixes) so the
+        # file tracks the whole registry without a multi-hour re-run. Never
+        # creates the file — only a full run establishes the baseline.
+        with open(path) as fh:
+            out = json.load(fh)
+        out["entries"].update(record)
+        out["n_entries"] = len(qs)
+        out["n_passed"] = sum(
+            1 for v in out["entries"].values() if v.get("status") == "pass"
+        )
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+        print(f"merged {len(record)} entries into {path}")
     n_run = len(only) if only else len(qs)
     print(f"\n{n_run - len(failures)}/{n_run} passed")
     return 1 if failures else 0
