@@ -1734,3 +1734,110 @@ def recommend_planes(n_vectors: int, target_bucket_size: int = 64) -> int:
     if n_vectors <= target_bucket_size:
         return 1
     return min(30, max(1, math.ceil(math.log2(n_vectors / target_bucket_size))))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the 4x-compressed vector representation
+# ---------------------------------------------------------------------------
+
+def sq8_train_bounds(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] over the corpus in ONE codegen'd pass:
+    2*dim scalar aggregates over array extracts — no explode, no shuffle
+    of vector bodies. Partial aggregation reduces each partition to one
+    2*dim-wide row before the single-row final merge, so training cost
+    is a straight scan at any corpus size (the same shape at 100 TB)."""
+    v = F.col(vec_col)
+    aggs = [F.min(v[i].cast("double")).alias(f"mn{i}") for i in range(dim)]
+    aggs += [F.max(v[i].cast("double")).alias(f"mx{i}") for i in range(dim)]
+    row = df.agg(*aggs).first()
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    return mins, maxs
+
+
+def sq8_quantize(
+    vec: Column | str, mins: list[float], maxs: list[float]
+) -> Column:
+    """8-bit scalar quantization: ``q_i = floor((x_i - mn_i) / span_i *
+    255 + 0.5)`` clamped to [0, 255] (0 where ``span_i == 0``).
+
+    Returned as ``array<int>`` for inspectability; a production sink
+    packs it into a 64-byte binary column — 4x smaller than float32,
+    which is the representation a 100 TB vector scan actually reads.
+    The arithmetic is plain IEEE double ops in a fixed order so a SQL
+    oracle restating the same expression is bit-identical."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    mn = F.array(*[F.lit(float(m)) for m in mins])
+    mx = F.array(*[F.lit(float(m)) for m in maxs])
+
+    def q(x, i):
+        lo = F.element_at(mn, i + F.lit(1))
+        span = F.element_at(mx, i + F.lit(1)) - lo
+        raw = F.floor((x.cast("double") - lo) / span * F.lit(255.0)
+                      + F.lit(0.5))
+        return (
+            F.when(span == F.lit(0.0), F.lit(0))
+            .otherwise(F.least(F.lit(255), F.greatest(F.lit(0), raw)))
+            .cast("int")
+        )
+
+    return F.transform(c, q)
+
+
+def sq8_dequantize(
+    qv: Column, mins: list[float], maxs: list[float]
+) -> Column:
+    """Reconstruction: ``mn_i + q_i * (span_i / 255)`` — the value every
+    SQ8 distance computation actually scores against."""
+    mn = F.array(*[F.lit(float(m)) for m in mins])
+    mx = F.array(*[F.lit(float(m)) for m in maxs])
+
+    def d(x, i):
+        lo = F.element_at(mn, i + F.lit(1))
+        span = F.element_at(mx, i + F.lit(1)) - lo
+        return lo + x.cast("double") * (span / F.lit(255.0))
+
+    return F.transform(qv, d)
+
+
+def ann_sq8_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    rerank: int = 40,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage SQ8 ANN: brute-force cosine over the DEQUANTIZED 8-bit
+    representation picks ``rerank`` candidates (per-partition top-k +
+    driver merge, no shuffle — and at scale the scan reads 4x fewer
+    bytes than float32), then the exact float vectors of just those
+    candidates are re-scored for the final top-``k``.
+
+    Output: (id, exact cosine, sq8 approximate cosine) — keeping both
+    makes the quantization error directly observable."""
+    mins, maxs = sq8_train_bounds(df, vec_col=vec_col, dim=dim)
+    dq = sq8_dequantize(sq8_quantize(vec_col, mins, maxs), mins, maxs)
+    base = df.select(
+        F.col(id_col), dq.alias("__dv"),
+        as_double_array(vec_col).alias("__v"),
+    )
+    qrow = base.filter(F.col(id_col) == query_id).select("__dv", "__v").first()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found in {id_col}")
+    qdv = F.array(*[F.lit(float(x)) for x in qrow["__dv"]])
+    qv = F.array(*[F.lit(float(x)) for x in qrow["__v"]])
+    cand = (
+        base.select(id_col, "__v", cosine(F.col("__dv"), qdv).alias("sq8_raw"))
+        .orderBy(F.desc("sq8_raw"), F.asc(id_col))
+        .limit(rerank)
+    )
+    return (
+        cand.select(id_col, cosine(F.col("__v"), qv).alias("exact_raw"),
+                    "sq8_raw")
+        .orderBy(F.desc("exact_raw"), F.asc(id_col))
+        .limit(k)
+    )

@@ -187,3 +187,39 @@ def windowed_sliding_counts(
             "count",
         )
     )
+
+
+def windowed_session_counts(
+    df: DataFrame,
+    event_time: str,
+    group_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-group session aggregates with Spark's NATIVE ``session_window``
+    (extension, SURVEY §2.12): sessions merge while consecutive events
+    are <= ``gap`` apart (a gap of exactly the duration still merges);
+    a session's end is last-event-time + ``gap``.
+
+    This is the built-in dynamic-gap counterpart of the custom
+    ``applyInPandasWithState`` sessionizer in
+    :mod:`apde_etl_spark.streaming.sessionize` — state is merged by the
+    engine (no Python in the loop), bounded by open sessions per group,
+    and evicted by the watermark. Append mode emits a session only once
+    the watermark passes its end, which is what makes the output final."""
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(event_time, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(event_time), gap).alias("win"),
+            F.col(group_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            group_col,
+            "n_events",
+        )
+    )

@@ -371,3 +371,53 @@ def test_stream_late_fixture_straddles_boundary(spark):
     n_drop = f3.filter(win_end <= F.lit(cut)).count()
     n_keep = f3.filter(win_end > F.lit(cut)).count()
     assert n_drop > 0 and n_keep > 0, (n_drop, n_keep)
+
+
+def test_session_window_boundaries_pinned(spark, tmp_path):
+    """Pins the three boundary rules the stream_session_window_counts
+    oracle restates, none of which the sf testdata happens to exercise:
+
+    - a gap of exactly 1800 s still MERGES (split requires gap > gap
+      duration — the window is closed at last_ts + gap);
+    - append emits sessions with end <= the final watermark (= max ts
+      with 0 s delay), INCLUDING one ending exactly at it; only the
+      stream head's session (end > WM) stays open in the state store.
+    """
+    from apde_etl_spark.streaming.profile_stream import windowed_session_counts
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    rows = [
+        (1, base + 0), (1, base + 1799),      # merge: end = base+3599
+        (2, base + 0), (2, base + 1800),      # exactly-gap: still merges
+        (2, base + 5400),                     # 1801+ s after: splits
+        (3, base + 8200),                     # end = base+10000 == final WM
+        (4, base + 10000),                    # stream head: end > WM
+    ]
+    d = str(tmp_path / "sess_src")
+    df = spark.createDataFrame(rows, "user_id int, e long").select(
+        "user_id", F.timestamp_seconds("e").alias("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).parquet(d)
+    sess = windowed_session_counts(src, "ts", "user_id",
+                                   gap="30 minutes", watermark="0 seconds")
+    q = (sess.writeStream.format("memory").queryName("sess_pin_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {
+        (r.user_id, int(r.session_start.timestamp()) - base,
+         int(r.session_end.timestamp()) - base, r.n_events)
+        for r in spark.table("sess_pin_sink").collect()
+    }
+    assert got == {
+        (1, 0, 3599, 2),       # 1799 s gap merged
+        (2, 0, 3600, 2),       # exactly-1800 s gap ALSO merged
+        (2, 5400, 7200, 1),    # 1800 s past the session end: split
+        (3, 8200, 10000, 1),   # end == final WM: emitted (<=)
+        # user 4 (stream head, end > WM) withheld
+    }
+
+    # batch mode of the same helper sees ALL sessions incl. the open ones
+    batch = windowed_session_counts(df, "ts", "user_id", gap="30 minutes")
+    assert batch.count() == 5
