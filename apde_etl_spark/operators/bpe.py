@@ -181,20 +181,36 @@ def bpe_word_token_counts(
     return src.mapInPandas(run, out_schema)
 
 
+#: Above this many distinct words the encoded-vocabulary join-back stops
+#: being broadcast and falls back to a shuffle hash join on the word key.
+#: 2M (word, int) rows is ~tens of MB serialized — comfortably inside an
+#: executor broadcast budget; a web-scale vocabulary is not.
+BPE_VOCAB_BROADCAST_MAX_WORDS = 2_000_000
+
+
 def bpe_doc_token_counts(
     df: DataFrame,
     id_cols: Sequence[str] = ("doc_id",),
     text_col: str = "text",
     merges: Sequence[tuple[str, str]] | None = None,
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Per-document exact BPE token counts, scale-shaped: words are
     extracted NATIVELY (regexp_extract_all + explode), reduced to
     (id..., word, occurrences) with one map-side-combined shuffle,
     distinct words are encoded ONCE by :func:`bpe_word_token_counts`,
-    and the counts join back (broadcast when the vocabulary is small —
-    Spark's size estimate gates it) before a native weighted sum. Also
-    carries ``n_words`` (= the heuristic's answer) so callers can
-    quantify heuristic-vs-exact divergence for free."""
+    and the counts join back before a native weighted sum. Also carries
+    ``n_words`` (= the heuristic's answer) so callers can quantify
+    heuristic-vs-exact divergence for free.
+
+    ``broadcast_vocab=None`` gates the join-back strategy on an actual
+    vocabulary count (one cheap native job — the Arrow encode stage it
+    precedes dwarfs it): <= ``BPE_VOCAB_BROADCAST_MAX_WORDS`` distinct
+    words pin the counts in every executor; above that the join runs as
+    a word-keyed shuffle, because mapInPandas output has no size stats
+    and an unconditional broadcast hint would OOM the driver on a
+    web-scale vocabulary. Pass True/False to skip the count when the
+    caller already knows the regime."""
     ids = list(id_cols)
     words = df.select(
         *ids,
@@ -204,9 +220,17 @@ def bpe_doc_token_counts(
     )
     per_word = words.groupBy(*ids, "word").agg(F.count("*").alias("occ"))
     vocab = per_word.select("word").distinct()
+    if broadcast_vocab is None:
+        # count straight off the exploded words (map-side partial
+        # aggregate, no per-(id, word) shuffle) — one native job that the
+        # Arrow encode stage it gates dwarfs
+        n_vocab = words.select(F.count_distinct("word")).first()[0]
+        broadcast_vocab = n_vocab <= BPE_VOCAB_BROADCAST_MAX_WORDS
     counts = bpe_word_token_counts(vocab, merges=merges)
+    if broadcast_vocab:
+        counts = F.broadcast(counts)
     return (
-        per_word.join(F.broadcast(counts), "word")
+        per_word.join(counts, "word")
         .groupBy(*ids)
         .agg(
             F.sum(F.col("occ") * F.col("n_bpe_tokens")).cast("long")

@@ -77,6 +77,11 @@ HEADLINE = [
     "semantic_dedup_incremental",
     "cbo_reordered_join",
     "temporal_pipeline_end2end",
+    # round 5: skew-safe asof, exact BPE, variable-length repeats, SQ8 ANN
+    "asof_attribute_clicks_salted",
+    "bpe_token_count_exact",
+    "repeated_maxspan_docs",
+    "ann_sq8_topk",
 ]
 
 

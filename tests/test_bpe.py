@@ -112,3 +112,32 @@ def test_exact_diverges_from_heuristic(spark):
         "doc_id int, source string, text string")
     r = bpe.bpe_doc_token_counts(df, id_cols=("doc_id",)).collect()[0]
     assert r["n_bpe_tokens"] > r["n_words"]
+
+
+def test_vocab_join_shuffle_fallback_matches_broadcast(spark):
+    """The size gate only changes the join STRATEGY: forcing the
+    shuffle fallback (the >2M-word regime) must give identical counts,
+    and the auto gate (an actual count_distinct job) must agree too.
+    With auto-broadcast disabled, only the forced-hint path may still
+    broadcast — proving False really drops the hint and leaves the
+    choice to Spark's size estimate."""
+    rows = [(i, "s", f"alpha{i % 7} beta gamma{i % 3} delta") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    canon = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    bc = bpe.bpe_doc_token_counts(df, broadcast_vocab=True)
+    sh = bpe.bpe_doc_token_counts(df, broadcast_vocab=False)
+    auto = bpe.bpe_doc_token_counts(df)
+    assert canon(bc) == canon(sh) == canon(auto)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def plan(d):
+            return d._sc._jvm.PythonSQLUtils.explainString(
+                d._jdf.queryExecution(), "formatted")
+        assert "BroadcastHashJoin" in plan(
+            bpe.bpe_doc_token_counts(df, broadcast_vocab=True))
+        assert "BroadcastHashJoin" not in plan(
+            bpe.bpe_doc_token_counts(df, broadcast_vocab=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
