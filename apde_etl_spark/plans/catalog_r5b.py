@@ -178,3 +178,111 @@ def stream_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+# ===========================================================================
+# Distribution drift monitor (frozen-baseline bins, exact arithmetic)
+# ===========================================================================
+
+_DRIFT_CUTOFF = "2024-01-16"
+_DRIFT_DECILES = [i / 10.0 for i in range(1, 10)]
+
+_DRIFT_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+  WHERE value IS NOT NULL
+), e AS (
+  SELECT quantile_cont(value, {_DRIFT_DECILES}) AS edges
+  FROM ev WHERE ts < TIMESTAMP '{_DRIFT_CUTOFF}'
+), binned AS (
+  SELECT CASE WHEN ts < TIMESTAMP '{_DRIFT_CUTOFF}'
+              THEN 'baseline' ELSE 'current' END AS period,
+         len(list_filter(edges, x -> x < value)) AS bin
+  FROM ev, e
+), tot AS (
+  SELECT period, CAST(count(*) AS DOUBLE) AS n FROM binned GROUP BY period
+), c AS (
+  SELECT period, bin, count(*) AS cnt FROM binned GROUP BY period, bin
+), grid AS (
+  SELECT unnest(range(10)) AS bin
+), props AS (
+  SELECT g.bin,
+         COALESCE((SELECT CAST(cnt AS DOUBLE) / n FROM c, tot
+                   WHERE c.period = 'baseline' AND tot.period = 'baseline'
+                     AND c.bin = g.bin), 0.0) AS qp,
+         COALESCE((SELECT CAST(cnt AS DOUBLE) / n FROM c, tot
+                   WHERE c.period = 'current' AND tot.period = 'current'
+                     AND c.bin = g.bin), 0.0) AS pp
+  FROM grid g
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       {_sql_round('qp', 6)} AS baseline_prop,
+       {_sql_round('pp', 6)} AS current_prop,
+       {_sql_round('(pp - qp) * (pp - qp) / qp', 6)} AS chi2_term,
+       {_sql_round('abs(pp - qp) / 2.0', 6)} AS tv_term
+FROM props
+"""
+
+
+@register("drift_value_by_period", _DRIFT_ORACLE)
+def drift_value_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor over ``events.value``: decile bin edges
+    are FROZEN on the baseline period (exact interpolated percentiles —
+    the same F.percentile/quantile_cont parity as
+    ``length_deciles_by_source``), both periods are binned against those
+    frozen edges (boundary rule ``edge < value``, identical both
+    engines), and per-bin chi-square and total-variation contributions
+    come out as pure arithmetic — deliberately NOT PSI/KL, whose ``ln``
+    is not bit-reproducible across engines (libm vs JVM), the same
+    trade ``unigram_commonness_score`` makes.
+
+    Scale shape: one percentile pass over the baseline (GK-swappable at
+    100 TB like the deciles entry), one scan binning both periods via a
+    9-element literal array (codegen'd, no join), one 20-group
+    aggregate. The drift extension of the reference's period-over-period
+    QA (qa.load.final change flags, qa_load_data.R) from equality checks
+    to distribution distances."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
+    base = ev.filter(F.col("ts") < cutoff)
+    edges = [float(x) for x in base.agg(
+        F.percentile("value", F.array(*[F.lit(d) for d in _DRIFT_DECILES]))
+    ).first()[0]]
+    edge_arr = F.array(*[F.lit(e) for e in edges])
+    binned = ev.select(
+        F.when(F.col("ts") < cutoff, F.lit("baseline"))
+        .otherwise(F.lit("current")).alias("period"),
+        F.size(F.filter(edge_arr, lambda e: e < F.col("value"))).alias("bin"),
+    )
+    counts = binned.groupBy("period", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    # totals re-aggregate the <=20 bin counts — one scan of events total
+    from pyspark.sql.window import Window
+
+    props = counts.select(
+        "period", "bin",
+        (F.col("cnt").cast("double")
+         / F.sum(F.col("cnt").cast("double")).over(
+             Window.partitionBy("period"))).alias("prop"),
+    )
+    grid = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    wide = (
+        grid.join(
+            F.broadcast(props.filter(F.col("period") == "baseline")
+                        .select("bin", F.col("prop").alias("qp"))),
+            "bin", "left")
+        .join(
+            F.broadcast(props.filter(F.col("period") == "current")
+                        .select("bin", F.col("prop").alias("pp"))),
+            "bin", "left")
+        .select("bin",
+                F.coalesce(F.col("qp"), F.lit(0.0)).alias("qp"),
+                F.coalesce(F.col("pp"), F.lit(0.0)).alias("pp"))
+    )
+    d = F.col("pp") - F.col("qp")
+    return wide.select(
+        "bin",
+        round_half_away(F.col("qp"), 6).alias("baseline_prop"),
+        round_half_away(F.col("pp"), 6).alias("current_prop"),
+        round_half_away(d * d / F.col("qp"), 6).alias("chi2_term"),
+        round_half_away(F.abs(d) / F.lit(2.0), 6).alias("tv_term"),
+    )
