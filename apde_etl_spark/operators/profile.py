@@ -617,3 +617,81 @@ def combined_profile(
         median_mode=mode,
         base=base,
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    value_col: str,
+    baseline_pred: Column,
+    group_cols: Sequence[str] = (),
+    n_bins: int = 10,
+) -> DataFrame:
+    """Frozen-baseline distribution drift (extension of the reference's
+    period-over-period QA — qa_load_data.R change flags — from equality
+    checks to distribution distances).
+
+    Bin edges are the BASELINE rows' exact interpolated quantiles
+    (per group when ``group_cols`` given), both periods are binned
+    against those frozen edges (boundary rule ``edge < value``), and
+    per-bin chi-square / total-variation contributions come out as pure
+    arithmetic — deliberately not PSI/KL, whose ``ln`` is not
+    bit-reproducible across engines.
+
+    Scale shape: one quantile pass over the baseline (GK-swappable at
+    100 TB), the tiny per-group edge table broadcast back onto ONE scan
+    of the facts, then a (group, period, bin) aggregate whose totals
+    re-aggregate the bin counts — the fact table is never joined to
+    itself and never scanned twice. ``chi2_term`` is NULL for bins the
+    baseline never populates (possible under heavy quantile ties).
+    """
+    gcols = list(group_cols)
+    probs = [i / n_bins for i in range(1, n_bins)]
+    base = df.filter(baseline_pred)
+    edges = base.groupBy(*gcols).agg(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in probs]))
+        .alias("__edges")
+    )
+    joined = (
+        df.join(F.broadcast(edges), on=gcols) if gcols
+        else df.crossJoin(F.broadcast(edges))
+    )
+    binned = joined.select(
+        *gcols,
+        F.when(baseline_pred, F.lit("baseline")).otherwise(F.lit("current"))
+        .alias("__period"),
+        F.size(F.filter(F.col("__edges"), lambda e: e < F.col(value_col)))
+        .alias("bin"),
+    )
+    counts = binned.groupBy(*gcols, "__period", "bin").agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    props = counts.select(
+        *gcols, "__period", "bin",
+        (F.col("__cnt").cast("double")
+         / F.sum(F.col("__cnt").cast("double")).over(
+             Window.partitionBy(*gcols, "__period"))).alias("__prop"),
+    )
+    grid = edges.select(
+        *gcols,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    ).select(*gcols, F.col("bin").cast("int").alias("bin"))
+    side = {}
+    for period in ("baseline", "current"):
+        side[period] = props.filter(F.col("__period") == period).select(
+            *gcols, "bin", F.col("__prop").alias(f"__{period}"))
+    wide = (
+        grid.join(F.broadcast(side["baseline"]), [*gcols, "bin"], "left")
+        .join(F.broadcast(side["current"]), [*gcols, "bin"], "left")
+        .select(
+            *gcols, "bin",
+            F.coalesce(F.col("__baseline"), F.lit(0.0)).alias("qp"),
+            F.coalesce(F.col("__current"), F.lit(0.0)).alias("pp"),
+        )
+    )
+    d = F.col("pp") - F.col("qp")
+    return wide.select(
+        *gcols, "bin",
+        F.col("qp").alias("baseline_prop"),
+        F.col("pp").alias("current_prop"),
+        F.when(F.col("qp") > 0, d * d / F.col("qp")).alias("chi2_term"),
+        (F.abs(d) / F.lit(2.0)).alias("tv_term"),
+    )

@@ -242,47 +242,79 @@ def drift_value_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. The drift extension of the reference's period-over-period
     QA (qa.load.final change flags, qa_load_data.R) from equality checks
     to distribution distances."""
+    from apde_etl_spark.operators.profile import distribution_drift
+
     ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
     cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
-    base = ev.filter(F.col("ts") < cutoff)
-    edges = [float(x) for x in base.agg(
-        F.percentile("value", F.array(*[F.lit(d) for d in _DRIFT_DECILES]))
-    ).first()[0]]
-    edge_arr = F.array(*[F.lit(e) for e in edges])
-    binned = ev.select(
-        F.when(F.col("ts") < cutoff, F.lit("baseline"))
-        .otherwise(F.lit("current")).alias("period"),
-        F.size(F.filter(edge_arr, lambda e: e < F.col("value"))).alias("bin"),
-    )
-    counts = binned.groupBy("period", "bin").agg(F.count(F.lit(1)).alias("cnt"))
-    # totals re-aggregate the <=20 bin counts — one scan of events total
-    from pyspark.sql.window import Window
-
-    props = counts.select(
-        "period", "bin",
-        (F.col("cnt").cast("double")
-         / F.sum(F.col("cnt").cast("double")).over(
-             Window.partitionBy("period"))).alias("prop"),
-    )
-    grid = spark.range(10).select(F.col("id").cast("int").alias("bin"))
-    wide = (
-        grid.join(
-            F.broadcast(props.filter(F.col("period") == "baseline")
-                        .select("bin", F.col("prop").alias("qp"))),
-            "bin", "left")
-        .join(
-            F.broadcast(props.filter(F.col("period") == "current")
-                        .select("bin", F.col("prop").alias("pp"))),
-            "bin", "left")
-        .select("bin",
-                F.coalesce(F.col("qp"), F.lit(0.0)).alias("qp"),
-                F.coalesce(F.col("pp"), F.lit(0.0)).alias("pp"))
-    )
-    d = F.col("pp") - F.col("qp")
-    return wide.select(
+    out = distribution_drift(ev, "value", F.col("ts") < cutoff)
+    return out.select(
         "bin",
-        round_half_away(F.col("qp"), 6).alias("baseline_prop"),
-        round_half_away(F.col("pp"), 6).alias("current_prop"),
-        round_half_away(d * d / F.col("qp"), 6).alias("chi2_term"),
-        round_half_away(F.abs(d) / F.lit(2.0), 6).alias("tv_term"),
+        round_half_away(F.col("baseline_prop"), 6).alias("baseline_prop"),
+        round_half_away(F.col("current_prop"), 6).alias("current_prop"),
+        round_half_away(F.col("chi2_term"), 6).alias("chi2_term"),
+        round_half_away(F.col("tv_term"), 6).alias("tv_term"),
+    )
+
+
+_DRIFT_BY_TYPE_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+  WHERE value IS NOT NULL
+), e AS (
+  SELECT event_type, quantile_cont(value, {_DRIFT_DECILES}) AS edges
+  FROM ev WHERE ts < TIMESTAMP '{_DRIFT_CUTOFF}' GROUP BY event_type
+), binned AS (
+  SELECT ev.event_type,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_CUTOFF}'
+              THEN 'baseline' ELSE 'current' END AS period,
+         len(list_filter(edges, x -> x < value)) AS bin
+  FROM ev JOIN e USING (event_type)
+), c AS (
+  SELECT event_type, period, bin, count(*) AS cnt
+  FROM binned GROUP BY event_type, period, bin
+), tot AS (
+  SELECT event_type, period, sum(cnt) AS n FROM c GROUP BY event_type, period
+), p AS (
+  SELECT event_type, period, bin, CAST(cnt AS DOUBLE) / n AS prop
+  FROM c JOIN tot USING (event_type, period)
+), grid AS (
+  SELECT event_type, unnest(range(10)) AS bin FROM e
+), q AS (
+  SELECT grid.event_type, CAST(grid.bin AS INTEGER) AS bin,
+         COALESCE(pb.prop, 0.0) AS qp, COALESCE(pc.prop, 0.0) AS pp
+  FROM grid
+  LEFT JOIN p pb ON pb.event_type = grid.event_type
+                AND pb.bin = grid.bin AND pb.period = 'baseline'
+  LEFT JOIN p pc ON pc.event_type = grid.event_type
+                AND pc.bin = grid.bin AND pc.period = 'current'
+)
+SELECT event_type, bin,
+       {_sql_round('qp', 6)} AS baseline_prop,
+       {_sql_round('pp', 6)} AS current_prop,
+       CASE WHEN qp > 0
+            THEN {_sql_round('(pp - qp) * (pp - qp) / qp', 6)} END AS chi2_term,
+       {_sql_round('abs(pp - qp) / 2.0', 6)} AS tv_term
+FROM q
+"""
+
+
+@register("drift_value_by_type", _DRIFT_BY_TYPE_ORACLE)
+def drift_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped face of the same operator: per-event_type frozen
+    baselines (each type gets its OWN decile edges), proving
+    ``distribution_drift`` generalizes beyond one global histogram —
+    the per-group edge table is broadcast onto the single fact scan, so
+    the plan shape is unchanged by grouping."""
+    from apde_etl_spark.operators.profile import distribution_drift
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
+    out = distribution_drift(
+        ev, "value", F.col("ts") < cutoff, group_cols=("event_type",))
+    return out.select(
+        "event_type", "bin",
+        round_half_away(F.col("baseline_prop"), 6).alias("baseline_prop"),
+        round_half_away(F.col("current_prop"), 6).alias("current_prop"),
+        round_half_away(F.col("chi2_term"), 6).alias("chi2_term"),
+        round_half_away(F.col("tv_term"), 6).alias("tv_term"),
     )
