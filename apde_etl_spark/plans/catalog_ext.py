@@ -143,12 +143,31 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard over all pairs >= 0.2 — the
     brute-force truth the LSH path approximates. Quadratic by design;
-    exists as the verification baseline for minhash_lsh_neardup."""
-    docs = load(spark, sf_dir, "documents")
+    exists as the verification baseline for minhash_lsh_neardup.
+
+    Two lossless scale guards on the nested-loop pair scan (results
+    bit-identical, proven by the unchanged oracle hash):
+    - the probe side is REPARTITIONED before the broadcast NLJ — a
+      small parquet read arrives as one partition, which would put the
+      whole O(n^2) enumeration in a single task (observed: 25+ min at
+      1 core on sf0.1 before this fix);
+    - a size-ratio cull rides in the join condition: J(A,B) <=
+      min(|A|,|B|)/max(|A|,|B|), so J >= 0.2 requires the shingle
+      counts within 5x of each other — culled pairs cost two integer
+      compares instead of an array intersection."""
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     sh = docs.select("doc_id", SIM.word_shingles(F.col("text"), 3).alias("s"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sh = sh.withColumn("n", F.size("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"),
+                  F.col("n").alias("na"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"),
+                  F.col("n").alias("nb"))
+    pairs = a.join(
+        b,
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("na") * 5 >= F.col("nb"))
+        & (F.col("nb") * 5 >= F.col("na")),
+    )
     j = SIM.jaccard(F.col("sa"), F.col("sb"))
     return (
         pairs.withColumn("jaccard_sim", j)
