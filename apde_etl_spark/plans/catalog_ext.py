@@ -348,8 +348,11 @@ FROM scored ORDER BY c DESC, id_a ASC, id_b ASC LIMIT 20
 def embed_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most-similar embedding pairs by exact cosine — the
     embedding near-dup primitive (brute force; the LSH-bucketed variant
-    is the scale path, tested against this in tests/)."""
-    emb = load(spark, sf_dir, "embeddings")
+    is the scale path, tested against this in tests/). Rebalanced before
+    the nested-loop pair scan — a one-partition parquet source would
+    otherwise serialize the O(n^2) enumeration into a single task (the
+    same trap ngram_jaccard_pairs hit; 22s -> ~2s at sf0.1)."""
+    emb = load(spark, sf_dir, "embeddings", rebalance=True)
     e = emb.select("vec_id", SIM.as_double_array("embedding").alias("v"))
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
