@@ -644,12 +644,22 @@ def distribution_drift(
     itself and never scanned twice. ``chi2_term`` is NULL for bins the
     baseline never populates (possible under heavy quantile ties).
     """
+    from apde_etl_spark.operators.cache import tracked_persist
+
     gcols = list(group_cols)
     probs = [i / n_bins for i in range(1, n_bins)]
     base = df.filter(baseline_pred)
-    edges = base.groupBy(*gcols).agg(
-        F.percentile(value_col, F.array(*[F.lit(p) for p in probs]))
-        .alias("__edges")
+    # Both intermediates below are tiny aggregates (one row per group /
+    # per (group, period, bin)) but feed MULTIPLE downstream branches;
+    # without persisting them the lazy DAG re-derives each branch from
+    # the FACT scan — 5 scans of the base table instead of 2 (observed
+    # in the plan audit). Released via release_scope("profile").
+    edges = tracked_persist(
+        base.groupBy(*gcols).agg(
+            F.percentile(value_col, F.array(*[F.lit(p) for p in probs]))
+            .alias("__edges")
+        ),
+        scope="profile",
     )
     joined = (
         df.join(F.broadcast(edges), on=gcols) if gcols
@@ -662,8 +672,11 @@ def distribution_drift(
         F.size(F.filter(F.col("__edges"), lambda e: e < F.col(value_col)))
         .alias("bin"),
     )
-    counts = binned.groupBy(*gcols, "__period", "bin").agg(
-        F.count(F.lit(1)).alias("__cnt"))
+    counts = tracked_persist(
+        binned.groupBy(*gcols, "__period", "bin").agg(
+            F.count(F.lit(1)).alias("__cnt")),
+        scope="profile",
+    )
     props = counts.select(
         *gcols, "__period", "bin",
         (F.col("__cnt").cast("double")
