@@ -1259,45 +1259,100 @@ def train_pq_codebooks(
     return books
 
 
-def pq_encode_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+def _pq_books_sql(codebooks: list[list[list[float]]]) -> str:
+    """The codebooks as ONE nested-array SQL literal
+    (``array(array(array(double...)))``). Catalyst constant-folds the
+    CreateArray tree into a single Literal during optimization, so
+    codegen references one JVM array object instead of m x k_codes x
+    dim/m inline constants — the inline-constant formulation this
+    replaced exceeded Janino's method limits at m=8/k=16/dim=64 and
+    fell back to interpreted eval (measured: ~2x slower pair scans),
+    and the pyspark-Column formulation before THAT cost ~10s of
+    driver time per plan in py4j round-trips."""
+    return "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in cb) + ")"
+            for cb in bk
+        ) + ")"
+        for bk in codebooks
+    ) + ")"
+
+
+def _pq_dists_sql(vec_name: str, books_sql: str, sub: int) -> str:
+    """SQL text for the per-subspace distance arrays:
+    ``transform(books, (bk, i) -> transform(bk, c -> sqL2(slice(vec), c)))``
+    — entry [i][j] is the squared L2 between the vector's subspace-i
+    slice and centroid (i, j), with the identical deterministic left
+    fold as :func:`_sq_l2`."""
+    return (
+        f"transform({books_sql}, (bk, i) -> "
+        f"transform(bk, c -> aggregate("
+        f"zip_with(slice(`{vec_name}`, i * {sub} + 1, {sub}), c, "
+        f"(x, y) -> (x - y) * (x - y)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)))"
+    )
+
+
+def pq_encode_col(vec_name: str, codebooks: list[list[list[float]]]) -> Column:
     """PQ code array for one vector column: per subspace, the argmin-
-    distance codebook index — a pure Column expression (m x k_codes
-    codegen'd distance folds), no shuffle, evaluated in the scan stage.
+    distance codebook index — no shuffle, evaluated in the scan stage.
     The encoded corpus is m small ints per vector: for dim=64 float
     vectors and m=8, that is a 32x size reduction, which is the whole
     point — corpus-side structures that could never broadcast as raw
-    vectors ship as codes."""
-    m = len(codebooks)
-    k_codes = len(codebooks[0])
+    vectors ship as codes. Built as one small HOF expression over the
+    constant-folded codebook literal (see :func:`_pq_books_sql` for
+    why not inline constants or pyspark Column calls); ``vec_name`` is
+    the column NAME the expression references."""
     sub = len(codebooks[0][0])
-    codes = []
-    for i in range(m):
-        s = F.slice(vec, i * sub + 1, sub)
-        dists = F.array(*[
-            _sq_l2(s, F.array(*[F.lit(float(x)) for x in codebooks[i][j]]))
-            for j in range(k_codes)
-        ])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return F.array(*codes)
+    dists = _pq_dists_sql(vec_name, _pq_books_sql(codebooks), sub)
+    return F.expr(
+        f"transform({dists}, d -> "
+        f"cast(array_position(d, array_min(d)) - 1 as int))"
+    )
 
 
-def pq_distance_table_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+def pq_distance_table_col(vec_name: str, codebooks: list[list[list[float]]]) -> Column:
     """Flat ADC distance table for one query vector: entry
     ``i * k_codes + j`` = squared L2 between the query's subvector i and
     codebook centroid (i, j). Computed once per query row; every
     query-corpus pair then costs m array lookups instead of dim
-    multiplies (asymmetric distance computation)."""
-    m = len(codebooks)
-    k_codes = len(codebooks[0])
+    multiplies (asymmetric distance computation). Same constant-folded
+    HOF construction (and rationale) as :func:`pq_encode_col`."""
     sub = len(codebooks[0][0])
-    entries = []
-    for i in range(m):
-        s = F.slice(vec, i * sub + 1, sub)
-        for j in range(k_codes):
-            entries.append(
-                _sq_l2(s, F.array(*[F.lit(float(x)) for x in codebooks[i][j]]))
-            )
-    return F.array(*entries)
+    dists = _pq_dists_sql(vec_name, _pq_books_sql(codebooks), sub)
+    return F.expr(f"flatten({dists})")
+
+
+def pq_train_books(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    train_iters: int = 1,
+) -> list[list[list[float]]]:
+    """Train flat-PQ codebooks on the unit-normalized corpus, exactly
+    as :func:`ann_pq_topk` does internally — the share point for
+    callers that evaluate several PQ configurations over ONE corpus
+    (e.g. ann_recall_pq runs rerank on/off over the same books): the
+    Lloyd loop is several driver round-trips, so training once and
+    passing the result via ``codebooks=`` halves the per-method setup
+    cost without changing any output (the training is deterministic)."""
+    raw = df.select(
+        F.col(id_col), as_double_array(vec_col).alias("__r")
+    ).withColumn("__nrm", l2_norm(F.col("__r")))
+    e = tracked_persist(
+        raw.select(
+            F.col(id_col),
+            F.transform("__r", lambda x: x / F.col("__nrm")).alias("__v"),
+        ),
+        scope="similarity",
+    )
+    try:
+        return train_pq_codebooks(e, id_col, dim, m, k_codes, train_iters)
+    finally:
+        tracked_release(e)
 
 
 def resolve_pq_route(
@@ -1326,6 +1381,7 @@ def ann_pq_topk(
     rerank: int | None = None,
     broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
     on_overflow: str = "ivfpq",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k by product quantization with asymmetric
     distance (ADC): vectors unit-normalize, codebooks train (driver-
@@ -1356,7 +1412,13 @@ def ann_pq_topk(
     the final top-k comes off the exact scores. Recall rises sharply
     (quantization error only costs a hit if the true neighbor falls out
     of the whole shortlist) while exact-distance work stays
-    O(rerank x dim) per query instead of O(corpus x dim)."""
+    O(rerank x dim) per query instead of O(corpus x dim).
+
+    ``codebooks``: pre-trained books (from :func:`pq_train_books` on
+    the SAME corpus/m/k_codes) skip the internal training pass — the
+    Lloyd loop costs several driver round-trips, so callers evaluating
+    multiple knob settings over one corpus (the recall entries) train
+    once and share."""
     if on_overflow not in ("ivfpq", "error"):
         raise ValueError(f"ann_pq_topk: unknown on_overflow={on_overflow!r}")
     raw = df.select(
@@ -1384,15 +1446,16 @@ def ann_pq_topk(
             m=m, k_codes=k_codes, pq_train_iters=train_iters, rerank=rerank,
             broadcast_threshold_bytes=broadcast_threshold_bytes,
         )
-    books = train_pq_codebooks(e, id_col, dim, m, k_codes, train_iters)
+    books = codebooks if codebooks is not None else train_pq_codebooks(
+        e, id_col, dim, m, k_codes, train_iters)
     k_codes = len(books[0])  # may have clamped to the corpus size
     codes = e.select(
         F.col(id_col).alias("id_b"),
-        pq_encode_col(F.col("__v"), books).alias("__codes"),
+        pq_encode_col("__v", books).alias("__codes"),
     )
     q = e.select(
         F.col(id_col).alias("id_a"),
-        pq_distance_table_col(F.col("__v"), books).alias("__dt"),
+        pq_distance_table_col("__v", books).alias("__dt"),
     )
     pairs = q.join(F.broadcast(codes), F.col("id_a") != F.col("id_b"))
     idx = F.sequence(F.lit(0), F.lit(m - 1))
@@ -1406,8 +1469,13 @@ def ann_pq_topk(
     )
     w = Window.partitionBy("id_a").orderBy(F.asc("__ad"), F.asc("id_b"))
     shortlist_n = max(rerank, k) if rerank else k
+    # project down to (id_a, id_b, __ad) BEFORE the ranking window: the
+    # row_number shuffle would otherwise carry the per-query distance
+    # table (m*k_codes doubles, ~1 KiB/row) and the code array through
+    # the exchange — at 4M pairs that is gigabytes of shuffle for three
+    # needed columns (measured 60s -> 8s at sf0.1).
     shortlist = (
-        pairs.withColumn("__ad", approx)
+        pairs.select("id_a", "id_b", approx.alias("__ad"))
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= shortlist_n)
         .select("id_a", "id_b")
@@ -1533,7 +1601,7 @@ def ann_ivfpq_topk(
     lists = res1.select(
         "cell_id",
         F.col(id_col).alias("id_b"),
-        pq_encode_col(F.col("__res"), books).alias("__codes"),
+        pq_encode_col("__res", books).alias("__codes"),
     )
     # query_filter narrows the PROBE side only (the realistic workload:
     # a query set searching the full corpus); the corpus lists, books,
@@ -1545,7 +1613,7 @@ def ann_ivfpq_topk(
     probes = with_residual(probe_src).select(
         F.col(id_col).alias("id_a"),
         "cell_id",
-        pq_distance_table_col(F.col("__res"), books).alias("__dt"),
+        pq_distance_table_col("__res", books).alias("__dt"),
     )
     cand = candidate_join(
         probes, lists, "cell_id", strategy=strategy,
@@ -1563,8 +1631,11 @@ def ann_ivfpq_topk(
     )
     wk = Window.partitionBy("id_a").orderBy(F.asc("__ad"), F.asc("id_b"))
     shortlist_n = max(rerank, k) if rerank else k
+    # same projection-before-window rule as ann_pq_topk: drop the
+    # per-cell distance tables and code arrays before the ranking
+    # exchange — only (id_a, id_b, __ad) shuffles.
     shortlist = (
-        cand.withColumn("__ad", approx)
+        cand.select("id_a", "id_b", approx.alias("__ad"))
         .withColumn("__rn", F.row_number().over(wk))
         .filter(F.col("__rn") <= shortlist_n)
         .select("id_a", "id_b")

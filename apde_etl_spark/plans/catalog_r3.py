@@ -203,7 +203,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits, n_exact, recall) — the number you tune planes/probes/tables/
     cells by before a 100 TB run. The oracle recomputes ground truth,
     every approximate search, and the recall arithmetic in DuckDB."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", rebalance=True)
     exact = exact_topk_pairs(emb, "vec_id", "embedding", k=_RECALL_K).persist()
     ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
 
@@ -402,7 +402,12 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     for both regimes are asserted in tests/test_dedup_similarity.py."""
     from apde_etl_spark.operators.cache import tracked_persist
 
-    emb = load(spark, sf_dir, "embeddings")
+    # cache the rebalanced source: every method re-normalizes and the
+    # trainings run several driver actions over it — one materialized
+    # 2k-row cache beats re-running scan+repartition per action
+    emb = tracked_persist(
+        load(spark, sf_dir, "embeddings", rebalance=True),
+        scope="similarity")
     exact = tracked_persist(
         exact_topk_pairs(emb, "vec_id", "embedding", k=_RECALL_K),
         scope="similarity")
@@ -413,13 +418,20 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_topk_pairs(clus, "vec_id", "embedding", k=_RECALL_K),
         scope="similarity")
     ex_n_c = exact_c.agg(F.count(F.lit(1)).alias("n_exact"))
+    # the two flat-PQ methods differ only in rerank — train the books
+    # ONCE and share (pq_train_books == ann_pq_topk's internal
+    # training; several driver round-trips saved per shared method)
+    books = SIM.pq_train_books(
+        emb, "vec_id", "embedding", dim=_RECALL_DIM, m=8, k_codes=16,
+        train_iters=1)
     methods = [
         ("pq_m8_k16", SIM.ann_pq_topk(
             emb, "vec_id", "embedding", k=_RECALL_K, dim=_RECALL_DIM,
-            m=8, k_codes=16, train_iters=1), exact, ex_n),
+            m=8, k_codes=16, train_iters=1, codebooks=books), exact, ex_n),
         ("pq_m8_k16_rerank40", SIM.ann_pq_topk(
             emb, "vec_id", "embedding", k=_RECALL_K, dim=_RECALL_DIM,
-            m=8, k_codes=16, train_iters=1, rerank=40), exact, ex_n),
+            m=8, k_codes=16, train_iters=1, rerank=40, codebooks=books),
+         exact, ex_n),
         ("ivfpq_c16_p2_rerank40", SIM.ann_ivfpq_topk(
             emb, "vec_id", "embedding", k=_RECALL_K, dim=_RECALL_DIM,
             n_cells=16, n_probe=2, m=8, k_codes=16, pq_train_iters=1,
@@ -468,7 +480,7 @@ def ann_recall_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     run. Genuinely iterative, hence no SQL oracle (see decorator note);
     the exact ground truth is the same in-Spark exact_topk_pairs the
     oracle-checked ann_recall_at_k entry uses."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", rebalance=True)
     exact = exact_topk_pairs(emb, "vec_id", "embedding", k=_RECALL_K).persist()
     ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     methods = [

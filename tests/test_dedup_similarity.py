@@ -512,7 +512,7 @@ def test_pq_codes_are_bounded_and_compact(spark, sf_dir):
     books = SIM.train_pq_codebooks(e, "vec_id", dim=64, m=8, k_codes=16, iters=1)
     assert len(books) == 8 and all(len(b) == 16 for b in books)
     assert all(len(c) == 8 for b in books for c in b)
-    codes = e.select(SIM.pq_encode_col(F.col("__v"), books).alias("c")).collect()
+    codes = e.select(SIM.pq_encode_col("__v", books).alias("c")).collect()
     for r in codes:
         assert len(r["c"]) == 8
         assert all(0 <= x < 16 for x in r["c"])
