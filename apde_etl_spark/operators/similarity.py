@@ -897,6 +897,105 @@ def train_ivf_centroids(
     return list(enumerate(cents))
 
 
+#: Cell count at which the assignment stage switches from the
+#: crossJoin+window Column path to the Arrow-batched matmul path. Below
+#: it the broadcast nested-loop is cheap and keeps the plan fully
+#: JVM-side; above it the n x n_cells interpreted dot folds dominate
+#: the whole IVF build (measured: 1024 cells x 200k vectors = 204M
+#: folds, ~80s of the 110s total on local[32] — the matmul does the
+#: same 26 GFLOP in ~1s of BLAS and skips the 204M-row ranking
+#: exchange entirely).
+ASSIGN_BLAS_MIN_CELLS = 256
+
+
+def assign_topn_cells(
+    e: DataFrame,
+    id_col: str,
+    cent_df: DataFrame,
+    n_cells: int,
+    n_probe: int,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Top-``n_probe`` nearest-centroid assignment — the O(n x n_cells)
+    scaling term of every IVF build/search. ``e`` carries
+    (id_col, __v: array<double>); ``cent_df`` carries
+    (cell_id, __c: array<double>). Returns (id_col, cell_id, __rk) with
+    __rk = 1..n_probe ranked by cosine desc, cell_id asc on ties —
+    identical ranking semantics on both strategies.
+
+    ``strategy``: ``"hof"`` = broadcast crossJoin + slim
+    (id, cell_id, sim) ranking window — all JVM-side, the right shape
+    while n_cells is small; ``"blas"`` = Arrow-batched ``mapInPandas``:
+    the centroid matrix (n_cells x dim doubles, collected driver-side —
+    the same small-side collect budget as the Lloyd trainers) rides the
+    closure, each batch computes one X @ C.T matmul and ranks in numpy,
+    so there is NO crossJoin row explosion and NO ranking exchange —
+    the output is n_probe rows per vector straight off the scan.
+    ``"auto"`` switches on :data:`ASSIGN_BLAS_MIN_CELLS`.
+
+    Ranking-only contract: the two strategies differ in float summation
+    order (left fold vs pairwise BLAS), which can only change the output
+    if two distinct centroids tie to ~1e-15 for the same vector — not a
+    value column, so downstream hashes are unaffected short of such a
+    knife-edge tie. The equality is asserted over the whole test corpus
+    in tests/test_dedup_similarity.py."""
+    if strategy not in ("auto", "hof", "blas"):
+        raise ValueError(f"assign_topn_cells: unknown strategy={strategy!r}")
+    if strategy == "auto":
+        strategy = "blas" if n_cells >= ASSIGN_BLAS_MIN_CELLS else "hof"
+    if strategy == "hof":
+        cn = cent_df.withColumn("__cn", l2_norm(F.col("__c")))
+        ac = e.withColumn("__n", l2_norm(F.col("__v"))).crossJoin(
+            F.broadcast(cn)
+        ).select(
+            id_col, "cell_id",
+            (dot(F.col("__v"), F.col("__c")) / (F.col("__n") * F.col("__cn")))
+            .alias("__sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
+        return (
+            ac.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n_probe)
+            .select(
+                id_col,
+                F.col("cell_id").cast("long").alias("cell_id"),
+                F.col("__rk").cast("int").alias("__rk"),
+            )
+        )
+
+    import numpy as np
+
+    cent_rows = cent_df.select("cell_id", "__c").collect()
+    # ascending cell_id order => a STABLE argsort on -sim breaks ties
+    # by ascending cell_id, matching the window's orderBy exactly
+    cent_rows.sort(key=lambda r: r["cell_id"])
+    cell_ids = np.array([int(r["cell_id"]) for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r["__c"]) for r in cent_rows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    n_keep = min(n_probe, len(cell_ids))
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            Xn = np.linalg.norm(X, axis=1)
+            S = (X @ C.T) / (Xn[:, None] * Cn[None, :])
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n_keep]
+            b = len(pdf)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy().repeat(n_keep),
+                "cell_id": cell_ids[order].reshape(b * n_keep),
+                "__rk": np.tile(np.arange(1, n_keep + 1, dtype=np.int32), b),
+            })
+
+    return e.select(id_col, "__v").mapInPandas(
+        assign, schema=f"{id_col} long, cell_id long, __rk int"
+    )
+
+
 def ann_ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -909,6 +1008,7 @@ def ann_ivf_topk(
     broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
     salt_buckets: int = 8,
     train_iters: int = 0,
+    assign_strategy: str = "auto",
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` inverted
     lists, then search each query vector only against its ``n_probe``
@@ -965,18 +1065,16 @@ def ann_ivf_topk(
                 F.col("__n").alias("__cn"),
             )
         )
-    # assignment: cosine to every centroid (n_cells per row, broadcast),
-    # keep the top-n_probe cells per vector
-    ac = e.crossJoin(F.broadcast(cent)).select(
-        id_col, "__v", "__n", "cell_id",
-        (dot(F.col("__v"), F.col("__c")) / (F.col("__n") * F.col("__cn")))
-            .alias("__sim"),
+    # assignment: top-n_probe cells per vector (crossJoin+window below
+    # the blas gate, Arrow matmul above it — see assign_topn_cells);
+    # vectors/norms join back AFTER the rank filter, so no exchange
+    # ever carries the vector n_cells times
+    assign = assign_topn_cells(
+        e.select(id_col, "__v"), id_col, cent.select("cell_id", "__c"),
+        n_cells, n_probe, strategy=assign_strategy,
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
-    probed = (
-        ac.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= n_probe)
-        .select(id_col, "__v", "__n", "cell_id", F.col("__rk").alias("__probe_rank"))
+    probed = assign.join(e, id_col).select(
+        id_col, "__v", "__n", "cell_id", F.col("__rk").alias("__probe_rank")
     )
     # probed feeds both the inverted lists and the query side — persist so
     # the assignment pass (n x n_cells cosines) runs once, not twice
@@ -1173,6 +1271,7 @@ def train_pq_codebooks(
     m: int = 8,
     k_codes: int = 16,
     iters: int = 1,
+    train_sample_max: int = 65536,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search" — public method): the
@@ -1194,6 +1293,21 @@ def train_pq_codebooks(
     as trained IVF).
     """
     sub = dim // m
+    # cap the training set: codebook quality saturates at a few
+    # thousand samples per code (k_codes=16 needs nowhere near the
+    # corpus), and an uncapped Lloyd pass scans EVERYTHING — at 100 TB
+    # that is the difference between a bounded training job and a
+    # full-corpus iteration. The subset is hash-spread (deterministic,
+    # engine-independent) for the same residual-bias reason as the
+    # seeds below; corpora at or under the cap train on every row,
+    # bit-identically to the uncapped behavior.
+    if train_sample_max > 0:
+        n = e.count()
+        if n > train_sample_max:
+            stride = -(-n // train_sample_max)  # ceil
+            e = e.filter(
+                F.pmod(hash60(F.col(id_col).cast("string")), F.lit(stride)) == 0
+            )
     # seeds spread by id HASH, not id order: in the IVFPQ composition
     # the lowest ids ARE the cell centroids, so their residuals are all
     # zero and id-ordered seeding hands Lloyd k identical zero centroids
@@ -1290,6 +1404,63 @@ def _pq_dists_sql(vec_name: str, books_sql: str, sub: int) -> str:
         f"zip_with(slice(`{vec_name}`, i * {sub} + 1, {sub}), c, "
         f"(x, y) -> (x - y) * (x - y)), "
         f"cast(0.0 as double), (acc, x) -> acc + x)))"
+    )
+
+
+#: Corpus size at which PQ encoding switches from the Column-HOF
+#: expression to the Arrow-batched numpy path: the HOF evaluates
+#: n x m x k_codes x dim/m interpreted fold steps (204M at 200k rows
+#: with m=8/k=16/dim=64, ~10s on local[32]) while the batched matmul
+#: form is a few BLAS calls per Arrow batch. Below the gate the
+#: all-JVM expression keeps the plan free of Python stages.
+PQ_ENCODE_BLAS_MIN_ROWS = 50_000
+
+
+def pq_codes_blas(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out_col: str = "__codes",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """PQ-encode a corpus with Arrow-batched numpy: per subspace the
+    argmin code via the factored distance ``-2 s.C^T + ||c||^2`` (the
+    ||s||^2 term is constant per row and cannot change the argmin).
+    Emits (id_col, *passthrough, out_col: array<int>). Ranking-only
+    arithmetic — ties between distinct centroids at float precision are
+    the only way this can differ from :func:`pq_encode_col`, and the
+    equality is asserted over the test corpus in
+    tests/test_dedup_similarity.py."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    Cs = [np.array(bk, dtype=np.float64) for bk in codebooks]  # k x sub each
+    C2s = [(C * C).sum(axis=1) for C in Cs]
+    passthrough = passthrough or []
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for i in range(m):
+                S = X[:, i * sub:(i + 1) * sub]
+                D = -2.0 * (S @ Cs[i].T) + C2s[i][None, :]
+                codes[:, i] = np.argmin(D, axis=1)  # first min on ties
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in passthrough:
+                out[c] = pdf[c].to_numpy()
+            out[out_col] = list(codes)
+            yield pd.DataFrame(out)
+
+    extra = "".join(f", {c} long" for c in passthrough)
+    return df.select(id_col, *passthrough, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long{extra}, {out_col} array<int>"
     )
 
 
@@ -1449,10 +1620,15 @@ def ann_pq_topk(
     books = codebooks if codebooks is not None else train_pq_codebooks(
         e, id_col, dim, m, k_codes, train_iters)
     k_codes = len(books[0])  # may have clamped to the corpus size
-    codes = e.select(
-        F.col(id_col).alias("id_b"),
-        pq_encode_col("__v", books).alias("__codes"),
-    )
+    if n_rows >= PQ_ENCODE_BLAS_MIN_ROWS:
+        codes = pq_codes_blas(e, id_col, "__v", books).select(
+            F.col(id_col).alias("id_b"), "__codes"
+        )
+    else:
+        codes = e.select(
+            F.col(id_col).alias("id_b"),
+            pq_encode_col("__v", books).alias("__codes"),
+        )
     q = e.select(
         F.col(id_col).alias("id_a"),
         pq_distance_table_col("__v", books).alias("__dt"),
@@ -1513,6 +1689,7 @@ def ann_ivfpq_topk(
     broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
     salt_buckets: int = 8,
     query_filter: Column | None = None,
+    assign_strategy: str = "auto",
 ) -> DataFrame:
     """IVF + PQ composed — the production-scale ANN shape: IVF cells
     restrict WHICH pairs are considered (n_probe cells per query, never
@@ -1563,21 +1740,18 @@ def ann_ivfpq_topk(
             F.col("__v").alias("__c"),
         )
     )
-    # unit vectors: cosine == dot, no norm columns needed. The
-    # assignment window shuffles ONLY (id, cell_id, sim) — projecting
-    # the vector (and especially the centroid array) into the
-    # n_cells-exploded relation before the window multiplies the
-    # shuffle by the vector width x cell count (measured: OOMs the
-    # 200k x 1024-cell stress); vectors and centroids join back AFTER
-    # the top-rank filter, at n_probe rows per vector.
-    ac = e.crossJoin(F.broadcast(cent)).select(
-        id_col, "cell_id", dot(F.col("__v"), F.col("__c")).alias("__sim")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
+    # top-n_probe cell assignment: crossJoin+window below the blas
+    # gate, Arrow matmul above it (assign_topn_cells) — at 1024 cells x
+    # 200k vectors the interpreted dot folds alone cost ~80s while the
+    # batched matmul is ~1s of BLAS with no ranking exchange at all.
+    # Vectors and centroids join back AFTER the top-rank filter, at
+    # n_probe rows per vector, so no exchange carries the vector
+    # n_cells times.
     ranked = tracked_persist(
-        ac.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= n_probe)
-        .select(id_col, "cell_id", "__rk"),
+        assign_topn_cells(
+            e.select(id_col, "__v"), id_col, cent.select("cell_id", "__c"),
+            n_cells, n_probe, strategy=assign_strategy,
+        ),
         scope="similarity",
     )
     residual = F.zip_with(F.col("__v"), F.col("__c"), lambda x, y: x - y)
@@ -1593,16 +1767,22 @@ def ann_ivfpq_topk(
     res1 = tracked_persist(
         with_residual(ranked.filter(F.col("__rk") == 1)), scope="similarity"
     )
+    n_corpus = res1.count()  # materializes the cache; gates the encode path
     books = train_pq_codebooks(
         res1.select(F.col(id_col), F.col("__res").alias("__v")),
         id_col, dim, m, k_codes, pq_train_iters,
     )
     k_codes = len(books[0])  # may have clamped to the corpus size
-    lists = res1.select(
-        "cell_id",
-        F.col(id_col).alias("id_b"),
-        pq_encode_col("__res", books).alias("__codes"),
-    )
+    if n_corpus >= PQ_ENCODE_BLAS_MIN_ROWS:
+        lists = pq_codes_blas(
+            res1, id_col, "__res", books, passthrough=["cell_id"]
+        ).select("cell_id", F.col(id_col).alias("id_b"), "__codes")
+    else:
+        lists = res1.select(
+            "cell_id",
+            F.col(id_col).alias("id_b"),
+            pq_encode_col("__res", books).alias("__codes"),
+        )
     # query_filter narrows the PROBE side only (the realistic workload:
     # a query set searching the full corpus); the corpus lists, books,
     # and cell assignment always cover every vector. The query's
@@ -1610,10 +1790,19 @@ def ann_ivfpq_topk(
     # cell's centroid — n_probe tables per query, m x k_codes doubles
     # each), which is what keeps ADC exact across cells.
     probe_src = ranked if query_filter is None else ranked.filter(query_filter)
-    probes = with_residual(probe_src).select(
-        F.col(id_col).alias("id_a"),
-        "cell_id",
-        pq_distance_table_col("__res", books).alias("__dt"),
+    # persist the probe tables: candidate_join's strategy resolution and
+    # the pair scan both reference this subtree, and recomputing it means
+    # re-running the residual joins + m x k_codes table folds per probe
+    # (measured: the composed lazy DAG cost ~3x the sum of its stages at
+    # 200k before this). n_probe rows per query x m*k_codes doubles —
+    # small relative to the corpus by construction.
+    probes = tracked_persist(
+        with_residual(probe_src).select(
+            F.col(id_col).alias("id_a"),
+            "cell_id",
+            pq_distance_table_col("__res", books).alias("__dt"),
+        ),
+        scope="similarity",
     )
     cand = candidate_join(
         probes, lists, "cell_id", strategy=strategy,

@@ -528,3 +528,85 @@ def test_trained_ivf_centroids_lift_recall(spark, sf_dir):
            for r in ann_recall_ivf_trained(spark, sf_dir).collect()}
     assert set(out) == {"ivf_seed", "ivf_kmeans2"}
     assert out["ivf_kmeans2"] >= out["ivf_seed"]
+
+
+def test_assign_topn_cells_blas_matches_hof(spark, sf_dir):
+    """The Arrow-matmul assignment must produce the identical
+    (id, cell_id, rank) relation as the crossJoin+window Column path —
+    the ranking-only contract that lets the auto gate switch strategies
+    by cell count without changing any downstream result."""
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        "vec_id", SIM.as_double_array("embedding").alias("__v")
+    ).persist()
+    cent = (
+        e.orderBy("vec_id").limit(16)
+        .select(F.col("vec_id").alias("cell_id"), F.col("__v").alias("__c"))
+    )
+    hof = SIM.assign_topn_cells(e, "vec_id", cent, 16, 3, strategy="hof")
+    blas = SIM.assign_topn_cells(e, "vec_id", cent, 16, 3, strategy="blas")
+    assert hof.exceptAll(blas).count() == 0
+    assert blas.exceptAll(hof).count() == 0
+    e.unpersist()
+
+
+def test_pq_codes_blas_matches_column_path(spark, sf_dir):
+    """Arrow-batched PQ encoding must emit the identical code arrays as
+    the Column-HOF expression for the same codebooks."""
+    from apde_etl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        "vec_id", SIM.as_double_array("embedding").alias("__v")
+    ).persist()
+    books = SIM.train_pq_codebooks(e, "vec_id", dim=64, m=8, k_codes=16, iters=1)
+    col = e.select(
+        "vec_id", SIM.pq_encode_col("__v", books).alias("__codes")
+    )
+    blas = SIM.pq_codes_blas(e, "vec_id", "__v", books)
+    assert col.exceptAll(blas).count() == 0
+    assert blas.exceptAll(col).count() == 0
+    e.unpersist()
+
+
+def test_pq_training_sample_cap_inactive_below_cap(spark, sf_dir):
+    """Corpora at or under train_sample_max must train on every row —
+    bit-identical books with the cap at its default vs disabled (the
+    cap only changes behavior above 65536 vectors)."""
+    from apde_etl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select(
+        "vec_id", SIM.as_double_array("embedding").alias("__v")
+    ).persist()
+    capped = SIM.train_pq_codebooks(e, "vec_id", dim=64, m=8, k_codes=16, iters=1)
+    uncapped = SIM.train_pq_codebooks(
+        e, "vec_id", dim=64, m=8, k_codes=16, iters=1, train_sample_max=0
+    )
+    assert capped == uncapped
+    e.unpersist()
+
+
+def test_ivf_ivfpq_assign_strategy_invariant(spark, sf_dir):
+    """Forcing the blas assignment through the full IVF and IVFPQ
+    operators must reproduce the default (hof-at-this-size) results
+    row-for-row."""
+    from apde_etl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = SIM.ann_ivf_topk(emb, k=5, n_cells=16, n_probe=2, assign_strategy="hof")
+    b = SIM.ann_ivf_topk(emb, k=5, n_cells=16, n_probe=2, assign_strategy="blas")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    p = SIM.ann_ivfpq_topk(
+        emb, k=5, dim=64, n_cells=16, n_probe=2, m=8, k_codes=16,
+        rerank=40, assign_strategy="hof",
+    )
+    q = SIM.ann_ivfpq_topk(
+        emb, k=5, dim=64, n_cells=16, n_probe=2, m=8, k_codes=16,
+        rerank=40, assign_strategy="blas",
+    )
+    assert p.exceptAll(q).count() == 0 and q.exceptAll(p).count() == 0
