@@ -192,9 +192,10 @@ def _sql_minhash_sig() -> str:
     return "[" + ", ".join(mins) + "]"
 
 
-def _minhash_pairs_sql(src: str = "documents") -> str:
+def _minhash_pairs_sql(src: str = "documents", threshold: float = 0.2) -> str:
     """Full MinHash+LSH+verify oracle over any (doc_id, text) relation —
-    parameterized so composed pipelines can run it over a filtered CTE."""
+    parameterized so composed pipelines can run it over a filtered CTE
+    (and, for the linkage family, at a looser verify threshold)."""
     return f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM {src}),
 sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
@@ -218,7 +219,7 @@ SELECT id_a, id_b,
 FROM cand
 JOIN sh sa ON sa.doc_id = id_a
 JOIN sh sb ON sb.doc_id = id_b
-WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.2
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {threshold}
 """
 
 

@@ -1,0 +1,300 @@
+"""Round-5 extension catalog: record linkage / entity resolution.
+
+Fellegi–Sunter probabilistic record linkage over LSH-blocked candidate
+pairs (SURVEY §2.13 extension surface; the reference — apde.etl v2.2.0 —
+QA-profiles one load at a time and has no cross-load linkage). Four
+oracle-gated entries:
+
+- ``linkage_candidate_features``: banded-MinHash blocking (the existing
+  near-dup machinery at a looser verify threshold) joined back to the
+  entity attributes, emitting the integer comparison vector
+  (g_text 0/1/2, g_lang, g_source, g_len).
+- ``linkage_match_scores``: the FS composite log2(m/u) score and the
+  two-threshold match / possible / non_match decision.
+- ``linkage_entity_clusters``: connected components over accepted
+  matches -> entity ids (Spark iterates pointer-halving; the oracle
+  recurses transitive closure).
+- ``linkage_blocking_quality``: the evaluation row — reduction ratio,
+  pairs completeness, pairs quality of the blocking against the exact
+  Jaccard truth set (the linkage twin of ``neardup_method_recall``).
+
+Cross-engine determinism: gammas are computed on the ROUNDED similarity
+(both engines compare identical doubles) or in pure integer arithmetic;
+weights are Python floats embedded as ``repr`` literals in both engines
+and summed in the same left-to-right field order, so the score doubles
+are bit-identical and the threshold classification cannot straddle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apde_etl_spark.functions.core import round_half_away
+from apde_etl_spark.operators import linkage as LK
+from apde_etl_spark.operators import similarity as SIM
+from apde_etl_spark.plans.catalog import _sql_round, load, register
+from apde_etl_spark.plans.catalog_ext import _minhash_pairs_sql
+
+# ===========================================================================
+# Shared blocking + comparison-vector SQL
+# ===========================================================================
+
+#: blocking verify threshold — loose enough to keep non-match candidates
+#: alive for the classifier to reject (the FS model, not the blocker,
+#: draws the match line).
+_LINK_THRESHOLD = 0.05
+_STRONG, _WEAK = 0.5, 0.2
+_FS_UPPER, _FS_LOWER = 6.0, 0.0
+
+_CAND_SQL = _minhash_pairs_sql("documents", threshold=_LINK_THRESHOLD)
+
+_FEATURES_SQL = f"""
+WITH cand AS ({_CAND_SQL})
+SELECT id_a, id_b, jaccard_sim,
+       CAST(CASE WHEN jaccard_sim >= {_STRONG} THEN 2
+                 WHEN jaccard_sim >= {_WEAK} THEN 1
+                 ELSE 0 END AS INTEGER) AS g_text,
+       CAST(CASE WHEN da.lang IS NOT NULL AND da.lang = db.lang
+            THEN 1 ELSE 0 END AS INTEGER) AS g_lang,
+       CAST(CASE WHEN da.source IS NOT NULL AND da.source = db.source
+            THEN 1 ELSE 0 END AS INTEGER) AS g_source,
+       CAST(CASE WHEN da.n_chars IS NOT NULL AND db.n_chars IS NOT NULL
+                  AND least(da.n_chars, db.n_chars) * 5
+                      >= greatest(da.n_chars, db.n_chars) * 4
+            THEN 1 ELSE 0 END AS INTEGER) AS g_len
+FROM cand
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+"""
+
+
+def _rounded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked candidates with the similarity pre-rounded so every
+    downstream threshold compares the same double both engines see."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = SIM.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4,
+        threshold=_LINK_THRESHOLD,
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        round_half_away(F.col("jaccard_sim"), 6).alias("jaccard_sim"),
+    )
+
+
+def _features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return LK.pair_features(
+        _rounded_candidates(spark, sf_dir), docs,
+        id_col="doc_id", sim_col="jaccard_sim",
+        exact_cols=("lang", "source"), len_col="n_chars",
+        strong=_STRONG, weak=_WEAK, len_ratio=(4, 5),
+    )
+
+
+@register("linkage_candidate_features", _FEATURES_SQL)
+def linkage_candidate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS comparison vectors for LSH-blocked pairs
+    (operators/linkage.py:pair_features). Plan: the banded near-dup DAG
+    (shuffle keys: band id, then pair id) feeding two equi-joins back to
+    documents on doc_id — the candidate list, never n², bounds every
+    shuffle; at 100 TB the attribute joins co-partition on the entity
+    id. Extends the reference's single-table QA (qa_load_data.R) to
+    cross-record identity."""
+    return _features_df(spark, sf_dir)
+
+
+# ===========================================================================
+# FS scoring + decision
+# ===========================================================================
+
+
+def _sql_fs_score() -> str:
+    """The DuckDB restatement of operators/linkage.py:score_column —
+    generated from the SAME weight floats via repr so both engines add
+    identical doubles in identical order."""
+    terms = []
+    for field, ws in LK.DEFAULT_WEIGHTS.items():
+        # CAST to DOUBLE: DuckDB types bare decimal literals as DECIMAL,
+        # whose arithmetic differs from the doubles Spark adds.
+        whens = " ".join(
+            f"WHEN g_{field} = {lvl} THEN CAST({ws[lvl]!r} AS DOUBLE)"
+            for lvl in range(len(ws) - 1, 0, -1)
+        )
+        terms.append(f"(CASE {whens} ELSE CAST({ws[0]!r} AS DOUBLE) END)")
+    return " + ".join(terms)
+
+
+_SCORES_SQL = f"""
+WITH feats AS ({_FEATURES_SQL}),
+scored AS (
+  SELECT id_a, id_b, g_text, g_lang, g_source, g_len,
+         {_sql_fs_score()} AS raw
+  FROM feats
+)
+SELECT id_a, id_b, g_text, g_lang, g_source, g_len,
+       {_sql_round('raw', 6)} AS fs_score,
+       CASE WHEN raw >= {_FS_UPPER!r} THEN 'match'
+            WHEN raw >= {_FS_LOWER!r} THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM scored
+"""
+
+
+def _scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _features_df(spark, sf_dir)
+    raw = LK.score_column(LK.DEFAULT_WEIGHTS)
+    return feats.select(
+        "id_a", "id_b", "g_text", "g_lang", "g_source", "g_len",
+        round_half_away(raw, 6).alias("fs_score"),
+        LK.classify_column(raw, _FS_UPPER, _FS_LOWER).alias("decision"),
+    )
+
+
+@register("linkage_match_scores", _SCORES_SQL)
+def linkage_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter composite scores and match/possible/non_match
+    decisions (linkage.py:score_column/classify_column). Scoring is a
+    pure projection over the feature rows — codegen'd CASE arithmetic,
+    zero additional shuffle on top of the blocking DAG."""
+    return _scores_df(spark, sf_dir)
+
+
+# ===========================================================================
+# Entity clusters over accepted matches
+# ===========================================================================
+
+_ENTITY_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_SCORES_SQL}) s WHERE decision = 'match'
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM und
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS entity_id
+FROM reach GROUP BY a
+"""
+
+
+@register("linkage_entity_clusters", _ENTITY_SQL)
+def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accepted matches -> entity ids via connected components
+    (dedup.py:connected_components — byte-capped driver union-find with
+    the distributed pointer-halving fallback). The oracle recurses the
+    transitive closure; Spark iterates — SQL recursion checks Spark
+    iteration, as in neardup_clusters."""
+    from apde_etl_spark.operators.dedup import connected_components
+
+    matches = (
+        _scores_df(spark, sf_dir)
+        .filter(F.col("decision") == "match")
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(matches, "id_a", "id_b")
+    return comp.select(F.col("id").alias("doc_id"),
+                       F.col("component").alias("entity_id"))
+
+
+# ===========================================================================
+# Blocking quality — reduction ratio / completeness / quality
+# ===========================================================================
+
+# Fast inverted-index truth set for the evaluation entry: identical
+# semantics to _JACCARD_ORACLE (ngram_jaccard_pairs hash-proves the two
+# formulations agree at every SF), but posting-list-joined instead of
+# the quadratic nested loop, so the sf0.1 gate doesn't pay minutes of
+# all-pairs list_intersect a third time.
+_TRUTH_FAST_SQL = """
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (SELECT doc_id, {shingles} AS s FROM toks),
+ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b FROM pairs
+WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.2
+"""
+
+
+def _truth_fast_sql() -> str:
+    from apde_etl_spark.plans.catalog_ext import _SQL_SHINGLES, _SQL_TOKS
+
+    return _TRUTH_FAST_SQL.format(toks=_SQL_TOKS, shingles=_SQL_SHINGLES)
+
+
+_BLOCKING_QUALITY_SQL = f"""
+WITH cand AS (SELECT id_a, id_b, jaccard_sim FROM ({_CAND_SQL}) c),
+truth AS (SELECT id_a, id_b FROM ({_truth_fast_sql()}) t),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+counts AS (
+  SELECT
+    (SELECT n_docs FROM n) AS n_docs,
+    (SELECT CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) FROM n) AS n_possible_pairs,
+    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(count(*) AS BIGINT) FROM cand c
+     JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hits
+)
+SELECT n_docs, n_possible_pairs, n_candidates, n_truth, n_hits,
+       {_sql_round('1.0 - CAST(n_candidates AS DOUBLE) / CAST(n_possible_pairs AS DOUBLE)', 6)} AS reduction_ratio,
+       {_sql_round('CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE)', 6)} AS pairs_completeness,
+       {_sql_round('CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE)', 6)} AS pairs_quality
+FROM counts
+"""
+
+
+@register("linkage_blocking_quality", _BLOCKING_QUALITY_SQL)
+def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row blocking evaluation: reduction ratio (how much of the n²
+    pair space the blocker prunes), pairs completeness (recall of the
+    exact Jaccard >= 0.2 truth set), pairs quality (precision). The
+    truth side is quadratic BY DESIGN — an evaluation harness run on a
+    sample at production scale, exactly like neardup_method_recall; the
+    candidate side is the banded production path. Ratios are single
+    integer-pair divisions, deterministic in both engines."""
+    from apde_etl_spark.operators.cache import tracked_persist
+    from apde_etl_spark.plans.catalog_ext import ngram_jaccard_pairs
+
+    cand = tracked_persist(
+        _rounded_candidates(spark, sf_dir), scope="similarity")
+    truth = tracked_persist(
+        ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b"),
+        scope="similarity")
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_hits = (
+        cand.join(truth, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    pairs_possible = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long")
+    return (
+        n.crossJoin(n_cand).crossJoin(n_truth).crossJoin(n_hits)
+        .select(
+            "n_docs",
+            pairs_possible.alias("n_possible_pairs"),
+            "n_candidates", "n_truth", "n_hits",
+            round_half_away(
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double")
+                / pairs_possible.cast("double"), 6,
+            ).alias("reduction_ratio"),
+            round_half_away(
+                F.col("n_hits").cast("double")
+                / F.col("n_truth").cast("double"), 6,
+            ).alias("pairs_completeness"),
+            round_half_away(
+                F.col("n_hits").cast("double")
+                / F.col("n_candidates").cast("double"), 6,
+            ).alias("pairs_quality"),
+        )
+    )
