@@ -47,6 +47,7 @@ __all__ = [
     "pair_features",
     "score_column",
     "classify_column",
+    "em_estimate",
 ]
 
 
@@ -193,3 +194,87 @@ def classify_column(
         .when(score >= lower, F.lit("possible"))
         .otherwise(F.lit("non_match"))
     )
+
+
+_EM_EPS = 1e-6
+
+
+def em_estimate(
+    patterns: Sequence[tuple[Sequence[int], int]],
+    level_counts: Sequence[int],
+    iters: int = 50,
+    init_prior: float = 0.1,
+) -> dict:
+    """Winkler-style EM for the FS m/u parameters from gamma-pattern
+    counts (Winkler 1988, the standard unsupervised fit under
+    conditional independence).
+
+    ``patterns`` is the tiny distinct-pattern histogram
+    ``[(gamma_tuple, count), ...]`` — the DISTRIBUTED aggregation
+    produces it (one groupBy over the candidate pairs; see
+    linkage_gamma_patterns), and EM runs driver-side over the handful of
+    distinct patterns. Determinism: patterns are processed in sorted
+    order, iteration count is fixed, and all arithmetic is plain Python
+    floats — the same inputs give the same estimates on every run and
+    host. The ESTIMATES stay iterative-float (rows-only gate entry, the
+    ann_recall_ivf_trained precedent); the pattern histogram feeding
+    them is hash-gated.
+
+    Returns ``{"prior": p, "m": {field_idx: [per-level]},
+    "u": {...}, "iters": iters}`` with probabilities clamped to
+    ``[1e-6, 1-1e-6]`` (zero cells would freeze EM and blow up the log
+    weights).
+    """
+    pats = sorted((tuple(g), int(n)) for g, n in patterns)
+    if not pats:
+        raise ValueError("empty pattern histogram")
+    n_fields = len(level_counts)
+    if any(len(g) != n_fields for g, _ in pats):
+        raise ValueError("gamma tuple arity != number of fields")
+    for g, _ in pats:
+        for f, lvl in enumerate(g):
+            if not 0 <= lvl < level_counts[f]:
+                raise ValueError(f"gamma level {lvl} out of range for field {f}")
+    total = float(sum(n for _, n in pats))
+
+    def clamp(x: float) -> float:
+        return min(max(x, _EM_EPS), 1.0 - _EM_EPS)
+
+    # init: agreement-leaning m, disagreement-leaning u — the standard
+    # symmetric-break; EM refines from there.
+    m = [
+        [clamp((lvl + 1.0) / sum(range(1, lc + 1))) for lvl in range(lc)]
+        for lc in level_counts
+    ]
+    u = [
+        [clamp((lc - lvl) / sum(range(1, lc + 1))) for lvl in range(lc)]
+        for lc in level_counts
+    ]
+    p = clamp(init_prior)
+
+    for _ in range(iters):
+        # E-step: posterior match probability per pattern
+        w = []
+        for g, _n in pats:
+            pm, pu = p, 1.0 - p
+            for f, lvl in enumerate(g):
+                pm *= m[f][lvl]
+                pu *= u[f][lvl]
+            w.append(pm / (pm + pu))
+        # M-step
+        wm = sum(w[j] * n for j, (_, n) in enumerate(pats))
+        wu = total - wm
+        p = clamp(wm / total)
+        for f, lc in enumerate(level_counts):
+            for lvl in range(lc):
+                num_m = sum(
+                    w[j] * n for j, (g, n) in enumerate(pats) if g[f] == lvl
+                )
+                num_u = sum(
+                    (1.0 - w[j]) * n
+                    for j, (g, n) in enumerate(pats)
+                    if g[f] == lvl
+                )
+                m[f][lvl] = clamp(num_m / wm) if wm > 0 else _EM_EPS
+                u[f][lvl] = clamp(num_u / wu) if wu > 0 else _EM_EPS
+    return {"prior": p, "m": m, "u": u, "iters": iters}

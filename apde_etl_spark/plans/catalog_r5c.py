@@ -201,6 +201,85 @@ def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# EM parameter estimation — gamma-pattern histogram + Winkler EM
+# ===========================================================================
+
+_GAMMA_PATTERNS_SQL = f"""
+WITH feats AS ({_FEATURES_SQL})
+SELECT g_text, g_lang, g_source, g_len,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM feats GROUP BY g_text, g_lang, g_source, g_len
+"""
+
+
+@register("linkage_gamma_patterns", _GAMMA_PATTERNS_SQL)
+def linkage_gamma_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sufficient statistics of the FS model: candidate pairs
+    grouped by their FULL comparison pattern. This is the distributed
+    half of EM fitting — one integer groupBy whose output is at most
+    3*2*2*2 = 24 rows regardless of corpus size, so the iterative fit
+    downstream never touches distributed data again."""
+    return (
+        _features_df(spark, sf_dir)
+        .groupBy("g_text", "g_lang", "g_source", "g_len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+_EM_FIELDS = ("text", "lang", "source", "len")
+_EM_LEVELS = (3, 2, 2, 2)
+
+
+@register("linkage_em_weights")  # rows-only: EM is iterative float —
+# deterministic given the pattern histogram (sorted order, fixed 50
+# iterations, driver-side Python) but not restatable in one SQL pass;
+# the histogram it consumes IS hash-gated (linkage_gamma_patterns), the
+# same split as ann_recall_ivf_trained's trained-centroid exception.
+def linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised m/u estimation (Winkler EM) from the gamma-pattern
+    histogram: collect the <=24-row histogram (legitimately tiny — the
+    distributed aggregation already reduced the corpus), run the fixed-
+    iteration EM driver-side, and return per-field per-level estimates
+    with their implied log2(m/u) weights, plus the match-prior row. At
+    100 TB the plan is identical: the groupBy scales, EM's input does
+    not grow."""
+    import math as _math
+
+    from apde_etl_spark.operators import linkage as _LK
+
+    hist = (
+        _features_df(spark, sf_dir)
+        .groupBy("g_text", "g_lang", "g_source", "g_len")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    patterns = [
+        ((r["g_text"], r["g_lang"], r["g_source"], r["g_len"]), r["n"])
+        for r in hist
+    ]
+    fit = _LK.em_estimate(patterns, _EM_LEVELS, iters=50, init_prior=0.1)
+    rows = [
+        (
+            "match_prior", 0, fit["prior"], 1.0 - fit["prior"],
+            _math.log2(fit["prior"] / (1.0 - fit["prior"])),
+        )
+    ]
+    for f, field in enumerate(_EM_FIELDS):
+        for lvl in range(_EM_LEVELS[f]):
+            m_p, u_p = fit["m"][f][lvl], fit["u"][f][lvl]
+            rows.append((field, lvl, m_p, u_p, _math.log2(m_p / u_p)))
+    out = spark.createDataFrame(
+        rows, "field string, level int, m_prob double, u_prob double, weight double"
+    )
+    return out.select(
+        "field", "level",
+        round_half_away(F.col("m_prob"), 6).alias("m_prob"),
+        round_half_away(F.col("u_prob"), 6).alias("u_prob"),
+        round_half_away(F.col("weight"), 6).alias("weight"),
+    )
+
+
+# ===========================================================================
 # Blocking quality — reduction ratio / completeness / quality
 # ===========================================================================
 

@@ -147,3 +147,61 @@ def test_entity_clusters_end_to_end(spark):
     }
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[7] == comp[8] == 7
+
+
+# ---------------------------------------------------------------------------
+# EM estimation
+# ---------------------------------------------------------------------------
+
+
+def _planted_patterns():
+    # clear two-component structure: matches agree everywhere, rest don't
+    return [
+        ((2, 1, 1, 1), 100),
+        ((2, 1, 0, 1), 20),
+        ((0, 0, 0, 0), 5000),
+        ((0, 1, 0, 0), 800),
+        ((1, 0, 0, 1), 40),
+    ]
+
+
+def test_em_recovers_planted_structure():
+    fit = LK.em_estimate(_planted_patterns(), (3, 2, 2, 2), iters=50)
+    m, u = fit["m"], fit["u"]
+    # match class concentrates on text agreement (strong dominates),
+    # u class on disagreement — the planted two-component structure
+    assert m[0][2] > 0.5 and m[0][2] > m[0][0]
+    assert u[0][0] > 0.9
+    assert m[3][1] > u[3][1]
+    # prior ~ share of the agreeing block (160 / 5960)
+    assert 0.01 < fit["prior"] < 0.1
+
+
+def test_em_deterministic_under_input_order():
+    pats = _planted_patterns()
+    a = LK.em_estimate(pats, (3, 2, 2, 2))
+    b = LK.em_estimate(list(reversed(pats)), (3, 2, 2, 2))
+    assert a == b
+
+
+def test_em_probabilities_clamped_and_normalized():
+    fit = LK.em_estimate(_planted_patterns(), (3, 2, 2, 2))
+    for side in (fit["m"], fit["u"]):
+        for field in side:
+            for prob in field:
+                assert 1e-6 <= prob <= 1 - 1e-6
+            # per-field levels form (approximately) a distribution
+            assert sum(field) == pytest.approx(1.0, abs=1e-4)
+
+
+@pytest.mark.parametrize(
+    "pats,levels",
+    [
+        ([], (2,)),                       # empty histogram
+        ([((0, 1), 3)], (2,)),            # arity mismatch
+        ([((5,), 3)], (2,)),              # level out of range
+    ],
+)
+def test_em_validation(pats, levels):
+    with pytest.raises(ValueError):
+        LK.em_estimate(pats, levels)
