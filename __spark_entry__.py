@@ -35,6 +35,7 @@ from apde_etl_spark.plans import catalog_r5  # noqa: E402,F401  (registers on im
 from apde_etl_spark.plans import catalog_r5b  # noqa: E402,F401  (registers on import)
 from apde_etl_spark.plans import catalog_r5c  # noqa: E402,F401  (registers on import)
 from apde_etl_spark.plans import catalog_r5d  # noqa: E402,F401  (registers on import)
+from apde_etl_spark.plans import catalog_r5e  # noqa: E402,F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:

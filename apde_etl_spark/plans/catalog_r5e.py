@@ -1,0 +1,139 @@
+"""Round-5 extension catalog: multi-touch marketing attribution.
+
+The reference's QA pipeline stops at per-table profiles; attribution is
+the canonical EVENT-analytics workload one step up — assigning each
+conversion's revenue to the touchpoints that preceded it. One
+oracle-gated entry covers the three standard models side by side
+(first-touch, last-touch, linear) plus the 'direct' bucket for
+unassisted conversions, so the numbers reconcile: every model's total
+equals total purchase revenue.
+
+Determinism: touch order is pinned by (ts, event_id) in both engines;
+revenue aggregates are rounded half-away to 6 like every other float
+aggregate in the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apde_etl_spark.functions.core import round_half_away
+from apde_etl_spark.plans.catalog import _sql_round, load_events, register
+
+_ATTR_WINDOW_DAYS = 7
+_TOUCH_TYPES = ("click", "view")
+
+_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+  FROM events WHERE ts IS NOT NULL
+), conv AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value AS revenue
+  FROM ev WHERE event_type = 'purchase'
+), touch AS (
+  SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS channel
+  FROM ev WHERE event_type IN ('click', 'view')
+), j AS (
+  SELECT c.p_id, c.revenue, t.channel,
+         count(*) OVER (PARTITION BY c.p_id) AS n,
+         row_number() OVER (PARTITION BY c.p_id
+                            ORDER BY t.t_ts ASC, t.t_id ASC) AS rn_first,
+         row_number() OVER (PARTITION BY c.p_id
+                            ORDER BY t.t_ts DESC, t.t_id DESC) AS rn_last
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.t_ts < c.p_ts
+   AND t.t_ts >= c.p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+), credited AS (
+  SELECT channel,
+         revenue / n AS linear_rev,
+         CASE WHEN rn_first = 1 THEN revenue ELSE 0.0 END AS first_rev,
+         CASE WHEN rn_last = 1 THEN revenue ELSE 0.0 END AS last_rev
+  FROM j
+  UNION ALL
+  SELECT 'direct' AS channel, revenue, revenue, revenue
+  FROM conv c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM touch t
+    WHERE t.user_id = c.user_id
+      AND t.t_ts < c.p_ts
+      AND t.t_ts >= c.p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+  )
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       {_sql_round('sum(linear_rev)', 6)} AS linear_rev,
+       {_sql_round('sum(first_rev)', 6)} AS first_touch_rev,
+       {_sql_round('sum(last_rev)', 6)} AS last_touch_rev
+FROM credited GROUP BY channel
+"""
+
+
+@register("attribution_multitouch", _ATTRIBUTION_SQL)
+def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/linear multi-touch attribution of purchase revenue to
+    the click/view touches in the preceding {window}-day window, with a
+    'direct' bucket for unassisted purchases (left-anti join).
+
+    Plan shape at scale: ONE equi-join on user_id (the time predicates
+    ride the join as a residual filter — per-user touch x purchase
+    products are bounded by per-user activity, same skew posture as
+    asof_join with asof_join_salted as the escape hatch), then two
+    window passes over the conversion key and one groupBy(channel).
+    The three models reconcile by construction: each model's grand
+    total equals total purchase revenue (pinned in
+    tests/test_attribution.py)."""
+    ev = load_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        F.col("ts").alias("p_ts"), F.col("value").alias("revenue"),
+    )
+    touch = ev.filter(F.col("event_type").isin(*_TOUCH_TYPES)).select(
+        F.col("event_id").alias("t_id"), "user_id",
+        F.col("ts").alias("t_ts"), F.col("event_type").alias("channel"),
+    )
+    in_window = (
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts")
+           - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS"))
+    )
+    j = conv.join(touch, ["user_id"]).filter(in_window)
+    w = Window.partitionBy("p_id")
+    j = (
+        j.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rn_first",
+            F.row_number().over(
+                w.orderBy(F.col("t_ts").asc(), F.col("t_id").asc())),
+        )
+        .withColumn(
+            "rn_last",
+            F.row_number().over(
+                w.orderBy(F.col("t_ts").desc(), F.col("t_id").desc())),
+        )
+    )
+    credited = j.select(
+        "channel",
+        (F.col("revenue") / F.col("n")).alias("linear_rev"),
+        F.when(F.col("rn_first") == 1, F.col("revenue"))
+        .otherwise(F.lit(0.0)).alias("first_rev"),
+        F.when(F.col("rn_last") == 1, F.col("revenue"))
+        .otherwise(F.lit(0.0)).alias("last_rev"),
+    )
+    # purchases with zero in-window touches -> 'direct' (anti join on the
+    # credited conversion ids, not a correlated subquery — same result)
+    touched_ids = j.select("p_id").distinct()
+    direct = conv.join(touched_ids, "p_id", "left_anti").select(
+        F.lit("direct").alias("channel"),
+        F.col("revenue").alias("linear_rev"),
+        F.col("revenue").alias("first_rev"),
+        F.col("revenue").alias("last_rev"),
+    )
+    out = credited.unionByName(direct)
+    return out.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        round_half_away(F.sum("linear_rev"), 6).alias("linear_rev"),
+        round_half_away(F.sum("first_rev"), 6).alias("first_touch_rev"),
+        round_half_away(F.sum("last_rev"), 6).alias("last_touch_rev"),
+    )
