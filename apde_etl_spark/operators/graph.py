@@ -29,7 +29,7 @@ billions of nodes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank_integer", "degree_table"]
@@ -52,6 +52,7 @@ def pagerank_integer(
     scale: int = SCALE,
     damp_num: int = 85,
     damp_den: int = 100,
+    seed_pred: Column | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -59,6 +60,12 @@ def pagerank_integer(
     (node, rank) with rank a BIGINT in fixed-point ``scale`` units.
     The caller should persist ``edges`` if it is expensive to recompute
     (the loop re-reads it every iteration).
+
+    ``seed_pred`` (a boolean Column over ``node``) switches to
+    PERSONALIZED PageRank: teleport mass goes only to the seed set
+    (split evenly over |S| seeds, same fixed-point floor division), and
+    the initial distribution is the teleport vector — ranks then measure
+    proximity to the seeds, the similar-entity-discovery primitive.
 
     Plan: degree once, then per iteration one join (ranks x edges on the
     node key) and one groupBy(dst) sum — 2 shuffles per iteration, both
@@ -69,20 +76,35 @@ def pagerank_integer(
     if not (0 < damp_num < damp_den):
         raise ValueError("damping must satisfy 0 < damp_num < damp_den")
     deg = degree_table(edges, src)
-    n_nodes_df = deg.agg(F.count(F.lit(1)).alias("n"))
-    # teleport term is a scalar: (15*scale) // (100*N). One tiny
-    # cross-join literalizes it onto every row (broadcast, zero cost).
+    is_seed = seed_pred if seed_pred is not None else F.lit(True)
+    n_nodes_df = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(is_seed, 1).otherwise(0)).cast("long").alias("n_seed"),
+    )
+    # teleport term: (15*scale) // (100*|teleport set|), zero off-seed.
+    # One tiny cross-join literalizes it onto every row (broadcast).
     teleport = n_nodes_df.select(
         F.expr(
             f"CAST({(damp_den - damp_num)} * CAST({scale} AS BIGINT) AS BIGINT)"
-            f" div ({damp_den} * n)"
-        ).alias("__tp"),
+            f" div ({damp_den} * n_seed)"
+        ).alias("__tp_seed"),
         F.col("n").alias("__n"),
+        F.col("n_seed").alias("__n_seed"),
     )
-    ranks = deg.crossJoin(F.broadcast(teleport)).select(
-        "node",
-        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("rank"),
-    )
+    if seed_pred is None:
+        ranks = deg.crossJoin(F.broadcast(teleport)).select(
+            "node",
+            F.expr(f"CAST({scale} AS BIGINT) div __n").alias("rank"),
+        )
+    else:
+        # personalized: start from the teleport vector itself
+        ranks = deg.crossJoin(F.broadcast(teleport)).select(
+            "node",
+            F.when(
+                is_seed,
+                F.expr(f"CAST({scale} AS BIGINT) div __n_seed"),
+            ).otherwise(F.lit(0)).cast("long").alias("rank"),
+        )
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("__dst"))
     for _ in range(iters):
         sums = (
@@ -103,7 +125,11 @@ def pagerank_integer(
             .crossJoin(F.broadcast(teleport))
             .select(
                 "node",
-                (F.col("__tp") + F.expr(f"({damp_num} * __in) div {damp_den}"))
+                (
+                    F.when(is_seed, F.col("__tp_seed"))
+                    .otherwise(F.lit(0))
+                    + F.expr(f"({damp_num} * __in) div {damp_den}")
+                )
                 .cast("long")
                 .alias("rank"),
             )

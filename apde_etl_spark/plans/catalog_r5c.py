@@ -230,6 +230,24 @@ _EM_FIELDS = ("text", "lang", "source", "len")
 _EM_LEVELS = (3, 2, 2, 2)
 
 
+def _em_fit(spark: SparkSession, sf_dir: str) -> dict:
+    """Collect the tiny gamma-pattern histogram and run the fixed-
+    iteration Winkler EM — shared by the weights and decisions entries."""
+    from apde_etl_spark.operators import linkage as _LK
+
+    hist = (
+        _features_df(spark, sf_dir)
+        .groupBy("g_text", "g_lang", "g_source", "g_len")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    patterns = [
+        ((r["g_text"], r["g_lang"], r["g_source"], r["g_len"]), r["n"])
+        for r in hist
+    ]
+    return _LK.em_estimate(patterns, _EM_LEVELS, iters=50, init_prior=0.1)
+
+
 @register("linkage_em_weights")  # rows-only: EM is iterative float —
 # deterministic given the pattern histogram (sorted order, fixed 50
 # iterations, driver-side Python) but not restatable in one SQL pass;
@@ -245,19 +263,7 @@ def linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     not grow."""
     import math as _math
 
-    from apde_etl_spark.operators import linkage as _LK
-
-    hist = (
-        _features_df(spark, sf_dir)
-        .groupBy("g_text", "g_lang", "g_source", "g_len")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    patterns = [
-        ((r["g_text"], r["g_lang"], r["g_source"], r["g_len"]), r["n"])
-        for r in hist
-    ]
-    fit = _LK.em_estimate(patterns, _EM_LEVELS, iters=50, init_prior=0.1)
+    fit = _em_fit(spark, sf_dir)
     rows = [
         (
             "match_prior", 0, fit["prior"], 1.0 - fit["prior"],
@@ -276,6 +282,47 @@ def linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_away(F.col("m_prob"), 6).alias("m_prob"),
         round_half_away(F.col("u_prob"), 6).alias("u_prob"),
         round_half_away(F.col("weight"), 6).alias("weight"),
+    )
+
+
+@register("linkage_em_decisions")  # rows-only: downstream of the EM fit
+# (same iterative-float exception as linkage_em_weights); the feature
+# rows it classifies are hash-gated upstream.
+def linkage_em_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully UNSUPERVISED linkage pipeline end-to-end: EM-fitted
+    m/u weights score every blocked pair, and decisions come from
+    posterior-probability thresholds instead of hand-set score cuts —
+    P(M|gamma) >= 0.9 -> match, >= 0.5 -> possible. In log2-odds space
+    that is score >= log2(prior odds)^-1 + log2(9) etc., computed
+    driver-side from the fitted prior. Output is the per-decision pair
+    count with the posterior band edges, the table a reviewer reads to
+    calibrate thresholds."""
+    import math as _math
+
+    from apde_etl_spark.operators import linkage as _LK
+
+    fit = _em_fit(spark, sf_dir)
+    weights = {
+        field: tuple(
+            _math.log2(fit["m"][f][lvl] / fit["u"][f][lvl])
+            for lvl in range(_EM_LEVELS[f])
+        )
+        for f, field in enumerate(_EM_FIELDS)
+    }
+    # posterior P >= t  <=>  score >= log2((1-p)/p) + log2(t/(1-t))
+    prior_odds = _math.log2((1.0 - fit["prior"]) / fit["prior"])
+    upper = prior_odds + _math.log2(0.9 / 0.1)
+    lower = prior_odds + _math.log2(0.5 / 0.5)
+    feats = _features_df(spark, sf_dir)
+    raw = _LK.score_column(weights)
+    out = feats.select(
+        _LK.classify_column(raw, upper, lower).alias("decision"))
+    return out.groupBy("decision").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    ).select(
+        "decision", "n_pairs",
+        round_half_away(F.lit(upper), 6).alias("match_cut"),
+        round_half_away(F.lit(lower), 6).alias("possible_cut"),
     )
 
 

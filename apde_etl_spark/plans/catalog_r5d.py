@@ -98,6 +98,63 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.col("rank").alias("pr_rank"))
 
 
+# personalized PageRank: teleport only to the seed set (low-key
+# customers — node even and < 20), ranks = proximity to the seeds.
+def _ppr_seed(col: str) -> str:
+    return f"({col} % 2 = 0 AND {col} < 20)"
+
+
+def _ppr_sql() -> str:
+    parts = [
+        f"""
+WITH {_GRAPH_CTES}, tp AS (
+  SELECT CAST(15 * CAST({_PR_SCALE} AS BIGINT) AS BIGINT)
+           // (100 * sum(CASE WHEN {_ppr_seed('node')} THEN 1 ELSE 0 END)) AS t,
+         CAST(sum(CASE WHEN {_ppr_seed('node')} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seed
+  FROM deg
+), pr0 AS (
+  SELECT node,
+         CASE WHEN {_ppr_seed('node')}
+              THEN CAST({_PR_SCALE} AS BIGINT) // n_seed
+              ELSE CAST(0 AS BIGINT) END AS pr_rank
+  FROM deg, tp
+)"""
+    ]
+    for i in range(_PR_ITERS):
+        parts.append(f""", s{i} AS (
+  SELECT e.dst AS node, sum(p.pr_rank // d.deg) AS m
+  FROM pr{i} p
+  JOIN deg d ON d.node = p.node
+  JOIN edges e ON e.src = p.node
+  GROUP BY e.dst
+), pr{i + 1} AS (
+  SELECT d.node,
+         CAST(CASE WHEN {_ppr_seed('d.node')} THEN tp.t ELSE 0 END
+              + (85 * COALESCE(s{i}.m, 0)) // 100 AS BIGINT) AS pr_rank
+  FROM deg d LEFT JOIN s{i} ON s{i}.node = d.node, tp
+)""")
+    parts.append(
+        f"\nSELECT node, pr_rank FROM pr{_PR_ITERS} WHERE pr_rank > 0")
+    return "".join(parts)
+
+
+@register("graph_ppr_seeded", _ppr_sql())
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set of customers — ranks are
+    proximity to the seeds (the similar-entity-discovery primitive:
+    'suppliers and customers most associated with THESE accounts').
+    Same integer fixed-point trick as the global entry, so iterative +
+    hash-gated; zero-rank nodes (unreached within 5 hops) are filtered
+    in both engines."""
+    edges = tracked_persist(_edges_df(spark, sf_dir), scope="graph")
+    seed = (F.col("node") % 2 == 0) & (F.col("node") < 20)
+    pr = pagerank_integer(
+        edges, iters=_PR_ITERS, scale=_PR_SCALE, seed_pred=seed)
+    return pr.filter(F.col("rank") > 0).select(
+        "node", F.col("rank").alias("pr_rank"))
+
+
 _DEGREE_SQL = f"""
 WITH {_GRAPH_CTES}
 SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
