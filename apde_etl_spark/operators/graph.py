@@ -53,6 +53,7 @@ def pagerank_integer(
     damp_num: int = 85,
     damp_den: int = 100,
     seed_pred: Column | None = None,
+    cache_scope: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -76,6 +77,12 @@ def pagerank_integer(
     if not (0 < damp_num < damp_den):
         raise ValueError("damping must satisfy 0 < damp_num < damp_den")
     deg = degree_table(edges, src)
+    if cache_scope is not None:
+        # deg (|V| rows) is referenced twice per iteration — share→free
+        # it; the edge join, 5-10x larger, is the caller's persist call.
+        from apde_etl_spark.operators.cache import tracked_persist
+
+        deg = tracked_persist(deg, scope=cache_scope)
     is_seed = seed_pred if seed_pred is not None else F.lit(True)
     n_nodes_df = deg.agg(
         F.count(F.lit(1)).alias("n"),

@@ -94,7 +94,8 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     both keyed on the node id — the textbook distributed-PageRank shape
     (co-partition edges by src at 100 TB and the join is shuffle-free)."""
     edges = tracked_persist(_edges_df(spark, sf_dir), scope="graph")
-    pr = pagerank_integer(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+    pr = pagerank_integer(edges, iters=_PR_ITERS, scale=_PR_SCALE,
+                           cache_scope="graph")
     return pr.select("node", F.col("rank").alias("pr_rank"))
 
 
@@ -150,7 +151,8 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tracked_persist(_edges_df(spark, sf_dir), scope="graph")
     seed = (F.col("node") % 2 == 0) & (F.col("node") < 20)
     pr = pagerank_integer(
-        edges, iters=_PR_ITERS, scale=_PR_SCALE, seed_pred=seed)
+        edges, iters=_PR_ITERS, scale=_PR_SCALE, seed_pred=seed,
+        cache_scope="graph")
     return pr.filter(F.col("rank") > 0).select(
         "node", F.col("rank").alias("pr_rank"))
 

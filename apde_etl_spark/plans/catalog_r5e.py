@@ -98,6 +98,8 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("t_ts") >= F.col("p_ts")
            - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS"))
     )
+    from apde_etl_spark.operators.cache import tracked_persist
+
     j = conv.join(touch, ["user_id"]).filter(in_window)
     w = Window.partitionBy("p_id")
     j = (
@@ -113,6 +115,10 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w.orderBy(F.col("t_ts").desc(), F.col("t_id").desc())),
         )
     )
+    # j feeds both the credit projection and the touched-id anti-join —
+    # persist so events is scanned three times total (conv x2, touch x1)
+    # instead of five
+    j = tracked_persist(j, scope="default")
     credited = j.select(
         "channel",
         (F.col("revenue") / F.col("n")).alias("linear_rev"),
