@@ -424,3 +424,114 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pairs_quality"),
         )
     )
+
+
+# ===========================================================================
+# Blocking strategy comparison — LSH vs the naive blockers
+# ===========================================================================
+
+_LEN_BAND_WIDTH = 50
+
+_BLOCKING_STRATEGIES_SQL = f"""
+WITH truth AS (SELECT id_a, id_b FROM ({_truth_fast_sql()}) t),
+lsh AS (SELECT id_a, id_b FROM ({_CAND_SQL}) c),
+ftok AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')[1] AS k
+        FROM documents) a
+  JOIN (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')[1] AS k
+        FROM documents) b
+    ON a.k = b.k AND a.doc_id < b.doc_id
+), lband AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, n_chars // {_LEN_BAND_WIDTH} AS k FROM documents
+        WHERE n_chars IS NOT NULL) a
+  JOIN (SELECT doc_id, n_chars // {_LEN_BAND_WIDTH} AS k FROM documents
+        WHERE n_chars IS NOT NULL) b
+    ON a.k = b.k AND a.doc_id < b.doc_id
+), rows_ AS (
+  SELECT 'lsh_verified' AS strategy,
+         (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM lsh c
+          JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hits
+  UNION ALL
+  SELECT 'first_token',
+         (SELECT CAST(count(*) AS BIGINT) FROM ftok),
+         (SELECT CAST(count(*) AS BIGINT) FROM ftok c
+          JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+  UNION ALL
+  SELECT 'length_band',
+         (SELECT CAST(count(*) AS BIGINT) FROM lband),
+         (SELECT CAST(count(*) AS BIGINT) FROM lband c
+          JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+)
+SELECT strategy, n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth, n_hits,
+       {_sql_round('CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM truth)', 6)} AS pairs_completeness,
+       {_sql_round('CASE WHEN n_candidates > 0 THEN CAST(n_hits AS DOUBLE) / n_candidates ELSE 0.0 END', 6)} AS pairs_quality
+FROM rows_
+"""
+
+
+@register("linkage_blocking_strategies", _BLOCKING_STRATEGIES_SQL)
+def linkage_blocking_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking strategy shoot-out: banded-LSH candidates vs the two
+    naive blockers every hand-rolled linkage starts with (first token
+    of the text; n_chars length bands) — each scored for completeness
+    and quality against the exact Jaccard truth set. The table that
+    justifies the LSH machinery: naive blocks either explode (length
+    bands admit ~n²/bands pairs at ~0 quality) or miss (first token is
+    brittle to any edit in position one). All counts are integers, so
+    the comparison is hash-exact."""
+    from apde_etl_spark.operators.cache import tracked_persist
+    from apde_etl_spark.plans.catalog_ext import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    truth = tracked_persist(
+        ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b"),
+        scope="similarity")
+
+    def pair_up(keyed: DataFrame) -> DataFrame:
+        a = keyed.select(F.col("doc_id").alias("id_a"), "k")
+        b = keyed.select(F.col("doc_id").alias("id_b"), "k")
+        return (a.join(b, "k")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b"))
+
+    strategies = [
+        ("lsh_verified",
+         _rounded_candidates(spark, sf_dir).select("id_a", "id_b")),
+        ("first_token",
+         pair_up(docs.select(
+             "doc_id",
+             F.split(F.trim(F.col("text")), r"\s+").getItem(0).alias("k")))),
+        ("length_band",
+         pair_up(docs.filter(F.col("n_chars").isNotNull()).select(
+             "doc_id",
+             (F.col("n_chars") / _LEN_BAND_WIDTH).cast("long").alias("k")))),
+    ]
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    out = None
+    for name, cand in strategies:
+        cand = tracked_persist(cand, scope="similarity")
+        n_c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        n_h = (cand.join(truth, ["id_a", "id_b"])
+               .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        row = (
+            n_c.crossJoin(n_truth).crossJoin(n_h).select(
+                F.lit(name).alias("strategy"),
+                "n_candidates", "n_truth", "n_hits",
+                round_half_away(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_truth").cast("double"), 6,
+                ).alias("pairs_completeness"),
+                F.when(
+                    F.col("n_candidates") > 0,
+                    round_half_away(
+                        F.col("n_hits").cast("double")
+                        / F.col("n_candidates").cast("double"), 6),
+                ).otherwise(F.lit(0.0)).alias("pairs_quality"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
