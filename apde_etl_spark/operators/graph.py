@@ -54,6 +54,7 @@ def pagerank_integer(
     damp_den: int = 100,
     seed_pred: Column | None = None,
     cache_scope: str | None = None,
+    broadcast_below: int = 0,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -71,6 +72,16 @@ def pagerank_integer(
     Plan: degree once, then per iteration one join (ranks x edges on the
     node key) and one groupBy(dst) sum — 2 shuffles per iteration, both
     on the node id, AQE-coalesced; no collect, no floats.
+
+    ``broadcast_below`` is the size gate for the rank/degree side: when
+    |V| (counted once, off the persisted degree table) is at or under
+    it, the per-iteration joins broadcast the node-sized frames so the
+    only shuffle left per iteration is the groupBy(dst) — the right
+    plan while ranks fit an executor. Past the gate the joins stay
+    shuffle joins; at 100 TB the answer is co-partitioning edges and
+    ranks on the node id, not broadcast. Results are identical either
+    way (integer arithmetic; the unit suite pins partitioning
+    invariance).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -112,11 +123,19 @@ def pagerank_integer(
                 F.expr(f"CAST({scale} AS BIGINT) div __n_seed"),
             ).otherwise(F.lit(0)).cast("long").alias("rank"),
         )
+    small = (
+        broadcast_below > 0
+        and deg.limit(broadcast_below + 1).count() <= broadcast_below
+    )
+
+    def node_sized(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("__dst"))
     for _ in range(iters):
         sums = (
-            ranks.join(deg, "node")
-            .withColumn("__share", F.expr("rank div deg"))
+            node_sized(ranks.join(node_sized(deg), "node")
+                       .withColumn("__share", F.expr("rank div deg")))
             .join(e, "node")
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.sum("__share").alias("__in"))
@@ -127,7 +146,7 @@ def pagerank_integer(
         # dangling rule; absent by construction on undirected inputs.
         ranks = (
             deg.select("node")
-            .join(sums, "node", "left")
+            .join(node_sized(sums), "node", "left")
             .withColumn("__in", F.coalesce(F.col("__in"), F.lit(0).cast("long")))
             .crossJoin(F.broadcast(teleport))
             .select(
