@@ -223,6 +223,41 @@ WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) -
 """
 
 
+def _minhash_join_sql(q_filter: str, c_filter: str,
+                      threshold: float = 0.2) -> str:
+    """Asymmetric MinHash+LSH+verify oracle — the SQL twin of
+    operators/similarity.py:minhash_lsh_join: QUERY bands against CORPUS
+    bands (filters are predicates over doc_id splitting ``documents``),
+    never a corpus self-join. Returns (id_a, id_b, jaccard_sim) with the
+    query id in id_a."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks WHERE len({_SQL_SHINGLES}) > 0),
+hashed AS (SELECT doc_id, s,
+           list_transform(s, x -> {_sql_hash60('x')} % {SIM.MERSENNE31}) AS hb FROM sh),
+sig AS (SELECT doc_id, s, {_sql_minhash_sig()} AS g FROM hashed),
+banded AS (
+  SELECT doc_id, unnest([
+    concat('0:', ',', g[1], ',', g[2], ',', g[3], ',', g[4]),
+    concat('1:', ',', g[5], ',', g[6], ',', g[7], ',', g[8]),
+    concat('2:', ',', g[9], ',', g[10], ',', g[11], ',', g[12]),
+    concat('3:', ',', g[13], ',', g[14], ',', g[15], ',', g[16])
+  ]) AS band FROM sig
+),
+cand AS (
+  SELECT DISTINCT q.doc_id AS id_a, c.doc_id AS id_b
+  FROM (SELECT * FROM banded WHERE {q_filter}) q
+  JOIN (SELECT * FROM banded WHERE {c_filter}) c ON q.band = c.band
+)
+SELECT id_a, id_b,
+       {_sql_round("CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))", 6)} AS jaccard_sim
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {threshold}
+"""
+
+
 _MINHASH_ORACLE = _minhash_pairs_sql()
 
 

@@ -49,8 +49,13 @@ _FS_UPPER, _FS_LOWER = 6.0, 0.0
 
 _CAND_SQL = _minhash_pairs_sql("documents", threshold=_LINK_THRESHOLD)
 
-_FEATURES_SQL = f"""
-WITH cand AS ({_CAND_SQL})
+
+def _features_sql(cand_sql: str) -> str:
+    """Comparison-vector SQL over ANY (id_a, id_b, jaccard_sim) candidate
+    relation — shared by the self-join family and the incremental
+    (batch x corpus) entry so the gamma definitions cannot drift."""
+    return f"""
+WITH cand AS ({cand_sql})
 SELECT id_a, id_b, jaccard_sim,
        CAST(CASE WHEN jaccard_sim >= {_STRONG} THEN 2
                  WHEN jaccard_sim >= {_WEAK} THEN 1
@@ -67,6 +72,9 @@ FROM cand
 JOIN documents da ON da.doc_id = id_a
 JOIN documents db ON db.doc_id = id_b
 """
+
+
+_FEATURES_SQL = _features_sql(_CAND_SQL)
 
 
 def _rounded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,6 +432,111 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pairs_quality"),
         )
     )
+
+
+# ===========================================================================
+# Incremental linkage — resolve a batch against the corpus
+# ===========================================================================
+
+_INC_Q_FILTER = "doc_id % 5 = 0"
+_INC_C_FILTER = "doc_id % 5 != 0"
+
+
+def _inc_cand_sql() -> str:
+    from apde_etl_spark.plans.catalog_ext import _minhash_join_sql
+
+    return _minhash_join_sql(_INC_Q_FILTER, _INC_C_FILTER,
+                             threshold=_LINK_THRESHOLD)
+
+
+_INC_LINKAGE_SQL = f"""
+WITH feats AS ({_features_sql(_inc_cand_sql())}),
+scored AS (
+  SELECT id_a, id_b, {_sql_fs_score()} AS raw FROM feats
+), best AS (
+  SELECT id_a, id_b, raw,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY raw DESC, id_b ASC) AS rn
+  FROM scored
+), matched AS (
+  SELECT id_a AS batch_id, id_b AS entity_id,
+         {_sql_round('raw', 6)} AS fs_score,
+         CASE WHEN raw >= {_FS_UPPER!r} THEN 'match'
+              WHEN raw >= {_FS_LOWER!r} THEN 'possible'
+              ELSE 'non_match' END AS decision
+  FROM best WHERE rn = 1
+)
+SELECT batch_id, entity_id, fs_score, decision FROM matched
+UNION ALL
+SELECT doc_id AS batch_id, CAST(NULL AS BIGINT) AS entity_id,
+       CAST(NULL AS DOUBLE) AS fs_score, 'new_entity' AS decision
+FROM documents
+WHERE {_INC_Q_FILTER}
+  AND doc_id NOT IN (SELECT batch_id FROM matched)
+"""
+
+
+@register("linkage_incremental", _INC_LINKAGE_SQL)
+def linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL entity resolution — the production shape: a new batch
+    (doc_id % 5 == 0) resolves against the existing corpus (the rest)
+    without the corpus ever self-pairing, mirroring
+    incremental_ingest_dedup's asymmetric band join
+    (similarity.py:minhash_lsh_join: a day's batch costs
+    |batch| x bucket-intersection work no matter how big the corpus).
+    Each batch record gets its BEST-scoring corpus entity
+    (row_number over score desc, entity id asc) with the FS decision;
+    batch records with no candidate at all come out as 'new_entity' —
+    the row set downstream ingestion acts on directly."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    batch = docs.filter(did % 5 == 0)
+    corpus = docs.filter(did % 5 != 0)
+    pairs = SIM.minhash_lsh_join(
+        batch, corpus, "doc_id", "text", k=3, num_hashes=16, bands=4,
+        threshold=_LINK_THRESHOLD,
+    ).select(
+        F.col("id_q").alias("id_a"), F.col("id_c").alias("id_b"),
+        round_half_away(F.col("jaccard_sim"), 6).alias("jaccard_sim"),
+    )
+    feats = LK.pair_features(
+        pairs, docs, id_col="doc_id", sim_col="jaccard_sim",
+        exact_cols=("lang", "source"), len_col="n_chars",
+        strong=_STRONG, weak=_WEAK, len_ratio=(4, 5),
+    )
+    raw = LK.score_column(LK.DEFAULT_WEIGHTS)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("__raw").desc(), F.col("id_b").asc())
+    best = (
+        feats.withColumn("__raw", raw)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    matched = tracked_persist(
+        best.select(
+            F.col("id_a").alias("batch_id"),
+            F.col("id_b").alias("entity_id"),
+            round_half_away(F.col("__raw"), 6).alias("fs_score"),
+            LK.classify_column(F.col("__raw"), _FS_UPPER, _FS_LOWER)
+            .alias("decision"),
+        ),
+        scope="similarity",
+    )
+    new = (
+        batch.join(matched.select(F.col("batch_id").alias("doc_id")),
+                   "doc_id", "left_anti")
+        .select(
+            F.col("doc_id").alias("batch_id"),
+            F.lit(None).cast("long").alias("entity_id"),
+            F.lit(None).cast("double").alias("fs_score"),
+            F.lit("new_entity").alias("decision"),
+        )
+    )
+    return matched.unionByName(new)
 
 
 # ===========================================================================
