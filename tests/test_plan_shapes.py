@@ -355,3 +355,60 @@ def test_cbo_reorders_join_only_with_stats(spark, sf_dir):
     assert with_cbo != without, (with_cbo, without)
     assert without.index("part") < without.index("supplier")
     assert with_cbo.index("supplier") < with_cbo.index("part")
+
+
+def test_linkage_features_single_shuffle(spark, sf_dir, qs):
+    """Blocking DAG aside, the attribute joins must broadcast at test SF
+    (the candidate list and documents are both small) — the only
+    Exchange keys the band self-join."""
+    plan = _plan(qs["linkage_candidate_features"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_linkage_scoring_adds_no_shuffle(spark, sf_dir, qs):
+    """FS scoring/classification is a pure projection: same exchange
+    count as the feature plan it wraps."""
+    feats = _plan(qs["linkage_candidate_features"](spark, sf_dir))
+    scores = _plan(qs["linkage_match_scores"](spark, sf_dir))
+    assert scores.count("Exchange") == feats.count("Exchange")
+
+
+def test_q10_top20_is_take_ordered(spark, sf_dir, qs):
+    plan = _plan(qs["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_pushes_date_filter_and_broadcasts_dims(spark, sf_dir, qs):
+    plan = _plan(qs["q5_local_supplier_volume"](spark, sf_dir))
+    # the quarter predicate reaches the orders scan (any PushedFilters
+    # segment) and the region constant reaches the region scan
+    pushed = "".join(seg[:300] for seg in plan.split("PushedFilters")[1:])
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "EqualTo(r_name,ASIA)" in pushed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_iteration_shuffles_on_node_only(spark, sf_dir, qs):
+    """With the node-sized frames under the broadcast gate, the
+    remaining per-iteration exchange is the groupBy(dst) — no
+    SortMergeJoin towers at test SF."""
+    plan = _plan(qs["graph_pagerank_copurchase"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_three_scans_with_pushed_type_filters(spark, sf_dir, qs):
+    plan = _plan(qs["attribution_multitouch"](spark, sf_dir))
+    # purchase/touch filters reach the scans
+    assert "event_type" in plan.split("PushedFilters")[1][:400]
+    # direct bucket = anti join, not a correlated loop
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_linkage_band_join_is_asymmetric(spark, sf_dir, qs):
+    """The batch/corpus split predicates must reach both scans — the
+    corpus side never self-pairs."""
+    plan = _plan(qs["linkage_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
