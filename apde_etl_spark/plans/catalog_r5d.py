@@ -157,6 +157,43 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("rank").alias("pr_rank"))
 
 
+# convergence monitor: pr4 and pr5 are both CTEs of the unrolled chain,
+# so the oracle reads the delta straight off them.
+_PR_CONVERGENCE_SQL = (
+    _pagerank_sql().replace(
+        f"\nSELECT node, pr_rank FROM pr{_PR_ITERS}",
+        f"""
+SELECT CAST(sum(abs(a.pr_rank - b.pr_rank)) AS BIGINT) AS l1_delta,
+       CAST(sum(a.pr_rank) AS BIGINT) AS total_mass,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM pr{_PR_ITERS} a JOIN pr{_PR_ITERS - 1} b ON a.node = b.node""",
+    )
+)
+
+
+@register("graph_pagerank_convergence", _PR_CONVERGENCE_SQL)
+def graph_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence monitor for the iterative family: the L1 distance
+    between iterations {n-1} and {n} in EXACT fixed-point units, plus
+    the surviving total mass — the numbers an operator watches to pick
+    the iteration budget (delta shrinking ~ damping^k) and to see the
+    truncation loss. One extra iteration's cost over the ranks entry;
+    all integers, so the convergence measurement itself is hash-gated —
+    monitoring you can trust across engines and retries."""
+    edges = tracked_persist(_edges_df(spark, sf_dir), scope="graph")
+    r_prev = pagerank_integer(edges, iters=_PR_ITERS - 1, scale=_PR_SCALE,
+                              cache_scope="graph", broadcast_below=2_000_000)
+    r_last = pagerank_integer(edges, iters=_PR_ITERS, scale=_PR_SCALE,
+                              cache_scope="graph", broadcast_below=2_000_000)
+    j = r_last.select("node", F.col("rank").alias("ra")).join(
+        r_prev.select("node", F.col("rank").alias("rb")), "node")
+    return j.agg(
+        F.sum(F.abs(F.col("ra") - F.col("rb"))).cast("long").alias("l1_delta"),
+        F.sum("ra").cast("long").alias("total_mass"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
+
+
 _DEGREE_SQL = f"""
 WITH {_GRAPH_CTES}
 SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
