@@ -435,6 +435,61 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Golden-record table — the linkage pipeline end-to-end
+# ===========================================================================
+
+_GOLDEN_SQL = f"""
+WITH comp AS ({_ENTITY_SQL}),
+all_m AS (
+  SELECT doc_id, entity_id FROM comp
+  UNION ALL
+  SELECT doc_id, doc_id AS entity_id FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+), sz AS (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM all_m GROUP BY entity_id
+)
+SELECT s.entity_id, s.n_members, d.lang AS rep_lang, d.source AS rep_source
+FROM sz s JOIN documents d ON d.doc_id = s.entity_id
+"""
+
+
+@register("linkage_pipeline_end2end", _GOLDEN_SQL)
+def linkage_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GOLDEN-RECORD table — the artifact a linkage pipeline
+    actually materializes: every source record resolved to an entity
+    (matched records via blocking -> scoring -> decision -> connected
+    components; unmatched records as their own singleton entity), with
+    the min-id member as the deterministic representative carrying the
+    entity's canonical attributes. One master table, total coverage —
+    the reference's per-load QA world extended to cross-record identity.
+    Plan adds one anti-join (singletons) and one attribute join on the
+    representative id over the clusters DAG."""
+    from apde_etl_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    matches = (
+        _scores_df(spark, sf_dir)
+        .filter(F.col("decision") == "match")
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(matches, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("entity_id"))
+    singles = docs.join(comp.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("entity_id"))
+    all_m = comp.unionByName(singles)
+    sz = all_m.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+    rep = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.col("lang").alias("rep_lang"),
+        F.col("source").alias("rep_source"),
+    )
+    return sz.join(rep, "entity_id").select(
+        "entity_id", "n_members", "rep_lang", "rep_source")
+
+
+# ===========================================================================
 # Incremental linkage — resolve a batch against the corpus
 # ===========================================================================
 
