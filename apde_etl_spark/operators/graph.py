@@ -16,15 +16,36 @@ engine. The damping update is
 
     r'(v) = (15 * SCALE) // (100 * N)  +  (85 * SUM_{u->v} r(u)//deg(u)) // 100
 
-(floor division; all operands positive). Nodes with no in-edges after a
-directed step keep only the teleport term; dangling-node mass is
-dropped, documented — on an undirected edge list (both directions
-present) there are no dangling nodes. Total mass therefore decays by
-the truncation, which is fine for a RANKING signal: order, not measure.
+(floor division; all operands positive).
+
+Dangling (sink) handling is a parameter:
+
+- ``dangling="drop"`` (default, the round-5 behavior): the node universe
+  is nodes WITH out-edges, and mass flowing into pure sinks vanishes.
+  Harmless on undirected inputs (both directions present => no sinks);
+  a ranking, not a measure.
+- ``dangling="redistribute"`` — the standard formulation for DIRECTED
+  graphs with sinks (web/citation centrality): the universe is ALL nodes
+  (src ∪ dst), and each iteration redistributes the summed sink mass
+  uniformly before damping:
+
+      r'(v) = tp + (85 * (in(v) + D // N)) // 100,  D = Σ_{sinks} r(u)
+
+  still pure integer floor division, so still hash-gateable; total mass
+  is conserved up to floor-division truncation (asserted in
+  tests/test_graph.py).
 
 Overflow headroom: SCALE=10^12, so 85 * SUM <= 85 * SCALE ~ 8.5e13 and
 the teleport product 15 * SCALE = 1.5e13 — far inside int64 even at
 billions of nodes.
+
+Long iteration budgets: each iteration adds a join+groupBy layer to the
+lineage, so an unbounded loop blows up driver planning time before data
+size matters. ``checkpoint_every=k`` truncates lineage with an eager
+``localCheckpoint`` every k iterations (results bit-identical — integer
+arithmetic); ``tol`` stops early once the exact L1 delta between
+consecutive iterations is <= tol fixed-point units (one tiny aggregate
+action per iteration, only when requested).
 """
 
 from __future__ import annotations
@@ -55,6 +76,9 @@ def pagerank_integer(
     seed_pred: Column | None = None,
     cache_scope: str | None = None,
     broadcast_below: int = 0,
+    dangling: str = "drop",
+    checkpoint_every: int = 0,
+    tol: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -68,10 +92,26 @@ def pagerank_integer(
     (split evenly over |S| seeds, same fixed-point floor division), and
     the initial distribution is the teleport vector — ranks then measure
     proximity to the seeds, the similar-entity-discovery primitive.
+    A seed predicate matching ZERO nodes is an error (the teleport
+    division would otherwise be by zero — Spark's non-ANSI integer
+    ``div`` yields NULL there, silently producing all-NULL ranks).
+
+    ``dangling="redistribute"`` ranks over the FULL node universe
+    (src ∪ dst) and folds sink mass back in uniformly each iteration —
+    use it for directed graphs with sinks (module docstring).
+
+    ``checkpoint_every=k`` > 0 truncates lineage with an eager
+    ``localCheckpoint`` every k iterations so 25+-iteration runs stay
+    linear in wall and plan depth. ``tol`` (fixed-point units) stops
+    early when the exact L1 delta between consecutive rank vectors is
+    <= tol; implies per-iteration checkpointing (the delta aggregate is
+    an action, and re-running un-truncated lineage would be quadratic).
 
     Plan: degree once, then per iteration one join (ranks x edges on the
     node key) and one groupBy(dst) sum — 2 shuffles per iteration, both
-    on the node id, AQE-coalesced; no collect, no floats.
+    on the node id, AQE-coalesced; no per-row Python, no floats. The
+    teleport constants (n, n_seed) come from ONE tiny driver-side
+    aggregate, doubling as the seed validation.
 
     ``broadcast_below`` is the size gate for the rank/degree side: when
     |V| (counted once, off the persisted degree table) is at or under
@@ -87,6 +127,12 @@ def pagerank_integer(
         raise ValueError("iters must be >= 1")
     if not (0 < damp_num < damp_den):
         raise ValueError("damping must satisfy 0 < damp_num < damp_den")
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"pagerank_integer: unknown dangling={dangling!r}")
+    if checkpoint_every < 0:
+        raise ValueError("checkpoint_every must be >= 0")
+    if tol is not None and tol < 0:
+        raise ValueError("tol must be >= 0")
     deg = degree_table(edges, src)
     if cache_scope is not None:
         # deg (|V| rows) is referenced twice per iteration — share→free
@@ -94,34 +140,46 @@ def pagerank_integer(
         from apde_etl_spark.operators.cache import tracked_persist
 
         deg = tracked_persist(deg, scope=cache_scope)
+    if dangling == "redistribute":
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .unionAll(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+        if cache_scope is not None:
+            from apde_etl_spark.operators.cache import tracked_persist
+
+            nodes = tracked_persist(nodes, scope=cache_scope)
+    else:
+        nodes = deg.select("node")
     is_seed = seed_pred if seed_pred is not None else F.lit(True)
-    n_nodes_df = deg.agg(
+    counts = nodes.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(is_seed, 1).otherwise(0)).cast("long").alias("n_seed"),
-    )
-    # teleport term: (15*scale) // (100*|teleport set|), zero off-seed.
-    # One tiny cross-join literalizes it onto every row (broadcast).
-    teleport = n_nodes_df.select(
-        F.expr(
-            f"CAST({(damp_den - damp_num)} * CAST({scale} AS BIGINT) AS BIGINT)"
-            f" div ({damp_den} * n_seed)"
-        ).alias("__tp_seed"),
-        F.col("n").alias("__n"),
-        F.col("n_seed").alias("__n_seed"),
-    )
+    ).first()
+    n_nodes = int(counts["n"] or 0)
+    n_seed = int(counts["n_seed"] or 0)
+    if n_nodes == 0:
+        raise ValueError("pagerank_integer: empty edge list (no nodes)")
+    if n_seed == 0:
+        raise ValueError(
+            "pagerank_integer: seed_pred matches zero nodes — the "
+            "personalized teleport mass has nowhere to go"
+        )
+    # teleport term: ((den-num)*scale) // (den*|teleport set|), zero
+    # off-seed. Python // on positive ints == SQL div — same integers
+    # the round-5 crossJoin formulation produced, now literals.
+    tp_seed = ((damp_den - damp_num) * scale) // (damp_den * n_seed)
     if seed_pred is None:
-        ranks = deg.crossJoin(F.broadcast(teleport)).select(
-            "node",
-            F.expr(f"CAST({scale} AS BIGINT) div __n").alias("rank"),
+        ranks = nodes.select(
+            "node", F.lit(scale // n_nodes).cast("long").alias("rank")
         )
     else:
         # personalized: start from the teleport vector itself
-        ranks = deg.crossJoin(F.broadcast(teleport)).select(
+        ranks = nodes.select(
             "node",
-            F.when(
-                is_seed,
-                F.expr(f"CAST({scale} AS BIGINT) div __n_seed"),
-            ).otherwise(F.lit(0)).cast("long").alias("rank"),
+            F.when(is_seed, F.lit(scale // n_seed))
+            .otherwise(F.lit(0)).cast("long").alias("rank"),
         )
     small = (
         broadcast_below > 0
@@ -132,32 +190,74 @@ def pagerank_integer(
         return F.broadcast(df) if small else df
 
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("__dst"))
-    for _ in range(iters):
+    eager = tol is not None
+    for it in range(iters):
+        contrib = ranks.join(node_sized(deg), "node").withColumn(
+            "__share", F.expr("rank div deg")
+        )
         sums = (
-            node_sized(ranks.join(node_sized(deg), "node")
-                       .withColumn("__share", F.expr("rank div deg")))
+            node_sized(contrib)
             .join(e, "node")
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.sum("__share").alias("__in"))
         )
-        # node universe = nodes with >= 1 out-edge (deg); a node with no
-        # in-mass this round keeps the bare teleport term. Mass flowing
-        # into pure sinks (absent from deg) is dropped — the documented
-        # dangling rule; absent by construction on undirected inputs.
-        ranks = (
-            deg.select("node")
-            .join(node_sized(sums), "node", "left")
-            .withColumn("__in", F.coalesce(F.col("__in"), F.lit(0).cast("long")))
-            .crossJoin(F.broadcast(teleport))
-            .select(
-                "node",
-                (
-                    F.when(is_seed, F.col("__tp_seed"))
-                    .otherwise(F.lit(0))
-                    + F.expr(f"({damp_num} * __in) div {damp_den}")
-                )
-                .cast("long")
-                .alias("rank"),
+        in_mass = F.coalesce(F.col("__in"), F.lit(0).cast("long"))
+        if dangling == "redistribute":
+            # sink mass this round: ranks of nodes with no out-edges —
+            # one tiny 1-row aggregate, broadcast onto every node; each
+            # node inherits D // N extra in-mass before damping.
+            dang = (
+                ranks.join(deg.select("node"), "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long")
+                     .alias("__dm"))
             )
-        )
+            new_ranks = (
+                nodes.join(node_sized(sums), "node", "left")
+                .withColumn("__in", in_mass)
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    (
+                        F.when(is_seed, F.lit(tp_seed)).otherwise(F.lit(0))
+                        + F.expr(
+                            f"({damp_num} * (__in + (__dm div {n_nodes})))"
+                            f" div {damp_den}"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+            )
+        else:
+            # node universe = nodes with >= 1 out-edge (deg); a node with
+            # no in-mass this round keeps the bare teleport term. Mass
+            # flowing into pure sinks (absent from deg) is dropped — the
+            # documented dangling="drop" rule; absent by construction on
+            # undirected inputs.
+            new_ranks = (
+                nodes.join(node_sized(sums), "node", "left")
+                .withColumn("__in", in_mass)
+                .select(
+                    "node",
+                    (
+                        F.when(is_seed, F.lit(tp_seed)).otherwise(F.lit(0))
+                        + F.expr(f"({damp_num} * __in) div {damp_den}")
+                    ).cast("long").alias("rank"),
+                )
+            )
+        if eager or (checkpoint_every > 0 and (it + 1) % checkpoint_every == 0):
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if eager:
+            delta = (
+                new_ranks.select("node", F.col("rank").alias("__ra"))
+                .join(ranks.select("node", F.col("rank").alias("__rb")),
+                      "node", "full")
+                .agg(F.sum(F.abs(
+                    F.coalesce(F.col("__ra"), F.lit(0))
+                    - F.coalesce(F.col("__rb"), F.lit(0))
+                )).alias("d")).first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and int(delta) <= tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks

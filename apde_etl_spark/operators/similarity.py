@@ -945,12 +945,22 @@ def assign_topn_cells(
         strategy = "blas" if n_cells >= ASSIGN_BLAS_MIN_CELLS else "hof"
     if strategy == "hof":
         cn = cent_df.withColumn("__cn", l2_norm(F.col("__c")))
+        # Zero-norm guard: a zero vector (or centroid) makes cosine 0/0
+        # = NaN, which Spark's desc window would rank FIRST while
+        # numpy's argsort(-S) ranks it LAST — a strategy desync. Pin
+        # the degenerate sim to exactly 0.0 on BOTH paths (a zero-norm
+        # side always has dot 0, so 0.0 is the natural limit) so hof
+        # and blas agree: rank by ascending cell_id among the zeros.
         ac = e.withColumn("__n", l2_norm(F.col("__v"))).crossJoin(
             F.broadcast(cn)
         ).select(
             id_col, "cell_id",
-            (dot(F.col("__v"), F.col("__c")) / (F.col("__n") * F.col("__cn")))
-            .alias("__sim"),
+            F.when(
+                (F.col("__n") == 0) | (F.col("__cn") == 0), F.lit(0.0)
+            ).otherwise(
+                dot(F.col("__v"), F.col("__c"))
+                / (F.col("__n") * F.col("__cn"))
+            ).alias("__sim"),
         )
         w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
         return (
@@ -972,6 +982,10 @@ def assign_topn_cells(
     cell_ids = np.array([int(r["cell_id"]) for r in cent_rows], dtype=np.int64)
     C = np.array([list(r["__c"]) for r in cent_rows], dtype=np.float64)
     Cn = np.linalg.norm(C, axis=1)
+    # zero-norm guard (same rule as the hof path): divide by 1 instead
+    # of 0 — the dot is 0 there anyway, so the sim lands on exactly 0.0
+    # rather than NaN, and both strategies rank degenerates identically.
+    Cn = np.where(Cn == 0.0, 1.0, Cn)
     n_keep = min(n_probe, len(cell_ids))
 
     def assign(batches):
@@ -982,6 +996,7 @@ def assign_topn_cells(
                 continue
             X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
             Xn = np.linalg.norm(X, axis=1)
+            Xn = np.where(Xn == 0.0, 1.0, Xn)
             S = (X @ C.T) / (Xn[:, None] * Cn[None, :])
             order = np.argsort(-S, axis=1, kind="stable")[:, :n_keep]
             b = len(pdf)

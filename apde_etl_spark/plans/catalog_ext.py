@@ -131,7 +131,8 @@ def _sql_hyperplane_bucket(planes: list[list[int]]) -> str:
 
 _JACCARD_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks)
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+       WHERE len({_SQL_SHINGLES}) > 0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        {_sql_round("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))", 6)} AS jaccard_sim
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id

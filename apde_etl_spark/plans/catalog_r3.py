@@ -191,13 +191,17 @@ def exact_topk_pairs(
     import numpy as np
 
     e = df.select(F.col(id_col), SIM.as_double_array(vec_col).alias("__v"))
-    corpus = e.collect()
-    if len(corpus) > EXACT_TOPK_MAX_ROWS:
+    # size-gate BEFORE the collect — checking len(collect()) after the
+    # fact cannot prevent the driver-memory blowup the cap exists for.
+    # limit(cap+1).count() reads at most cap+1 ids, never the vectors.
+    probe = e.select(id_col).limit(EXACT_TOPK_MAX_ROWS + 1).count()
+    if probe > EXACT_TOPK_MAX_ROWS:
         raise ValueError(
-            f"exact_topk_pairs: {len(corpus)} rows exceeds the "
+            f"exact_topk_pairs: corpus exceeds the "
             f"{EXACT_TOPK_MAX_ROWS}-row harness cap — ground-truth a "
             "query sample against the full corpus instead"
         )
+    corpus = e.collect()
     corpus.sort(key=lambda r: r[id_col])  # stable argsort => id asc on ties
     ids = np.array([r[id_col] for r in corpus], dtype=np.int64)
     C = np.array([list(r["__v"]) for r in corpus], dtype=np.float64)

@@ -9,8 +9,10 @@ unassisted conversions, so the numbers reconcile: every model's total
 equals total purchase revenue.
 
 Determinism: touch order is pinned by (ts, event_id) in both engines;
-revenue aggregates are rounded half-away to 6 like every other float
-aggregate in the gate.
+per-row credits are rounded half-away to 6 and summed as DECIMAL(38,6)
+(exact, order-independent) before a final cast to DOUBLE — a raw double
+sum's low bits would depend on partial-aggregation order, which the
+repo's decimal-exact aggregation convention exists to eliminate.
 """
 
 from __future__ import annotations
@@ -47,12 +49,17 @@ WITH ev AS (
    AND t.t_ts >= c.p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
 ), credited AS (
   SELECT channel,
-         revenue / n AS linear_rev,
-         CASE WHEN rn_first = 1 THEN revenue ELSE 0.0 END AS first_rev,
-         CASE WHEN rn_last = 1 THEN revenue ELSE 0.0 END AS last_rev
+         CAST({_sql_round('revenue / n', 6)} AS DECIMAL(38,6)) AS linear_rev,
+         CAST(CASE WHEN rn_first = 1 THEN {_sql_round('revenue', 6)}
+              ELSE 0.0 END AS DECIMAL(38,6)) AS first_rev,
+         CAST(CASE WHEN rn_last = 1 THEN {_sql_round('revenue', 6)}
+              ELSE 0.0 END AS DECIMAL(38,6)) AS last_rev
   FROM j
   UNION ALL
-  SELECT 'direct' AS channel, revenue, revenue, revenue
+  SELECT 'direct' AS channel,
+         CAST({_sql_round('revenue', 6)} AS DECIMAL(38,6)),
+         CAST({_sql_round('revenue', 6)} AS DECIMAL(38,6)),
+         CAST({_sql_round('revenue', 6)} AS DECIMAL(38,6))
   FROM conv c
   WHERE NOT EXISTS (
     SELECT 1 FROM touch t
@@ -63,9 +70,9 @@ WITH ev AS (
 )
 SELECT channel,
        CAST(count(*) AS BIGINT) AS n_credits,
-       {_sql_round('sum(linear_rev)', 6)} AS linear_rev,
-       {_sql_round('sum(first_rev)', 6)} AS first_touch_rev,
-       {_sql_round('sum(last_rev)', 6)} AS last_touch_rev
+       CAST(sum(linear_rev) AS DOUBLE) AS linear_rev,
+       CAST(sum(first_rev) AS DOUBLE) AS first_touch_rev,
+       CAST(sum(last_rev) AS DOUBLE) AS last_touch_rev
 FROM credited GROUP BY channel
 """
 
@@ -119,27 +126,35 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist so events is scanned three times total (conv x2, touch x1)
     # instead of five
     j = tracked_persist(j, scope="default")
+    # Per-row credits are rounded half-away to 6 THEN summed as
+    # DECIMAL(38,6): a raw double sum's low bits depend on Spark's
+    # partial-aggregation order vs DuckDB's sequential fold, and a
+    # final round-to-6 can straddle a boundary — decimal addition is
+    # exact and order-independent, so the gate hash cannot flake.
+    dec = "decimal(38,6)"
     credited = j.select(
         "channel",
-        (F.col("revenue") / F.col("n")).alias("linear_rev"),
-        F.when(F.col("rn_first") == 1, F.col("revenue"))
-        .otherwise(F.lit(0.0)).alias("first_rev"),
-        F.when(F.col("rn_last") == 1, F.col("revenue"))
-        .otherwise(F.lit(0.0)).alias("last_rev"),
+        round_half_away(F.col("revenue") / F.col("n"), 6)
+        .cast(dec).alias("linear_rev"),
+        F.when(F.col("rn_first") == 1, round_half_away(F.col("revenue"), 6))
+        .otherwise(F.lit(0.0)).cast(dec).alias("first_rev"),
+        F.when(F.col("rn_last") == 1, round_half_away(F.col("revenue"), 6))
+        .otherwise(F.lit(0.0)).cast(dec).alias("last_rev"),
     )
     # purchases with zero in-window touches -> 'direct' (anti join on the
     # credited conversion ids, not a correlated subquery — same result)
     touched_ids = j.select("p_id").distinct()
+    rev6 = round_half_away(F.col("revenue"), 6).cast(dec)
     direct = conv.join(touched_ids, "p_id", "left_anti").select(
         F.lit("direct").alias("channel"),
-        F.col("revenue").alias("linear_rev"),
-        F.col("revenue").alias("first_rev"),
-        F.col("revenue").alias("last_rev"),
+        rev6.alias("linear_rev"),
+        rev6.alias("first_rev"),
+        rev6.alias("last_rev"),
     )
     out = credited.unionByName(direct)
     return out.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_credits"),
-        round_half_away(F.sum("linear_rev"), 6).alias("linear_rev"),
-        round_half_away(F.sum("first_rev"), 6).alias("first_touch_rev"),
-        round_half_away(F.sum("last_rev"), 6).alias("last_touch_rev"),
+        F.sum("linear_rev").cast("double").alias("linear_rev"),
+        F.sum("first_rev").cast("double").alias("first_touch_rev"),
+        F.sum("last_rev").cast("double").alias("last_touch_rev"),
     )

@@ -610,3 +610,54 @@ def test_ivf_ivfpq_assign_strategy_invariant(spark, sf_dir):
         rerank=40, assign_strategy="blas",
     )
     assert p.exceptAll(q).count() == 0 and q.exceptAll(p).count() == 0
+
+
+def test_assign_topn_cells_zero_norm_strategy_agreement(spark):
+    """Zero-norm vectors/centroids make cosine 0/0; the guard pins those
+    sims to exactly 0.0 on BOTH strategies (hof would otherwise rank
+    NaN first, numpy last — an engine desync on degenerate inputs)."""
+    from apde_etl_spark.operators import similarity as SIM
+
+    e = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, __v array<double>")
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [2.0, 0.0])],
+        "cell_id long, __c array<double>")
+    hof = SIM.assign_topn_cells(e, "vec_id", cent, 3, 2, strategy="hof")
+    blas = SIM.assign_topn_cells(e, "vec_id", cent, 3, 2, strategy="blas")
+    h = sorted(map(tuple, hof.collect()))
+    b = sorted(map(tuple, blas.collect()))
+    assert h == b
+    # the all-zero query ties every centroid at 0.0 -> cell_id asc wins
+    picked = {(v, rk): c for v, c, rk in h}
+    assert picked[(0, 1)] == 0 and picked[(0, 2)] == 1
+
+
+def test_ngram_jaccard_short_docs_engine_parity(spark, tmp_path):
+    """Docs with < 3 tokens have EMPTY shingle sets: the inverted index
+    cannot pair them, and the oracle's sh CTE now filters them too —
+    without that filter DuckDB computes 0/0 = NaN which compares >= 0.2
+    under total-order semantics, a latent desync (ADVICE r5)."""
+    import duckdb
+
+    from apde_etl_spark.plans import catalog_ext as CE
+    from apde_etl_spark.plans.catalog import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta eta"),
+         (3, "hi"), (4, "yo")],  # < 3 tokens -> zero shingles
+        "doc_id long, text string")
+    d = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = QUERIES["ngram_jaccard_pairs"](spark, d).collect()
+    spark_pairs = {(r["id_a"], r["id_b"]) for r in out}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'")
+    oracle_pairs = {(r[0], r[1]) for r in con.execute(CE._JACCARD_ORACLE).fetchall()}
+    assert spark_pairs == oracle_pairs
+    assert (1, 2) in spark_pairs
+    assert not any(3 in p or 4 in p for p in oracle_pairs)

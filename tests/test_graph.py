@@ -101,3 +101,73 @@ def test_personalized_pagerank_far_nodes_zero(spark):
         edges, iters=4, seed_pred=F.col("node") <= 2))
     assert r[10] == 0 and r[11] == 0
     assert r[1] > 0 and r[2] > 0
+
+
+def test_seed_pred_matching_zero_nodes_raises(spark):
+    from pyspark.sql import functions as F
+
+    edges = _undirected(spark, [(1, 2), (2, 3)])
+    with pytest.raises(ValueError, match="zero nodes"):
+        pagerank_integer(edges, iters=2, seed_pred=F.col("node") > 99)
+
+
+def test_empty_edges_raises(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank_integer(edges, iters=1)
+
+
+def test_dangling_redistribute_universe_and_mass(spark):
+    # directed chain 1 -> 2 -> 3: node 3 is a pure sink. drop mode
+    # ranks only {1, 2}; redistribute ranks ALL nodes and conserves
+    # total mass up to floor-division truncation.
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    r_drop = _ranks(pagerank_integer(edges, iters=4))
+    assert set(r_drop) == {1, 2}
+    iters = 4
+    r = _ranks(pagerank_integer(edges, iters=iters, dangling="redistribute"))
+    assert set(r) == {1, 2, 3}
+    # mass conservation: each iteration's floor divisions each lose < 1
+    # unit per row — |E| share divs + 1 dangling div + N damp divs + N
+    # teleport divs per iteration bounds the total loss.
+    n, e = 3, 2
+    max_loss = iters * (e + 1 + 2 * n) + n  # + initial scale//n loss
+    assert SCALE - max_loss <= sum(r.values()) <= SCALE
+    # the sink holds mass (it receives the chain's flow)
+    assert r[3] > 0
+
+
+def test_dangling_redistribute_partitioning_invariant(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (2, 5)], "src long, dst long")
+    a = _ranks(pagerank_integer(edges, iters=5, dangling="redistribute"))
+    b = _ranks(pagerank_integer(
+        edges.repartition(7), iters=5, dangling="redistribute"))
+    assert a == b
+
+
+def test_checkpoint_every_results_identical(spark):
+    edges = _undirected(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+    base = _ranks(pagerank_integer(edges, iters=8))
+    ck = _ranks(pagerank_integer(edges, iters=8, checkpoint_every=2))
+    assert base == ck
+    ckd = _ranks(pagerank_integer(
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
+        iters=6, dangling="redistribute", checkpoint_every=3))
+    plain = _ranks(pagerank_integer(
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
+        iters=6, dangling="redistribute"))
+    assert ckd == plain
+
+
+def test_tol_early_stop_matches_full_run(spark):
+    # tol=0 stops only at an exact fixed point; a symmetric triangle
+    # reaches it quickly, so iters=20 with tol=0 must equal iters=20
+    # without (stopping early at the same fixed point).
+    edges = _undirected(spark, [(1, 2), (2, 3), (3, 1)])
+    full = _ranks(pagerank_integer(edges, iters=20))
+    stopped = _ranks(pagerank_integer(edges, iters=20, tol=0))
+    assert full == stopped
+    # a loose tol still returns a valid full-universe rank vector
+    loose = _ranks(pagerank_integer(edges, iters=20, tol=10**9))
+    assert set(loose) == {1, 2, 3}
