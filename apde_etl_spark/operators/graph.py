@@ -190,7 +190,14 @@ def pagerank_integer(
         return F.broadcast(df) if small else df
 
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("__dst"))
-    eager = tol is not None
+    # redistribute references `ranks` TWICE per iteration (dangling
+    # aggregate + contribution join): without materialization the
+    # recompute doubles per iteration (2^k within a lineage window —
+    # measured 262s vs ~30s at 3M edges / 25 iters). Materialize every
+    # superstep, the standard Pregel posture; integers, so results are
+    # unchanged.
+    materialize_each = tol is not None or dangling == "redistribute"
+    track_delta = tol is not None
     for it in range(iters):
         contrib = ranks.join(node_sized(deg), "node").withColumn(
             "__share", F.expr("rank div deg")
@@ -243,9 +250,11 @@ def pagerank_integer(
                     ).cast("long").alias("rank"),
                 )
             )
-        if eager or (checkpoint_every > 0 and (it + 1) % checkpoint_every == 0):
+        if materialize_each or (
+            checkpoint_every > 0 and (it + 1) % checkpoint_every == 0
+        ):
             new_ranks = new_ranks.localCheckpoint(eager=True)
-        if eager:
+        if track_delta:
             delta = (
                 new_ranks.select("node", F.col("rank").alias("__ra"))
                 .join(ranks.select("node", F.col("rank").alias("__rb")),

@@ -1,0 +1,290 @@
+"""Round-6 extension catalog: correlated-subquery query family and
+directed PageRank with dangling-mass redistribution.
+
+Correlated subqueries (TPC-H Q4/Q21/Q22 shapes) are the one Catalyst
+rewrite family the gate never exercised: EXISTS / NOT EXISTS / scalar
+subqueries are what analytic users write daily, and the scalable
+execution is DECORRELATION into semi/anti/broadcast joins — never a
+per-row subquery. Two entries decorrelate explicitly with the DataFrame
+API (left_semi / left_anti with compound conditions); the third is
+written as literal SQL with EXISTS + scalar subqueries and handed to
+Catalyst, whose RewriteSubquery/RewritePredicateSubquery batches must
+turn it into the same join shapes (asserted in
+tests/test_plan_shapes.py — the physical plan contains LeftSemi/LeftAnti
+joins and one-shot subquery stages, nothing per-row).
+
+The reference has no subquery surface of its own (its QA queries are
+data.table pipelines — R/etl_qa_run_pipeline.R builds joins by hand),
+so this is extension surface in SURVEY §2.13's sense: query breadth a
+reference user gains for free.
+
+``graph_pagerank_directed_sinks`` closes the round-5 verdict's top item:
+the standard dangling-mass redistribution term on a DIRECTED graph whose
+sinks are real (customer -> supplier purchase edges; suppliers never
+link out), in the same fixed-point integer arithmetic — still a full
+cross-engine hash gate, with mass conservation asserted in
+tests/test_graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators.cache import tracked_persist
+from apde_etl_spark.operators.graph import pagerank_integer
+from apde_etl_spark.plans.catalog import load, register
+
+# ===========================================================================
+# Q4 shape: EXISTS -> left semi join
+# ===========================================================================
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_exists_late_orders", _Q4_SQL)
+def q4_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (schema-adapted: the testdata lineitem has no
+    commit/receipt dates, so 'late' = shipped > 60 days after the order
+    date): count one-quarter orders per priority where EXISTS a late
+    line item. Decorrelated by hand into a LEFT SEMI join whose
+    condition carries the correlated date predicate — the EXISTS
+    never runs per row, and the semi join shuffles once on the order
+    key (or broadcasts the filtered order quarter, which AQE picks at
+    this SF). The quarter filter is pushed to the orders scan."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+# ===========================================================================
+# Q21 shape: EXISTS + multi-condition NOT EXISTS -> semi + anti joins
+# ===========================================================================
+
+_Q21_SQL = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lo l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lo l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY s.s_name
+"""
+
+
+@register("q21_anti_sole_late_supplier", _Q21_SQL)
+def q21_anti_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order. The Q21 twist is the multi-condition
+    correlated subqueries (same order key, DIFFERENT supplier — an
+    equi + non-equi pair): decorrelated into one LEFT SEMI ('someone
+    else shipped on this order') and one LEFT ANTI ('nobody else was
+    late on it'), both keyed on the order id with the supplier
+    inequality as the residual condition — the textbook distributed
+    Q21 plan (three shuffles on l_orderkey, no per-row subqueries; the
+    supplier-name join broadcasts the dim)."""
+    o_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(o_f, li["l_orderkey"] == o_f["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 30 DAYS")
+    # lo feeds l1 and the anti side — persist so the orders join runs once
+    lo = tracked_persist(lo, scope="default")
+    l1 = lo.filter(late)
+    l2 = li.select(F.col("l_orderkey").alias("__ok"),
+                   F.col("l_suppkey").alias("__sk"))
+    semi = l1.join(
+        l2,
+        (F.col("__ok") == F.col("l_orderkey"))
+        & (F.col("__sk") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    l3 = lo.filter(late).select(F.col("l_orderkey").alias("__ok3"),
+                                F.col("l_suppkey").alias("__sk3"))
+    sole = semi.join(
+        l3,
+        (F.col("__ok3") == F.col("l_orderkey"))
+        & (F.col("__sk3") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(sup), sole["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+# ===========================================================================
+# Q22 shape: scalar subquery + NOT EXISTS, handed to Catalyst as SQL
+# ===========================================================================
+
+_Q22_COHORT = "(1, 3, 5, 7, 9, 11, 13)"
+
+# Decimal-exact above-average test: comparing against a FLOAT average is
+# engine-order-dependent at the boundary, so compare
+# c_acctbal * n > sum instead — DECIMAL multiplication and the exact
+# decimal sum make the comparison bit-deterministic in both engines.
+_Q22_SQL = f"""
+SELECT CAST(c_nationkey AS INTEGER) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN {_Q22_COHORT}
+  AND CAST(c.c_acctbal AS DECIMAL(18,2))
+      * (SELECT CAST(count(*) AS BIGINT) FROM customer
+         WHERE c_nationkey IN {_Q22_COHORT} AND c_acctbal > 0.0)
+      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+         WHERE c_nationkey IN {_Q22_COHORT} AND c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_nationkey
+"""
+
+
+@register("q22_scalar_subquery_idle_rich", _Q22_SQL)
+def q22_scalar_subquery_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (cohort = a fixed nation-key set standing in for
+    phone prefixes): customers above the cohort's positive-balance
+    average with no RECENT orders (none since 2000 — every sf0.01
+    customer has some order, so the raw no-orders set is empty). Unlike the hand-decorrelated q4/q21
+    twins, this entry feeds Catalyst the LITERAL subquery SQL — two
+    uncorrelated scalar subqueries plus a correlated NOT EXISTS — and
+    relies on the optimizer's subquery rewrites: scalar subqueries
+    execute ONCE as separate one-row stages, the NOT EXISTS becomes a
+    LEFT ANTI join on c_custkey (plan-asserted in
+    tests/test_plan_shapes.py). The above-average test multiplies by
+    the cohort count instead of dividing (decimal-exact, no float
+    average at the boundary)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q22_SQL)
+
+
+# ===========================================================================
+# Directed PageRank with sinks: dangling-mass redistribution
+# ===========================================================================
+
+_PR_ITERS = 5
+_PR_SCALE = 10**12
+
+_DIRECTED_CTES = """
+e0 AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT src AS node FROM e0 UNION SELECT dst FROM e0
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY src
+)"""
+
+
+def _pagerank_directed_sql() -> str:
+    parts = [
+        f"""
+WITH {_DIRECTED_CTES}, tp AS (
+  SELECT CAST(15 * CAST({_PR_SCALE} AS BIGINT) AS BIGINT)
+           // (100 * count(*)) AS t,
+         CAST(count(*) AS BIGINT) AS n
+  FROM nodes
+), pr0 AS (
+  SELECT node, CAST({_PR_SCALE} AS BIGINT) // n AS pr_rank FROM nodes, tp
+)"""
+    ]
+    for i in range(_PR_ITERS):
+        parts.append(f""", d{i} AS (
+  SELECT COALESCE(sum(p.pr_rank), 0) AS dm
+  FROM pr{i} p LEFT JOIN deg d ON d.node = p.node
+  WHERE d.deg IS NULL
+), s{i} AS (
+  SELECT e.dst AS node, sum(p.pr_rank // d.deg) AS m
+  FROM pr{i} p
+  JOIN deg d ON d.node = p.node
+  JOIN e0 e ON e.src = p.node
+  GROUP BY e.dst
+), pr{i + 1} AS (
+  SELECT nd.node,
+         CAST(tp.t + (85 * (COALESCE(s{i}.m, 0) + (d{i}.dm // tp.n)))
+              // 100 AS BIGINT) AS pr_rank
+  FROM nodes nd LEFT JOIN s{i} ON s{i}.node = nd.node, tp, d{i}
+)""")
+    parts.append(f"\nSELECT node, pr_rank FROM pr{_PR_ITERS}")
+    return "".join(parts)
+
+
+def _edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@register("graph_pagerank_directed_sinks", _pagerank_directed_sql())
+def graph_pagerank_directed_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the DIRECTED customer->supplier
+    purchase graph — every supplier is a genuine sink (no out-edges),
+    the case the round-5 'drop' rule got wrong for web/citation-style
+    centrality. ``dangling="redistribute"`` ranks the FULL node
+    universe and folds the summed sink mass back in uniformly each
+    iteration (D // N, pure integer floor division), so the result
+    stays hash-gateable AND conserves total mass up to truncation
+    (asserted in tests/test_graph.py). Per iteration the extra cost is
+    one |V_sink|-row aggregate broadcast as a 1-row literal; everything
+    else is the same join + groupBy on the node id."""
+    edges = tracked_persist(_edges_directed(spark, sf_dir), scope="graph")
+    pr = pagerank_integer(
+        edges, iters=_PR_ITERS, scale=_PR_SCALE,
+        dangling="redistribute", cache_scope="graph",
+        broadcast_below=2_000_000)
+    return pr.select("node", F.col("rank").alias("pr_rank"))

@@ -412,3 +412,56 @@ def test_incremental_linkage_band_join_is_asymmetric(spark, sf_dir, qs):
     corpus side never self-pairs."""
     plan = _plan(qs["linkage_incremental"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_runs_as_semi_join(spark, sf_dir, qs):
+    plan = _plan(qs["q4_exists_late_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    # decorrelated: two bounded scans, no per-row subquery re-execution
+    assert plan.count("Scan parquet") <= 2
+    # the quarter filter reaches the orders scan
+    assert "PushedFilters" in plan
+
+
+def test_q21_runs_as_semi_plus_anti_joins(spark, sf_dir, qs):
+    plan = _plan(qs["q21_anti_sole_late_supplier"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    # supplier-name dim rides a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_catalyst_decorrelates_subqueries(spark, sf_dir, qs):
+    # this entry hands Catalyst LITERAL SQL with two scalar subqueries
+    # + a correlated NOT EXISTS; the physical plan must show the
+    # rewrites: an anti join for the NOT EXISTS and one-shot subquery
+    # stages (Subquery/ReusedSubquery), never a per-row loop.
+    plan = _plan(qs["q22_scalar_subquery_idle_rich"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "Subquery" in plan
+    # Catalyst merges the two scalar aggregates into ONE one-shot stage
+    # (mergedValue) — printed under both Subquery nodes, so the textual
+    # scan count is bounded but not minimal: main customer + orders +
+    # the merged subquery stage repeated per reference.
+    assert "mergedValue" in plan or "ReusedSubquery" in plan
+    assert plan.count("Scan parquet") <= 6
+
+
+def test_pagerank_checkpoint_bounds_plan_depth(spark):
+    """Iterative lineage must not grow unboundedly: with
+    checkpoint_every the physical plan of the FINAL iteration hangs off
+    a checkpoint scan, so its size is O(k), independent of total
+    iteration count — the property that keeps 25+-iteration runs
+    plannable."""
+    from apde_etl_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long")
+    deep = pagerank_integer(edges, iters=9)
+    shallow = pagerank_integer(edges, iters=9, checkpoint_every=3)
+    p_deep, p_shallow = _plan(deep), _plan(shallow)
+    # un-truncated: plan grows with iters; truncated: bounded well below
+    assert len(p_shallow) < len(p_deep) / 2
+    # and the checkpointed plan no longer re-reads the edge source:
+    # it starts from the materialized ranks
+    assert "ExistingRDD" in p_shallow or "Scan" in p_shallow
