@@ -567,3 +567,142 @@ def tfidf_top_terms(df: DataFrame, group_col: str = "source",
                 F.col("tf").cast("long").alias("tf"), "tfidf",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """EXACT duplicated-substring detection at >= ``k``-token
+    granularity — the training-data standard (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    k-token substring occurring >= ``min_count`` times in the corpus
+    (counting MULTIPLICITY, so within-doc repeats count — unlike the
+    cross-document ``repeated_max_spans``) marks its positions, and
+    per-doc overlapping-or-adjacent marked intervals merge into covered
+    regions. Returns (id, span_start, span_end, span_tokens) with
+    0-based inclusive token positions — the spans a dedup pass REMOVES.
+
+    This is the k-gram-anchor equivalent of the paper's suffix array,
+    re-expressed for a shuffle engine: a suffix array's duplicated-
+    substring query "substring of length >= k appearing twice" is
+    exactly "some k-gram appearing twice" plus interval union, and the
+    k-gram multiset is computable as one posexplode + one groupBy on a
+    fixed-width 128-bit digest (md5 — collision odds ~n^2/2^128,
+    negligible at any corpus size; the digest is the shuffle key, never
+    the text). Merging uses gap <= k on ANCHOR positions (lag + running
+    sum of breaks): two marked positions p, p' <= p+k have overlapping
+    or touching covered intervals [p, p+k-1], [p', p'+k-1], so each
+    island's union is one contiguous region and span_tokens is the
+    exact covered count.
+
+    Scale shape: one posexplode (the corpus token count — the price the
+    paper's suffix array also pays, there in sort form), one groupBy on
+    the digest (hot boilerplate grams are hot REDUCE keys only; partial
+    aggregation absorbs them map-side, nothing enumerates pairs), one
+    broadcast-or-shuffle semi join of positions against repeated
+    digests, one per-doc window over marked positions only. All
+    integers downstream — fully hash-gateable."""
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
+        F.size("__t") >= k
+    )
+    grams = toks_df.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - k),
+                lambda i: F.md5(
+                    F.array_join(F.slice("__t", i + 1, k), " ").cast("binary")
+                ),
+            )
+        ).alias("pos", "__gh"),
+    )
+    rep = (
+        grams.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__gh")
+    )
+    marked = grams.join(rep, "__gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    brk = F.when(lagp.isNull() | (F.col("pos") - lagp > k), 1).otherwise(0)
+    cum = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        marked.withColumn("__brk", brk)
+        .withColumn("__isl", F.sum("__brk").over(cum))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + k - 1).cast("int").alias("span_end"),
+            (F.max("pos") - F.min("pos") + k).cast("int").alias("span_tokens"),
+        )
+        .drop("__isl")
+    )
+
+
+def remove_duplicated_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    cache_scope: str = "default",
+) -> DataFrame:
+    """Exact substring DEDUP: drop every covered span found by
+    :func:`duplicated_substring_spans` from every document (the
+    remove-all-occurrences variant — deterministic, engine-order-free;
+    Lee et al.'s keep-one variant needs an occurrence ranking that no
+    downstream metric here requires). Returns per doc
+    (id, n_tokens, n_removed, cleaned_text) where ``cleaned_text`` is
+    the kept tokens re-joined with single spaces (whitespace-normalized
+    by construction) — docs with nothing removed pass through with
+    n_removed = 0, fully-covered docs come out empty.
+
+    Shape: the spans pass, then positions -> covered-position explode
+    (bounded by k x marked positions), one LEFT ANTI join on
+    (id, position), and one per-doc ordered re-assembly
+    (array_sort(collect_list(struct(pos, tok)))) — no window over the
+    full corpus, no Python."""
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    islands = tracked_persist(
+        duplicated_substring_spans(df, id_col, text_col, k, min_count),
+        scope=cache_scope,
+    )
+    cov = islands.select(
+        id_col,
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    )
+    tokpos = toks_df.select(
+        id_col, F.posexplode("__t").alias("pos", "__tok")
+    )
+    kept = tokpos.join(cov, [id_col, "pos"], "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__ctext")
+    )
+    removed = islands.groupBy(id_col).agg(
+        F.sum("span_tokens").cast("int").alias("__nrm"))
+    return (
+        toks_df.select(id_col, F.size("__t").cast("int").alias("n_tokens"))
+        .join(removed, id_col, "left")
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("__nrm"), F.lit(0)).cast("int").alias("n_removed"),
+            F.coalesce(F.col("__ctext"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -288,3 +288,109 @@ def graph_pagerank_directed_sinks(spark: SparkSession, sf_dir: str) -> DataFrame
         dangling="redistribute", cache_scope="graph",
         broadcast_below=2_000_000)
     return pr.select("node", F.col("rank").alias("pr_rank"))
+
+
+# ===========================================================================
+# Exact substring dedup at >= k-token granularity (Lee et al. 2021 class)
+# ===========================================================================
+
+_SSD_K = 8
+_SSD_MIN_COUNT = 2
+
+#: shared oracle CTE chain: k-gram anchors -> repeated digests ->
+#: marked positions -> gap<=k islands (covered regions)
+_SSD_CTES = f"""
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         FROM documents),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(t[i:i+{_SSD_K}-1], ' ')) AS gh
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SSD_K} + 1)) AS gs(i)
+),
+rep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= {_SSD_MIN_COUNT}),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gh)),
+b AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > {_SSD_K}
+             THEN 1 ELSE 0 END AS brk
+      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+c AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM b),
+islands AS (
+  SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+         CAST(max(pos) + {_SSD_K} - 1 AS INTEGER) AS span_end,
+         CAST(max(pos) - min(pos) + {_SSD_K} AS INTEGER) AS span_tokens
+  FROM c GROUP BY doc_id, isl)"""
+
+_SSD_SPANS_SQL = f"""
+WITH {_SSD_CTES}
+SELECT doc_id, span_start, span_end, span_tokens FROM islands
+"""
+
+
+@register("exact_substring_spans", _SSD_SPANS_SQL)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated substrings >= {k} tokens (Lee et al. 2021's
+    suffix-array query, re-expressed as distributed k-gram anchors +
+    interval union — operators/text.py:duplicated_substring_spans):
+    every k-token substring occurring >= 2 times in the corpus
+    COUNTING MULTIPLICITY marks its positions; per-doc marked positions
+    merge (gap <= k) into contiguous covered regions. Differs from
+    repeated_maxspan_docs on three axes: within-doc repeats count, the
+    threshold is occurrences not distinct docs, and NEARBY distinct
+    duplicated substrings merge into one removable region. Output is
+    pure integers — hash-gated despite the pipeline walking every
+    corpus token."""
+    from apde_etl_spark.operators.text import duplicated_substring_spans
+
+    docs = load(spark, sf_dir, "documents", rebalance=True)
+    return duplicated_substring_spans(
+        docs, k=_SSD_K, min_count=_SSD_MIN_COUNT)
+
+
+_SSD_DEDUP_SQL = f"""
+WITH {_SSD_CTES},
+removed AS (SELECT doc_id, CAST(sum(span_tokens) AS INTEGER) AS n_removed
+            FROM islands GROUP BY doc_id),
+cov AS (SELECT doc_id,
+               CAST(unnest(generate_series(span_start, span_end)) AS BIGINT)
+                 AS pos
+        FROM islands),
+tokpos AS (SELECT doc_id, t[i] AS tok, CAST(i - 1 AS BIGINT) AS pos
+           FROM toks, UNNEST(generate_series(1, len(t))) AS gs(i)),
+kept AS (SELECT tp.doc_id, tp.tok, tp.pos
+         FROM tokpos tp
+         LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+         WHERE cov.pos IS NULL),
+cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ctext
+            FROM kept GROUP BY doc_id)
+SELECT toks.doc_id,
+       CAST(len(toks.t) AS INTEGER) AS n_tokens,
+       CAST(COALESCE(removed.n_removed, 0) AS INTEGER) AS n_removed,
+       md5(COALESCE(cleaned.ctext, '')) AS cleaned_md5
+FROM toks LEFT JOIN removed ON removed.doc_id = toks.doc_id
+          LEFT JOIN cleaned ON cleaned.doc_id = toks.doc_id
+"""
+
+
+@register("exact_substring_dedup_docs", _SSD_DEDUP_SQL)
+def exact_substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring DEDUP — remove the covered spans (not whole
+    docs) and emit per-doc (n_tokens, n_removed, md5 of the cleaned
+    token stream). The remove-all-occurrences variant: deterministic
+    and engine-order-free, so even the CLEANED TEXT is hash-gated via
+    its md5. Shape on top of the spans pass: covered-position explode
+    (bounded by k x marked positions), one LEFT ANTI join on
+    (doc, position), one per-doc ordered re-assembly — no corpus-wide
+    window, no Python (operators/text.py:remove_duplicated_substrings).
+    At 100 TB this is the pipeline the paper runs: the anchor groupBy
+    shuffles fixed-width digests, the anti join shuffles (id, pos)
+    pairs, and per-doc re-assembly is bounded by document length."""
+    from apde_etl_spark.operators.text import remove_duplicated_substrings
+
+    docs = load(spark, sf_dir, "documents", rebalance=True)
+    out = remove_duplicated_substrings(
+        docs, k=_SSD_K, min_count=_SSD_MIN_COUNT)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed",
+        F.md5(F.col("cleaned_text").cast("binary")).alias("cleaned_md5"),
+    )
