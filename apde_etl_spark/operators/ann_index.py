@@ -1,0 +1,266 @@
+"""Persistent ANN index lifecycle: train once, serve many query batches.
+
+Every round-5 ANN entry retrained its centroids / bounds / codebooks
+inside the query plan — right for a self-contained oracle, wrong for
+production: a 100 TB corpus trains ONE index and then serves query
+batches (and incremental vector adds) against the FROZEN artifacts for
+months. This module persists the trained artifacts as parquet tables
+via :func:`write_analytic_table` (the repo's layout-aware writer) and
+gives the query path plans that contain ZERO training scans:
+
+- ``centroids``  (cell_id BIGINT, centroid array<double>) — IVF coarse
+  quantizer (deterministic stride seeds by default, so an external
+  oracle can rebuild it; Lloyd-trained variants plug in the same table).
+- ``bounds``     (pos INT, lo DOUBLE, hi DOUBLE) — SQ8 per-dimension
+  affine code parameters (one codegen'd min/max scan).
+- ``codebooks``  (subspace INT, code INT, centroid array<double>) — PQ
+  codebooks (Lloyd over hash-capped sample), persisted for the
+  PQ-encode path.
+- ``codes``      (id, cell_id, sq8_code array<int>) — the corpus
+  inverted lists, hive-PARTITIONED BY cell_id so a probe of n_probe
+  cells is a partition-pruned scan, and 4x smaller than float32 —
+  the bytes a 100 TB vector serve actually reads.
+
+The query path (:func:`ann_query_prebuilt`) reads centroids + codes
+from the index directory (the centroid frame enters the plan as a
+parquet scan, not a literal), scores the DEQUANTIZED codes against the
+exact query vectors (asymmetric SQ8 — the FAISS default), takes a
+per-query shortlist and reranks it against exact vectors. Incremental
+adds (:func:`encode_against_index` / :func:`ann_index_add`) encode new
+vectors against the frozen artifacts and append to the partitioned
+codes table — the ``semantic_dedup_incremental`` admission pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators.similarity import (
+    as_double_array,
+    assign_topn_cells,
+    dot,
+    l2_norm,
+    sq8_quantize,
+    sq8_train_bounds,
+    train_pq_codebooks,
+)
+from apde_etl_spark.sources.lifecycle import write_analytic_table
+
+__all__ = [
+    "build_ann_index",
+    "load_centroids",
+    "load_bounds",
+    "load_codebooks",
+    "encode_against_index",
+    "ann_index_add",
+    "ann_query_prebuilt",
+]
+
+
+def build_ann_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    pq_iters: int = 1,
+) -> dict:
+    """Train and persist the full index. Centroids are the
+    DETERMINISTIC first-``n_cells`` vectors by id (cell_id = the seed
+    vector's id — the convention every existing IVF oracle restates);
+    swap in :func:`train_ivf_centroids` output for a Lloyd-trained
+    variant, the storage schema is identical. Returns a small metadata
+    dict (never persisted — everything needed to serve is in parquet).
+
+    Build cost: one pass for bounds (2*dim scalar aggregates), one
+    broadcast assignment pass for the inverted lists, one capped-sample
+    Lloyd job for PQ codebooks — each a bounded job, none repeated at
+    query time."""
+    spark = df.sparkSession
+    e = df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    cent_src = (
+        e.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).cast("long").alias("cell_id"),
+            F.col("__v").alias("centroid"),
+        )
+    )
+    write_analytic_table(cent_src, f"{index_dir}/centroids")
+    mins, maxs = sq8_train_bounds(df, vec_col=vec_col, dim=dim)
+    bounds = spark.createDataFrame(
+        [(i, mins[i], maxs[i]) for i in range(dim)],
+        "pos int, lo double, hi double",
+    )
+    write_analytic_table(bounds, f"{index_dir}/bounds")
+    books = train_pq_codebooks(e, id_col, dim, m=pq_m, k_codes=pq_k,
+                               iters=pq_iters)
+    books_df = spark.createDataFrame(
+        [(s, c, books[s][c]) for s in range(len(books))
+         for c in range(len(books[s]))],
+        "subspace int, code int, centroid array<double>",
+    )
+    write_analytic_table(books_df, f"{index_dir}/codebooks")
+    cent_df = load_centroids(spark, index_dir)
+    assigned = assign_topn_cells(
+        e, id_col, cent_df, n_cells, 1, strategy="auto"
+    ).drop("__rk")
+    codes = df.select(
+        F.col(id_col), sq8_quantize(vec_col, mins, maxs).alias("sq8_code")
+    ).join(assigned, id_col)
+    write_analytic_table(codes, f"{index_dir}/codes", partition_by="cell_id")
+    return {"n_cells": n_cells, "dim": dim, "pq_m": pq_m, "pq_k": pq_k}
+
+
+def load_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(cell_id, __c) — the shape :func:`assign_topn_cells` consumes;
+    the centroid frame stays a PARQUET SCAN in consuming plans."""
+    return spark.read.parquet(f"{index_dir}/centroids").select(
+        "cell_id", F.col("centroid").alias("__c"))
+
+
+def load_bounds(spark: SparkSession, index_dir: str) -> tuple[list, list]:
+    """SQ8 (mins, maxs) as Python lists — 2*dim scalars of metadata
+    collected at plan-build time (the quantize expression needs them as
+    literals; this is an index-metadata read, not a training scan)."""
+    rows = spark.read.parquet(f"{index_dir}/bounds").collect()
+    rows.sort(key=lambda r: r["pos"])
+    return [float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows]
+
+
+def load_codebooks(spark: SparkSession, index_dir: str) -> list:
+    """``codebooks[subspace][code] = centroid`` — the structure
+    :func:`pq_encode_col` consumes, rebuilt from the parquet table."""
+    rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    by: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by.setdefault(int(r["subspace"]), {})[int(r["code"])] = list(
+            r["centroid"])
+    return [
+        [by[s][c] for c in sorted(by[s])] for s in sorted(by)
+    ]
+
+
+def encode_against_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode NEW vectors against the frozen index: top-1 cell from the
+    stored centroids, SQ8 code from the stored bounds. No training job
+    anywhere in the plan — the incremental-add primitive. Returns
+    (id, sq8_code, cell_id)."""
+    cent_df = load_centroids(spark, index_dir)
+    n_cells = cent_df.count()
+    mins, maxs = load_bounds(spark, index_dir)
+    e = new_df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    assigned = assign_topn_cells(
+        e, id_col, cent_df, n_cells, 1, strategy="auto"
+    ).drop("__rk")
+    return new_df.select(
+        F.col(id_col), sq8_quantize(vec_col, mins, maxs).alias("sq8_code")
+    ).join(assigned, id_col)
+
+
+def ann_index_add(
+    spark: SparkSession,
+    index_dir: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append newly-encoded vectors to the partitioned codes table —
+    partition overwrite semantics are append here, so existing cells
+    gain files without rewriting the corpus."""
+    enc = encode_against_index(spark, index_dir, new_df, id_col, vec_col)
+    write_analytic_table(enc, f"{index_dir}/codes", partition_by="cell_id",
+                         mode="append")
+
+
+def ann_query_prebuilt(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a query batch from the STORED index: probe ``n_probe``
+    cells per query (centroid parquet scan -> broadcast assignment),
+    score dequantized SQ8 codes against the exact query vector
+    (asymmetric), shortlist ``rerank`` per query, rerank on exact
+    vectors from ``corpus_df``, return the top ``k``
+    (query_id, rank, vec_id, cosine_sim). Self-matches are excluded.
+
+    The plan reads: centroids parquet, codes parquet (cell-pruned by
+    the probe join — the partition layout makes n_probe/n_cells of the
+    corpus bytes the actual scan), the query frame, and the exact
+    vectors of shortlisted ids. ZERO training aggregates — asserted by
+    tests/test_plan_shapes.py."""
+    from apde_etl_spark.operators.similarity import sq8_dequantize
+
+    cent_df = load_centroids(spark, index_dir)
+    n_cells = cent_df.count()
+    mins, maxs = load_bounds(spark, index_dir)
+    qe = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+    )
+    qassign = assign_topn_cells(
+        qe.select(F.col("query_id"), F.col("__qv").alias("__v")),
+        "query_id", cent_df, n_cells, n_probe, strategy="hof",
+    ).drop("__rk")
+    codes = spark.read.parquet(f"{index_dir}/codes").select(
+        F.col(id_col),
+        sq8_dequantize(F.col("sq8_code"), mins, maxs).alias("__dv"),
+        "cell_id",
+    )
+    qn = qe.withColumn("__qn", l2_norm(F.col("__qv")))
+    cand = (
+        qassign.join(codes, "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(qn, "query_id")
+        .select(
+            "query_id", id_col,
+            (dot(F.col("__dv"), F.col("__qv"))
+             / (l2_norm(F.col("__dv")) * F.col("__qn"))).alias("__s1"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("__s1"), F.asc(id_col))
+    shortlist = (
+        cand.withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= rerank)
+        .select("query_id", id_col)
+    )
+    exact = corpus_df.select(
+        F.col(id_col), as_double_array(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc(id_col))
+    return (
+        shortlist.join(exact, id_col)
+        .join(qn, "query_id")
+        .select(
+            "query_id", id_col,
+            (dot(F.col("__cv"), F.col("__qv"))
+             / (F.col("__cn") * F.col("__qn"))).alias("__cos"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col(id_col),
+            F.col("__cos").alias("cosine_raw"),
+        )
+    )

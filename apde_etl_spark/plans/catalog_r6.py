@@ -31,9 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from apde_etl_spark.functions.core import round_half_away
 from apde_etl_spark.operators.cache import tracked_persist
 from apde_etl_spark.operators.graph import pagerank_integer
-from apde_etl_spark.plans.catalog import load, register
+from apde_etl_spark.plans.catalog import _sql_round, load, register
+from apde_etl_spark.plans.catalog_r5b import _SQ8_QUANT_SQL
 
 # ===========================================================================
 # Q4 shape: EXISTS -> left semi join
@@ -393,4 +395,246 @@ def exact_substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", "n_removed",
         F.md5(F.col("cleaned_text").cast("binary")).alias("cleaned_md5"),
+    )
+
+
+# ===========================================================================
+# Persistent ANN index lifecycle: build once, query/extend the artifacts
+# ===========================================================================
+
+_ANN_CELLS = 16
+_ANN_DIM = 64
+_ANN_NPROBE = 2
+_ANN_RERANK = 20
+_ANN_K = 5
+
+#: per-process index build cache: the gate may run entries in any order
+#: or subset, so every consumer ensures (and shares) the build.
+_INDEX_CACHE: dict = {}
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str, variant: str = "full") -> str:
+    from apde_etl_spark.operators.ann_index import build_ann_index
+
+    key = (sf_dir, variant)
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"apde_annidx_{variant}_")
+        emb = load(spark, sf_dir, "embeddings")
+        if variant == "sub":
+            emb = emb.filter(F.col("vec_id") % 20 != 0)
+        build_ann_index(emb, d, dim=_ANN_DIM, n_cells=_ANN_CELLS)
+        _INDEX_CACHE[key] = d
+    return _INDEX_CACHE[key]
+
+
+_SQL_NORM = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+_SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (f"{_SQL_DOT.format(a=a, b=b)} / "
+            f"({_SQL_NORM.format(v=a)} * {_SQL_NORM.format(v=b)})")
+
+
+def _sql_index_ctes(src: str = "embeddings", where: str = "TRUE") -> str:
+    """Shared oracle CTEs rebuilding the stored index from first
+    principles: seed centroids (first n_cells ids), SQ8 bounds
+    (per-dim min/max), top-1 cell assignment."""
+    return f"""
+raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}
+        WHERE {where}),
+cent AS (SELECT vec_id AS cell_id, v AS c FROM raw
+         ORDER BY vec_id LIMIT {_ANN_CELLS}),
+dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+         FROM raw, range(1, {_ANN_DIM + 1}) t(i) GROUP BY i),
+b AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+      FROM dims),
+ass_r AS (
+  SELECT raw.vec_id, cent.cell_id,
+         row_number() OVER (PARTITION BY raw.vec_id
+           ORDER BY {_sql_cos('raw.v', 'cent.c')} DESC,
+                    cent.cell_id ASC) AS rk
+  FROM raw CROSS JOIN cent
+),
+ass AS (SELECT vec_id, cell_id FROM ass_r WHERE rk = 1)"""
+
+
+_ANN_CENSUS_SQL = f"""
+WITH {_sql_index_ctes()}
+SELECT CAST(cell_id AS BIGINT) AS cell_id,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM ass GROUP BY cell_id
+"""
+
+
+@register("ann_index_build_census", _ANN_CENSUS_SQL)
+def ann_index_build_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (once per process) and persist the full ANN index —
+    centroids, SQ8 bounds, PQ codebooks, cell-partitioned SQ8 codes —
+    then report the inverted-list census FROM THE STORED TABLE. The
+    census is pure integers, so the build's assignment math is
+    hash-gated end to end (the oracle rebuilds the same seeds, bounds
+    and top-1 assignment from the raw vectors). Skewed cells here are
+    the capacity-planning signal an operator reads before choosing
+    n_probe/rerank (operators/ann_index.py)."""
+    d = _ensure_index(spark, sf_dir)
+    codes = spark.read.parquet(f"{d}/codes")
+    return codes.groupBy(F.col("cell_id").cast("long").alias("cell_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"))
+
+
+_ANN_BOUNDS_SQL = f"""
+WITH raw AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT CAST(i - 1 AS INTEGER) AS pos,
+       {_sql_round('min(v[i])', 6)} AS lo,
+       {_sql_round('max(v[i])', 6)} AS hi
+FROM raw, range(1, {_ANN_DIM + 1}) t(i) GROUP BY i
+"""
+
+
+@register("ann_index_bounds", _ANN_BOUNDS_SQL)
+def ann_index_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted SQ8 affine-code parameters, read back from the
+    index's bounds table — the artifact every quantize/dequantize on
+    this index shares. One 2*dim-aggregate scan at BUILD time; this
+    entry's plan only scans the 64-row parquet table."""
+    d = _ensure_index(spark, sf_dir)
+    return spark.read.parquet(f"{d}/bounds").select(
+        "pos",
+        round_half_away(F.col("lo"), 6).alias("lo"),
+        round_half_away(F.col("hi"), 6).alias("hi"),
+    )
+
+
+_QUERY_PRED = "vec_id % 97 = 0"
+
+_ANN_QUERY_SQL = f"""
+WITH {_sql_index_ctes()},
+codes AS (
+  SELECT vec_id,
+         list_transform(list_zip(v, mns, mxs), p -> {_SQ8_QUANT_SQL}) AS dv
+  FROM raw, b
+),
+corpus AS (SELECT c.vec_id, c.dv, a.cell_id
+           FROM codes c JOIN ass a USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v AS qv FROM raw WHERE {_QUERY_PRED}),
+qass_r AS (
+  SELECT q.query_id, cent.cell_id,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY {_sql_cos('q.qv', 'cent.c')} DESC,
+                    cent.cell_id ASC) AS rk
+  FROM q CROSS JOIN cent
+),
+qass AS (SELECT query_id, cell_id FROM qass_r WHERE rk <= {_ANN_NPROBE}),
+cand AS (
+  SELECT qa.query_id, co.vec_id,
+         {_sql_cos('co.dv', 'q.qv')} AS s1
+  FROM qass qa
+  JOIN corpus co USING (cell_id)
+  JOIN q ON q.query_id = qa.query_id
+  WHERE co.vec_id != qa.query_id
+),
+sl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY s1 DESC, vec_id ASC) AS rk
+    FROM cand) WHERE rk <= {_ANN_RERANK}
+),
+rer AS (
+  SELECT sl.query_id, sl.vec_id, {_sql_cos('raw.v', 'q.qv')} AS cosx
+  FROM sl JOIN raw ON raw.vec_id = sl.vec_id
+          JOIN q ON q.query_id = sl.query_id
+),
+fin AS (
+  SELECT query_id, vec_id, cosx,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosx DESC, vec_id ASC) AS rnk
+  FROM rer
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id,
+       {_sql_round('cosx', 6)} AS cosine_sim
+FROM fin WHERE rnk <= {_ANN_K}
+"""
+
+
+@register("ann_query_prebuilt", _ANN_QUERY_SQL)
+def ann_query_prebuilt_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve a query batch (every 97th vector) from the PREBUILT index:
+    probe {n_probe} cells via the stored centroids (a parquet scan in
+    the plan, not a literal), score dequantized cell-partitioned SQ8
+    codes asymmetrically against the exact query vector, shortlist
+    {rerank}, exact-rerank, top-{k}. The plan contains ZERO training
+    jobs — no bounds aggregate, no centroid selection, no Lloyd —
+    asserted in tests/test_plan_shapes.py; at 100 TB the probe join is
+    a partition-pruned read of n_probe/n_cells of a 4x-compressed
+    corpus. Oracle rebuilds index + query pipeline from raw vectors."""
+    from apde_etl_spark.operators.ann_index import ann_query_prebuilt
+
+    d = _ensure_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_QUERY_PRED))
+    out = ann_query_prebuilt(
+        spark, d, queries, emb, k=_ANN_K, n_probe=_ANN_NPROBE,
+        rerank=_ANN_RERANK)
+    return out.select(
+        "query_id", "rank", "vec_id",
+        round_half_away(F.col("cosine_raw"), 6).alias("cosine_sim"),
+    )
+
+
+_SQL_QUANT_INT = (
+    "CASE WHEN p[3] - p[2] = 0 THEN 0 "
+    "ELSE CAST(least(255, greatest(0, "
+    "floor((p[1] - p[2]) / (p[3] - p[2]) * 255.0 + 0.5))) AS BIGINT) END"
+)
+
+_ANN_ADD_SQL = f"""
+WITH {_sql_index_ctes(where="vec_id % 20 != 0")},
+batch AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id % 20 = 0),
+bass_r AS (
+  SELECT batch.vec_id, cent.cell_id,
+         row_number() OVER (PARTITION BY batch.vec_id
+           ORDER BY {_sql_cos('batch.v', 'cent.c')} DESC,
+                    cent.cell_id ASC) AS rk
+  FROM batch CROSS JOIN cent
+),
+quant AS (
+  SELECT vec_id,
+         list_transform(list_zip(v, mns, mxs), p -> {_SQL_QUANT_INT}) AS qc
+  FROM batch, b
+)
+SELECT q.vec_id, CAST(a.cell_id AS BIGINT) AS cell_id,
+       CAST(list_sum(q.qc) AS BIGINT) AS code_sum
+FROM quant q JOIN (SELECT vec_id, cell_id FROM bass_r WHERE rk = 1) a
+  USING (vec_id)
+"""
+
+
+@register("ann_index_add_incremental", _ANN_ADD_SQL)
+def ann_index_add_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental add against a FROZEN index: the index is built on
+    95% of the corpus (vec_id % 20 != 0); the arriving 5% batch is
+    encoded against the STORED centroids and bounds — no retraining,
+    the semantic_dedup_incremental admission pattern. Output is each
+    new vector's assigned cell plus the integer sum of its 8-bit code
+    (pure integers: the encode math itself is hash-gated). At 100 TB
+    this is the nightly job: bounded batch x 16-centroid broadcast
+    assignment + a projection, appended into the cell-partitioned
+    codes table (the write path is ann_index_add, pytest-covered)."""
+    from apde_etl_spark.operators.ann_index import encode_against_index
+
+    d = _ensure_index(spark, sf_dir, variant="sub")
+    batch = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 20 == 0)
+    enc = encode_against_index(spark, d, batch)
+    return enc.select(
+        "vec_id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.aggregate(
+            "sq8_code", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("code_sum"),
     )

@@ -1,0 +1,112 @@
+"""Persistent ANN index lifecycle (operators/ann_index.py): build
+artifacts round-trip, frozen-index encoding, append semantics, and the
+no-training-in-the-query-plan contract."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators.ann_index import (
+    ann_index_add,
+    ann_query_prebuilt,
+    build_ann_index,
+    encode_against_index,
+    load_bounds,
+    load_centroids,
+    load_codebooks,
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _build(spark, sf_dir, **kw):
+    d = tempfile.mkdtemp(prefix="test_annidx_")
+    meta = build_ann_index(_emb(spark, sf_dir), d, **kw)
+    return d, meta
+
+
+def test_build_artifacts_round_trip(spark, sf_dir):
+    d, meta = _build(spark, sf_dir, n_cells=8)
+    cent = load_centroids(spark, d)
+    assert cent.count() == 8
+    mins, maxs = load_bounds(spark, d)
+    assert len(mins) == 64 and len(maxs) == 64
+    assert all(lo <= hi for lo, hi in zip(mins, maxs))
+    books = load_codebooks(spark, d)
+    assert len(books) == meta["pq_m"]
+    assert all(len(b) == meta["pq_k"] for b in books)
+    assert all(len(c) == 64 // meta["pq_m"] for b in books for c in b)
+    codes = spark.read.parquet(f"{d}/codes")
+    assert codes.count() == _emb(spark, sf_dir).count()
+    # every code byte is a valid uint8
+    bad = codes.filter(
+        F.exists("sq8_code", lambda x: (x < 0) | (x > 255))).count()
+    assert bad == 0
+
+
+def test_encode_against_frozen_index_matches_build(spark, sf_dir):
+    # encoding the corpus against its own frozen index must reproduce
+    # the stored codes exactly (same bounds, same centroids)
+    d, _ = _build(spark, sf_dir, n_cells=8)
+    enc = encode_against_index(spark, d, _emb(spark, sf_dir))
+    stored = spark.read.parquet(f"{d}/codes").select(
+        "vec_id", "sq8_code", F.col("cell_id").cast("long").alias("cell_id"))
+    enc = enc.select("vec_id", "sq8_code",
+                     F.col("cell_id").cast("long").alias("cell_id"))
+    assert enc.exceptAll(stored).count() == 0
+    assert stored.exceptAll(enc).count() == 0
+
+
+def test_append_grows_partitioned_codes(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="test_annidx_add_")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    build_ann_index(base, d, n_cells=8)
+    n0 = spark.read.parquet(f"{d}/codes").count()
+    ann_index_add(spark, d, emb.filter(F.col("vec_id") % 10 == 0))
+    after = spark.read.parquet(f"{d}/codes")
+    assert after.count() == emb.count()
+    assert n0 < emb.count()
+    # appended rows landed in existing cell partitions, not new ones
+    cells = {r["cell_id"] for r in
+             after.select("cell_id").distinct().collect()}
+    cent_cells = {r["cell_id"] for r in
+                  load_centroids(spark, d).select("cell_id").collect()}
+    assert cells <= cent_cells
+
+
+def test_prebuilt_query_matches_self_neighbors(spark, sf_dir):
+    d, _ = _build(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ann_query_prebuilt(spark, d, q, emb, k=3, n_probe=2, rerank=10)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for qid, rs in per_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == \
+            [1, 2, 3]
+        assert all(r["vec_id"] != qid for r in rs)  # self excluded
+        # ranks ordered by descending exact cosine
+        srt = sorted(rs, key=lambda r: r["rank"])
+        assert all(srt[i]["cosine_raw"] >= srt[i + 1]["cosine_raw"]
+                   for i in range(len(srt) - 1))
+
+
+def test_query_entry_plan_has_no_training_jobs(spark, sf_dir):
+    """The catalog entry's RETURNED plan must read stored artifacts
+    only: no 64-dim min/max bounds aggregate, no seed-selection
+    TakeOrdered over the corpus — training ran at build time."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["ann_query_prebuilt"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "apde_annidx_" in plan          # stored index is in the plan
+    assert "partial_min(" not in plan      # no bounds training aggregate
+    assert "partial_max(" not in plan
