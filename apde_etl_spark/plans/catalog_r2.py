@@ -296,19 +296,20 @@ WHERE rn = 1
 """
 
 
-def run_foreachbatch_upsert(src: DataFrame, workdir: str) -> DataFrame:
-    """Run the foreachBatch upsert over any streaming source: each
-    micro-batch reduces to one row per user (count + max event struct)
-    and merges with the existing state table by re-aggregating the union
-    — an associative merge, so the result is identical however the
-    stream is micro-batched.
+def run_idempotent_upsert(src: DataFrame, workdir: str, fold_batch) -> str:
+    """Generic idempotent foreachBatch upsert runner — the guard + swap
+    contract extracted so every streaming upsert entry shares ONE
+    implementation (per-user latest-event below; entity resolution in
+    catalog_r6.stream_linkage_upsert).
 
+    ``fold_batch(batch_df, existing_or_None) -> DataFrame`` produces the
+    NEW full state from one micro-batch plus the current state table.
     foreachBatch is at-least-once, so the sink supplies the missing
     idempotence itself: every state version records the checkpoint run
     key and the epoch that produced it (an ``_applied_epoch`` marker —
     underscore files are invisible to the parquet reader), and a
     replayed epoch <= the marker FROM THE SAME CHECKPOINT LINEAGE is
-    skipped instead of double-counted. The run key (a ``_run_key`` file
+    skipped instead of double-applied. The run key (a ``_run_key`` file
     created once per checkpoint directory) is what makes the guard safe
     to reuse: epoch ids restart at 0 in a fresh checkpoint, so without
     it a reused state dir would silently skip all new batches — with
@@ -317,11 +318,11 @@ def run_foreachbatch_upsert(src: DataFrame, workdir: str) -> DataFrame:
     renaming the staged version in (two renames, no delete-then-rename
     window that could drop the table), then removes the old version. At
     scale the same shape is a Delta/Iceberg MERGE INTO, which supplies
-    the versioned-swap + idempotence for free."""
+    the versioned-swap + idempotence for free. Returns the state path.
+    """
     import os
     import uuid
 
-    spark = src.sparkSession
     target = f"{workdir}/state"
     ckpt = f"{workdir}/ckpt"
 
@@ -348,17 +349,10 @@ def run_foreachbatch_upsert(src: DataFrame, workdir: str) -> DataFrame:
         if epoch_id <= applied_epoch():
             return  # same-lineage replayed epoch: already folded in
         spk = batch_df.sparkSession
-        part = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.max(F.struct("ts", "event_id", "event_type")).alias("latest"),
+        existing = (
+            spk.read.parquet(target) if os.path.exists(target) else None
         )
-        if os.path.exists(target):
-            existing = spk.read.parquet(target)
-            part = (
-                existing.unionByName(part)
-                .groupBy("user_id")
-                .agg(F.sum("n_events").alias("n_events"), F.max("latest").alias("latest"))
-            )
+        part = fold_batch(batch_df, existing)
         staged = f"{workdir}/state_epoch{epoch_id}"
         part.write.mode("overwrite").parquet(staged)
         with open(f"{staged}/_applied_epoch", "w") as fh:
@@ -378,7 +372,33 @@ def run_foreachbatch_upsert(src: DataFrame, workdir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(target).select(
+    return target
+
+
+def run_foreachbatch_upsert(src: DataFrame, workdir: str) -> DataFrame:
+    """Run the foreachBatch upsert over any streaming source: each
+    micro-batch reduces to one row per user (count + max event struct)
+    and merges with the existing state table by re-aggregating the union
+    — an associative merge, so the result is identical however the
+    stream is micro-batched. Idempotence/swap machinery:
+    :func:`run_idempotent_upsert`."""
+
+    def fold(batch_df: DataFrame, existing: DataFrame | None) -> DataFrame:
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("latest"),
+        )
+        if existing is not None:
+            part = (
+                existing.unionByName(part)
+                .groupBy("user_id")
+                .agg(F.sum("n_events").alias("n_events"),
+                     F.max("latest").alias("latest"))
+            )
+        return part
+
+    target = run_idempotent_upsert(src, workdir, fold)
+    return src.sparkSession.read.parquet(target).select(
         "user_id",
         F.col("latest.event_type").alias("last_event_type"),
         F.col("latest.ts").alias("last_ts"),

@@ -547,6 +547,19 @@ def linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     did = F.col("doc_id")
     batch = docs.filter(did % 5 == 0)
     corpus = docs.filter(did % 5 != 0)
+    return resolve_batch_against_corpus(batch, corpus, docs)
+
+
+def resolve_batch_against_corpus(
+    batch: DataFrame, corpus: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """The incremental-resolution core, shared by the batch entry above
+    and the round-6 streaming twin (catalog_r6.stream_linkage_upsert):
+    LSH-block the batch against the corpus, compute FS features + score,
+    keep each batch record's best entity with its decision, and emit
+    unmatched records as 'new_entity'. ``docs`` supplies the comparison
+    attributes for BOTH sides (its rows are a superset of batch and
+    corpus)."""
     pairs = SIM.minhash_lsh_join(
         batch, corpus, "doc_id", "text", k=3, num_hashes=16, bands=4,
         threshold=_LINK_THRESHOLD,

@@ -638,3 +638,68 @@ def ann_index_add_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sq8_code", F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("code_sum"),
     )
+
+
+# ===========================================================================
+# Streaming entity resolution: foreachBatch golden-record upsert
+# ===========================================================================
+
+
+def run_stream_linkage(spark: SparkSession, sf_dir: str, src: DataFrame,
+                       workdir: str) -> DataFrame:
+    """Maintain the golden-record resolution table across micro-batches:
+    each arriving batch of documents resolves against the FROZEN corpus
+    (doc_id % 5 != 0) with the exact same core the batch entry uses
+    (catalog_r5c.resolve_batch_against_corpus), and the keyed results
+    upsert into a lake state table via the shared idempotent
+    foreachBatch runner (catalog_r2.run_idempotent_upsert — run-key +
+    epoch guard, staged-rename swap). Records resolve independently
+    against the frozen corpus, so the final table is micro-batch
+    INVARIANT by construction — and the pytest proves the machinery
+    anyway (1-file vs 3-file replay, identical tables)."""
+    from apde_etl_spark.plans.catalog_r2 import run_idempotent_upsert
+    from apde_etl_spark.plans.catalog_r5c import resolve_batch_against_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    def fold(batch_df: DataFrame, existing: DataFrame | None) -> DataFrame:
+        resolved = resolve_batch_against_corpus(batch_df, corpus, docs)
+        if existing is not None:
+            resolved = existing.unionByName(resolved)
+        return resolved
+
+    target = run_idempotent_upsert(src, workdir, fold)
+    return spark.read.parquet(target)
+
+
+def _inc_linkage_oracle() -> str:
+    from apde_etl_spark.plans.catalog_r5c import _INC_LINKAGE_SQL
+
+    return _INC_LINKAGE_SQL
+
+
+@register("stream_linkage_upsert", _inc_linkage_oracle())
+def stream_linkage_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING entity resolution — the natural composition of two
+    green families the round-5 verdict called for: the incremental
+    linkage core run under foreachBatch, upserting the golden-record
+    table as batches arrive. The oracle is the SAME SQL as the batch
+    ``linkage_incremental`` entry, so the gate proves the streaming
+    path converges to the batch answer under the identical fixture
+    split (batch = doc_id % 5 == 0 arriving as a stream; corpus =
+    the rest, frozen)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    workdir = tempfile.mkdtemp(prefix="stream_linkage_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return run_stream_linkage(spark, sf_dir, src, workdir)

@@ -421,3 +421,39 @@ def test_session_window_boundaries_pinned(spark, tmp_path):
     # batch mode of the same helper sees ALL sessions incl. the open ones
     batch = windowed_session_counts(df, "ts", "user_id", gap="30 minutes")
     assert batch.count() == 5
+
+
+def test_stream_linkage_upsert_is_microbatch_invariant(spark, sf_dir, tmp_path):
+    """The streaming entity-resolution twin: scatter the batch docs
+    (doc_id % 5 == 0) across three files and force one-file
+    micro-batches — the final golden-record table must equal the 1-batch
+    run AND the batch linkage_incremental entry (records resolve
+    independently against the frozen corpus, so micro-batching cannot
+    change the answer; this proves the checkpoint/upsert machinery)."""
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.plans.catalog_r5c import linkage_incremental
+    from apde_etl_spark.plans.catalog_r6 import run_stream_linkage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    src3 = str(tmp_path / "b3")
+    for part in range(3):
+        batch.filter(F.col("doc_id") % 3 == part).coalesce(1) \
+            .write.mode("append").parquet(src3)
+    src1 = str(tmp_path / "b1")
+    batch.coalesce(1).write.mode("append").parquet(src1)
+
+    def run(src_dir, work):
+        src = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        return run_stream_linkage(spark, sf_dir, src, str(tmp_path / work))
+
+    got3 = sorted(map(tuple, run(src3, "w3").collect()))
+    got1 = sorted(map(tuple, run(src1, "w1").collect()))
+    assert got3 == got1
+    expected = sorted(map(tuple, linkage_incremental(spark, sf_dir).collect()))
+    assert got3 == expected
