@@ -6,12 +6,15 @@ columns beside them. Decode / feature-extraction / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages — the only places Python
 touches data, sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-The actual codec calls are STUBBED in this container (no PIL/ffmpeg):
-each stage takes a ``decoder`` callable; the default raises
-``NotImplementedError`` with installation guidance, and
-``deterministic_fake_decoder`` supplies a seeded, content-derived fake so
-the Spark-side plumbing (schema, batching, partitioning) is fully
-exercised in tests.
+Codecs: WAV, BMP, PNG and baseline JPEG decode FOR REAL with nothing
+but the standard library (the JPEG decoder lives in
+``operators/jpegcodec.py``); :func:`default_decoder` sniffs the magic
+bytes and dispatches, falling back to Pillow for rich formats
+(progressive/subsampled JPEG, WebP, ...) when installed. The default
+resizer is likewise real (stdlib decode -> nearest-neighbor -> BMP
+re-encode; Pillow is the quality fast-path). Each stage still takes a
+``decoder``/``resizer`` callable, and ``deterministic_fake_decoder``
+remains for pure-plumbing tests.
 """
 
 from __future__ import annotations
@@ -37,11 +40,32 @@ FEATURE_DIM = 16
 
 
 def default_decoder(payload: bytes) -> dict:
-    raise NotImplementedError(
-        "media decoding requires an image/audio library (e.g. Pillow, "
-        "torchaudio) not present in this container; pass decoder="
-        "deterministic_fake_decoder for plumbing tests"
-    )
+    """Magic-sniffing REAL decode: WAV/BMP/PNG/JPEG route to the stdlib
+    codecs below (no dependency); anything else tries Pillow and raises
+    ``ValueError`` with guidance when neither path can read the bytes.
+    Round 5 left this seam as a NotImplementedError; with the stdlib
+    baseline-JPEG decoder (operators/jpegcodec.py) every fixture format
+    decodes for real and Pillow is purely a fast-path/rich-format
+    extension."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return stdlib_wav_decoder(payload)
+    if payload[:2] == b"BM":
+        return stdlib_bmp_decoder(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return stdlib_png_decoder(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        try:
+            return stdlib_jpeg_decoder(payload)
+        except ValueError:
+            pass  # progressive/subsampled: fall through to Pillow
+    try:
+        return pillow_decoder(payload)
+    except ImportError:
+        raise ValueError(
+            "unsupported media payload for the stdlib codecs "
+            "(WAV/BMP/PNG/baseline-JPEG) and Pillow is not installed — "
+            "install Pillow for rich formats, or pass a custom decoder"
+        ) from None
 
 
 def deterministic_fake_decoder(payload: bytes) -> dict:
@@ -132,9 +156,10 @@ def resize_images(
     resizer: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """Resize stage: binary in -> binary out plus (width, height) set to
-    the target. The codec call is stubbed (``resizer=None`` raises with
-    guidance); ``deterministic_fake_resizer`` keeps the payload's md5
-    lineage so tests can assert the transform ran per-row. Arrow batches
+    the target. ``resizer=None`` uses the REAL stdlib path
+    (:func:`_default_resizer`: decode -> nearest-neighbor -> BMP);
+    ``deterministic_fake_resizer`` keeps the payload's md5 lineage so
+    plumbing tests can assert the transform ran per-row. Arrow batches
     carry the binaries; no shuffle is introduced — at corpus scale this
     stage pipelines directly after the scan."""
     out_schema = T.StructType(
@@ -159,11 +184,31 @@ def resize_images(
 
 
 def _default_resizer(payload: bytes, w: int, h: int) -> bytes:
-    raise NotImplementedError(
-        "image resizing requires an imaging library (e.g. Pillow) not present "
-        "in this container; pass resizer=deterministic_fake_resizer for "
-        "plumbing tests"
-    )
+    """REAL stdlib resize: decode via :func:`default_decoder` (which
+    exposes the raw pixel plane), nearest-neighbor sample to the target
+    grid, re-encode as 24-bpp BMP (the one format the stdlib can write
+    losslessly without a compressor). Pillow (:func:`pillow_resizer`)
+    remains the fast-path with format-preserving re-encode and proper
+    resampling filters."""
+    meta = default_decoder(payload)
+    src = meta.get("pixels")
+    if src is None:
+        raise ValueError(
+            f"decoded {meta.get('format')!r} payload exposes no pixel "
+            "plane to resize — pass resizer=pillow_resizer")
+    sw, sh, ch = meta["width"], meta["height"], meta["pixel_channels"]
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        sy = min(sh - 1, y * sh // h)
+        for x in range(w):
+            sx = min(sw - 1, x * sw // w)
+            o = (sy * sw + sx) * ch
+            px = src[o: o + ch]
+            r, g, b = (px[0], px[0], px[0]) if ch == 1 else \
+                (px[0], px[1], px[2])
+            d = (y * w + x) * 3
+            out[d], out[d + 1], out[d + 2] = r, g, b
+    return encode_bmp24_from_pixels(bytes(out), w, h)
 
 
 def deterministic_fake_resizer(payload: bytes, w: int, h: int) -> bytes:
@@ -327,6 +372,8 @@ def stdlib_bmp_decoder(payload: bytes) -> dict:
         "features": _gray_block_features(bytes(rgb), width, height, 3),
         "px_sum": sum(rgb),
         "px_first": rgb[0],
+        "pixels": bytes(rgb),
+        "pixel_channels": 3,
     }
 
 
@@ -383,6 +430,8 @@ def stdlib_png_decoder(payload: bytes) -> dict:
         "features": _gray_block_features(bytes(out), width, height, channels),
         "px_sum": sum(out),
         "px_first": out[0],
+        "pixels": bytes(out),
+        "pixel_channels": channels,
     }
 
 
@@ -493,6 +542,54 @@ def decode_image_stats(
 
 
 # --- deterministic stdlib ENCODERS (fixture generation) --------------------
+
+def stdlib_jpeg_decoder(payload: bytes) -> dict:
+    """Real baseline-JPEG decode via the pure-stdlib codec
+    (operators/jpegcodec.py: marker walk, canonical Huffman from DHT,
+    entropy decode, dequantize, separable float IDCT, YCbCr->RGB for
+    3-component streams). Same return contract as
+    :func:`stdlib_bmp_decoder` — px_sum/px_first over the decoded
+    top-down pixel bytes prove the whole pipeline, not a header read.
+    Progressive/subsampled streams raise ValueError (Pillow fast-path
+    in :func:`default_decoder` covers them when installed)."""
+    from apde_etl_spark.operators.jpegcodec import decode_baseline_jpeg
+
+    width, height, channels, px = decode_baseline_jpeg(payload)
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "format": "jpeg",
+        "features": _gray_block_features(px, width, height, channels),
+        "px_sum": sum(px),
+        "px_first": px[0],
+        "pixels": px,
+        "pixel_channels": channels,
+    }
+
+
+def encode_bmp24_from_pixels(rgb: bytes, width: int, height: int) -> bytes:
+    """24-bpp uncompressed BMP from a top-down RGB byte plane — the
+    stdlib lossless write target for the real resizer (bottom-up BGR
+    rows + 4-byte padding on disk, like :func:`encode_bmp24`)."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            o = (y * width + x) * 3
+            row += bytes((rgb[o + 2], rgb[o + 1], rgb[o]))  # BGR
+        row += b"\x00" * (row_stride - len(row))
+        pix += row
+    data_off = 14 + 40
+    file_size = data_off + len(pix)
+    hdr = b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pix), 2835, 2835, 0, 0)
+    return hdr + info + bytes(pix)
+
 
 def encode_wav_square(
     amplitude: int, n_samples: int, sample_rate: int

@@ -703,3 +703,97 @@ def stream_linkage_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="stream_linkage_")
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     return run_stream_linkage(spark, sf_dir, src, workdir)
+
+
+# ===========================================================================
+# Real baseline-JPEG decode in-gate (closes the last codec seam)
+# ===========================================================================
+
+_JPEG_FIXTURE: dict[str, str] = {}
+
+
+def _jpeg_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One baseline JPEG per sampled document (doc_id % 12 == 0, the
+    same id set as the round-5 media fixtures): 8-aligned dimensions
+    width = 8*(1 + doc_id % 4), height = 8*(1 + doc_id % 3), flat 8x8
+    blocks valued (17*bx + 29*by + doc_id) % 256 with the all-8 quant
+    table — decoded pixels are CLOSED-FORM in doc_id (jpegcodec module
+    docstring: flat-block DC quantizes exactly), so the oracle restates
+    px_sum/px_first like the BMP/PNG entries. The AC/IDCT path is
+    pinned separately in tests/test_stdlib_codecs.py against an
+    independent numpy IDCT."""
+    import os
+
+    from apde_etl_spark.operators.jpegcodec import encode_jpeg_flat_blocks
+    from apde_etl_spark.plans.catalog_r4 import fixture_complete, fixture_dir
+
+    key = os.path.abspath(sf_dir)
+    if key in _JPEG_FIXTURE:
+        return _JPEG_FIXTURE[key]
+    base, done = fixture_dir("apde_etl_media_jpeg", sf_dir,
+                             "documents.parquet")
+    if not done:
+        os.makedirs(base, exist_ok=True)
+        ids = [
+            r["doc_id"]
+            for r in load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 12 == 0)
+            .select("doc_id").collect()
+        ]
+        for i in ids:
+            blob = encode_jpeg_flat_blocks(
+                8 * (1 + i % 4), 8 * (1 + i % 3), seed=i)
+            with open(os.path.join(base, f"doc_{i}.jpg"), "wb") as fh:
+                fh.write(blob)
+        fixture_complete(base)
+    _JPEG_FIXTURE[key] = base
+    return base
+
+
+_JPEG_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(8 * (1 + doc_id % 4) AS INTEGER) AS width,
+       CAST(8 * (1 + doc_id % 3) AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       'jpeg' AS format,
+       (SELECT CAST(sum(64 * ((17 * x.g + 29 * y.g + doc_id) % 256)) AS BIGINT)
+        FROM generate_series(0, 3) x(g), generate_series(0, 2) y(g)
+        WHERE x.g < 1 + doc_id % 4 AND y.g < 1 + doc_id % 3) AS px_sum,
+       CAST(doc_id % 256 AS INTEGER) AS px_first
+FROM documents WHERE doc_id % 12 = 0
+"""
+
+
+@register("mm_image_decode_real_jpeg", _JPEG_ORACLE)
+def mm_image_decode_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG DECODE, end-to-end, zero dependencies: baseline
+    sequential JPEGs (SOI/DQT/SOF0/DHT/SOS markers, canonical Huffman
+    tables read from DHT, entropy-coded with byte stuffing) decoded by
+    the pure-stdlib operators/jpegcodec.py inside the same
+    Arrow-batched decode_image_stats stage as the BMP/PNG entries. The
+    fixtures' flat-block construction makes the decode bit-exact
+    (quantized DC divides exactly under Q[0][0]=8), so px_sum/px_first
+    over the DECODED pixels are closed form in doc_id — a hash match
+    proves Huffman decode, dequantize, IDCT and level shift, not a
+    header read. This closes the last NotImplementedError seam from
+    rounds 1-5: Pillow is now purely a fast-path."""
+    import os
+
+    from apde_etl_spark.operators.multimodal import (
+        decode_image_stats,
+        stdlib_jpeg_decoder,
+    )
+
+    d = _jpeg_fixture_dir(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(d)
+    )
+    imgs = bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.jpg$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("content"),
+    )
+    return decode_image_stats(imgs, id_col="doc_id",
+                              decoder=stdlib_jpeg_decoder)

@@ -19,10 +19,29 @@ def media(spark):
     return spark.createDataFrame(rows)
 
 
-def test_default_decoder_is_explicit_stub(media):
+def test_default_decoder_rejects_unknown_payloads(media):
+    # the default decoder now REALLY decodes WAV/BMP/PNG/baseline-JPEG;
+    # unknown magic bytes (these fake payloads) raise ValueError with
+    # guidance (or Pillow's unidentified-image error when installed)
     with pytest.raises(Exception) as ei:
         MM.decode_images(media).collect()
-    assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
+    assert ("unsupported media payload" in str(ei.value)
+            or "cannot identify" in str(ei.value))
+
+
+def test_default_decoder_dispatches_all_stdlib_formats(spark):
+    from apde_etl_spark.operators.jpegcodec import encode_jpeg_flat_blocks
+
+    blobs = [
+        (1, MM.encode_bmp24(6, 5, seed=3), "bmp"),
+        (2, MM.encode_png_rgb(5, 6, seed=9), "png"),
+        (3, encode_jpeg_flat_blocks(16, 8, seed=42), "jpeg"),
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in blobs], "media_id long, content binary")
+    out = {r["media_id"]: r for r in MM.decode_images(df).collect()}
+    assert [out[i]["format"] for i, _, f in blobs] == [f for _, _, f in blobs]
+    assert out[3]["width"] == 16 and out[3]["channels"] == 1
 
 
 def test_decode_images_appends_meta(media):
@@ -86,9 +105,20 @@ def test_resize_images_default_raises(spark):
     import pytest as _pytest
 
     docs = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
-    # the NotImplementedError surfaces wrapped in Spark's PythonException
-    with _pytest.raises(Exception, match="imaging library"):
+    # the default resizer REALLY resizes decodable payloads; unknown
+    # magic raises with guidance, wrapped in Spark's PythonException
+    with _pytest.raises(Exception, match="unsupported media payload|cannot identify"):
         resize_images(docs, "content").collect()
+
+
+def test_resize_images_default_real_path(spark):
+    src = MM.encode_bmp24(6, 5, seed=3)
+    docs = spark.createDataFrame([(1, src)], "media_id long, content binary")
+    rows = MM.resize_images(docs, "content", 4, 4).collect()
+    m = MM.stdlib_bmp_decoder(bytes(rows[0]["content"]))
+    assert (m["width"], m["height"]) == (4, 4)
+    # nearest-neighbor keeps the top-left source pixel exactly
+    assert m["px_first"] == MM.pixel_value(0, 0, 0, 3)
 
 
 def test_audio_chunk_plan_covers_all_samples(spark):
@@ -118,7 +148,8 @@ def test_extract_audio_features_deterministic(media):
     assert r["sample_rate"] in (8000, 16000, 44100) and 0.0 <= r["rms"] <= 1.0
 
 
-def test_extract_audio_features_default_raises(media):
+def test_extract_audio_features_default_raises_on_unknown(media):
     with pytest.raises(Exception) as ei:
         MM.extract_audio_features(media, "media_id", "content").collect()
-    assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
+    assert ("unsupported media payload" in str(ei.value)
+            or "cannot identify" in str(ei.value))

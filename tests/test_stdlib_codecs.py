@@ -166,3 +166,121 @@ def test_stdlib_png_matches_pillow_if_available():
         assert (im.width, im.height) == (ours["width"], ours["height"])
         pil_sum = sum(v for px in im.convert("RGB").getdata() for v in px)
     assert pil_sum == ours["px_sum"]
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (operators/jpegcodec.py)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_flat_blocks_decode_bit_exact():
+    from apde_etl_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_jpeg_flat_blocks,
+    )
+
+    for seed in (0, 7, 123, 255, 4093):
+        w, h = 8 * (1 + seed % 4), 8 * (1 + seed % 3)
+        width, height, channels, px = decode_baseline_jpeg(
+            encode_jpeg_flat_blocks(w, h, seed))
+        assert (width, height, channels) == (w, h, 1)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = (17 * bx + 29 * by + seed) % 256
+                assert all(
+                    px[(by * 8 + y) * w + bx * 8 + x] == v
+                    for y in range(8) for x in range(8)
+                ), f"flat block mismatch at seed={seed} block=({bx},{by})"
+
+
+def test_jpeg_ac_path_matches_numpy_reference():
+    """Full-DCT path (AC coefficients, Huffman runs, EXTEND, IDCT)
+    against an INDEPENDENT numpy implementation of the same pipeline:
+    numpy forward DCT -> quantize -> dequantize -> numpy IDCT -> round
+    -> clamp must agree with the pure-Python decoder to <= 1 LSB (float
+    path divergence only; any Huffman/zigzag/EXTEND bug would diverge
+    by whole coefficient magnitudes)."""
+    import numpy as np
+
+    from apde_etl_spark.operators.jpegcodec import (
+        _ZIGZAG,
+        decode_baseline_jpeg,
+        encode_jpeg_gray,
+    )
+
+    w = h = 16
+    src = np.array(
+        [[((3 * x + 7 * y + 11) * (x ^ y) + x * y) % 256 for x in range(w)]
+         for y in range(h)], dtype=np.float64)
+    quant = [1 if i == 0 else 2 + (i % 3) for i in range(64)]
+    blob = encode_jpeg_gray(bytes(src.astype(np.uint8).flatten()), w, h,
+                            quant=quant)
+    width, height, channels, px = decode_baseline_jpeg(blob)
+    got = np.frombuffer(px, dtype=np.uint8).astype(int).reshape(h, w)
+
+    # independent reference: matrix-form DCT in numpy
+    C = np.array([[(np.sqrt(0.5) if u == 0 else 1.0)
+                   * np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+                   for x in range(8)] for u in range(8)])
+    Q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    ref = np.zeros_like(src)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = src[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            coef = C @ blk @ C.T
+            qz = np.sign(coef) * np.floor(np.abs(coef) / Q + 0.5)
+            rec = C.T @ (qz * Q) @ C + 128.0
+            ref[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+                np.floor(rec + 0.5), 0, 255)
+    assert np.abs(got - ref).max() <= 1
+    # and the zigzag table is a permutation covering all 64 cells
+    assert sorted(r * 8 + c for r, c in _ZIGZAG) == list(range(64))
+
+
+def test_jpeg_decoder_rejects_unsupported_with_guidance():
+    import pytest
+
+    from apde_etl_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_jpeg_flat_blocks,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_baseline_jpeg(b"\x00\x01")
+    # flip SOF0 -> SOF2 (progressive): must raise with Pillow guidance
+    blob = bytearray(encode_jpeg_flat_blocks(8, 8, seed=1))
+    idx = bytes(blob).find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline sequential only"):
+        decode_baseline_jpeg(bytes(blob))
+
+
+def test_jpeg_nonaligned_dims_and_padding_crop():
+    import numpy as np
+
+    from apde_etl_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+        encode_jpeg_gray,
+    )
+
+    w, h = 11, 13
+    src = bytes((5 * x + 9 * y) % 256 for y in range(h) for x in range(w))
+    width, height, channels, px = decode_baseline_jpeg(
+        encode_jpeg_gray(src, w, h, quant=[1] * 64))
+    assert (width, height, len(px)) == (w, h, w * h)
+    a = np.frombuffer(px, dtype=np.uint8).astype(int)
+    b = np.frombuffer(src, dtype=np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 2
+
+
+def test_stdlib_jpeg_decoder_contract():
+    from apde_etl_spark.operators.jpegcodec import encode_jpeg_flat_blocks
+    from apde_etl_spark.operators.multimodal import stdlib_jpeg_decoder
+
+    m = stdlib_jpeg_decoder(encode_jpeg_flat_blocks(16, 24, seed=77))
+    assert (m["width"], m["height"], m["channels"]) == (16, 24, 1)
+    assert m["format"] == "jpeg" and len(m["features"]) == 16
+    vals = [(17 * bx + 29 * by + 77) % 256
+            for by in range(3) for bx in range(2)]
+    assert m["px_sum"] == 64 * sum(vals)
+    assert m["px_first"] == 77 % 256
+    assert m["pixel_channels"] == 1 and len(m["pixels"]) == 16 * 24
