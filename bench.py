@@ -82,6 +82,12 @@ HEADLINE = [
     "bpe_token_count_exact",
     "repeated_maxspan_docs",
     "ann_sq8_topk",
+    # round 6: correlated subqueries, exact substring dedup, prebuilt
+    # ANN serving, directed PageRank with dangling redistribution
+    "q21_anti_sole_late_supplier",
+    "exact_substring_dedup_docs",
+    "ann_query_prebuilt",
+    "graph_pagerank_directed_sinks",
 ]
 
 
