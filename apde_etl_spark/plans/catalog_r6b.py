@@ -172,24 +172,44 @@ def editdistance_neardup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture as the LSH families, different verifier). Exercises Spark's
     native ``levenshtein`` against DuckDB's — both classic DP edit
     distance, and the hash gate proves they agree pair-for-pair.
-    Identical names are excluded (exact dedup's job); at 100 TB the
-    block key shuffles once and a hot block (a stopword-like first
-    token) is the documented skew case — cap block size or add a
+
+    Scale posture — the DISTINCT-VALUE rewrite (the same trick as the
+    BPE encode stage): names repeat heavily, so the Levenshtein verify
+    runs over DISTINCT name pairs per block (bounded by the name
+    vocabulary squared, with a length-difference prefilter and the
+    THRESHOLDED banded-DP ``levenshtein(a, b, k)`` that early-exits
+    past k), then fans back out to id pairs through two broadcast
+    joins — the verify cost is |vocab|² per block, not rows². The
+    verified-pair table is always broadcastable (vocab-bounded); the
+    id join-back broadcasts the dim-sized part side here and falls
+    back to a shuffle join past the autoBroadcast threshold. Identical
+    names are excluded (exact dedup's job); a hot block (stopword-like
+    first token) is the documented skew case — cap block size or add a
     second blocking char, exactly like the linkage blockers."""
     p = load(spark, sf_dir, "part").select(
         "p_partkey", "p_name",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("__blk"),
+    )
+    names = p.select("__blk", F.col("p_name").alias("__n")).distinct()
+    pairs = (
+        names.select("__blk", F.col("__n").alias("__na"))
+        .join(names.select("__blk", F.col("__n").alias("__nb")), "__blk")
+        .filter(F.col("__na") != F.col("__nb"))
+        .filter(F.abs(F.length("__na") - F.length("__nb"))
+                <= _EDIT_MAX_DIST)
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("__na"), F.col("__nb"),
+                          _EDIT_MAX_DIST).cast("int"))
+        .filter(F.col("edit_dist") >= 0)
     )
     a = p.select(F.col("p_partkey").alias("id_a"),
                  F.col("p_name").alias("__na"), F.col("__blk"))
     b = p.select(F.col("p_partkey").alias("id_b"),
                  F.col("p_name").alias("__nb"), F.col("__blk"))
     return (
-        a.join(b, "__blk")
+        a.join(F.broadcast(pairs), ["__blk", "__na"])
+        .join(b, ["__blk", "__nb"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("__na") != F.col("__nb"))
-        .withColumn("edit_dist",
-                    F.levenshtein(F.col("__na"), F.col("__nb")).cast("int"))
-        .filter(F.col("edit_dist") <= _EDIT_MAX_DIST)
         .select("id_a", "id_b", "edit_dist")
     )
