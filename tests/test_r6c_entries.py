@@ -1,0 +1,97 @@
+"""Unit tests for the round-6c families: BFS min-hop, recursive
+hierarchy rollup, bigram perplexity, Markov transitions, RFM."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators.graph import bfs_min_hop
+from apde_etl_spark.plans import catalog_r6c as C
+
+
+def test_bfs_min_hop_chain_and_cycle(spark):
+    # 1 -> 2 -> 3 -> 4, plus a back-edge 3 -> 1 (cycle) and an
+    # unreachable island 9 -> 10.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (3, 1), (9, 10)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hop
+           for r in bfs_min_hop(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_min_hop_takes_minimum_over_paths(spark):
+    # Two routes to node 4: 1->4 (hop 1) and 1->2->3->4 (hop 3);
+    # min-hop must report 1 and never revisit.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hop
+           for r in bfs_min_hop(edges, seeds, max_hops=3).collect()}
+    assert got[4] == 1 and got == {1: 0, 2: 1, 3: 2, 4: 1}
+
+
+def test_bfs_hop_budget_zero_is_just_seeds(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = bfs_min_hop(edges, seeds, max_hops=0).collect()
+    assert [(r.node, r.hop) for r in got] == [(1, 0)]
+
+
+def test_recursive_hierarchy_counts_every_part(spark, sf_dir):
+    out = C.recursive_hierarchy_rollup(spark, sf_dir)
+    total = out.agg(F.sum("n_nodes")).first()[0]
+    n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    # every part key lands under exactly one sub-10 root
+    assert total == n_parts
+    assert out.filter(F.col("max_depth") > 5).count() == 0
+
+
+def test_perplexity_matches_closed_form(spark):
+    # two tiny docs over a 3-word vocab; verify one score by hand
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "c")],
+        ["doc_id", "text"])
+    k = C._PPL_K
+    # corpus bigrams: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,a)
+    # counts: (a,b)=2, (b,a)=1, (a,a)=1 ; ctx: a=3, b=1 ; V=3
+    # vocabulary counts only scoreable docs (len >= 2): {a, b}
+    V = 2.0
+    lp_ab = math.log((2 + k) / (3 + k * V))
+    lp_ba = math.log((1 + k) / (1 + k * V))
+    expect_ll_doc1 = round(lp_ab, 9) * 2 + round(lp_ba, 9)
+    # run the real entry over a temp parquet dir
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in
+               C.perplexity_bigram_score(spark, d).collect()}
+    assert set(out) == {1, 2}  # doc 3 has one token -> filtered
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].log_lik - round(expect_ll_doc1, 6)) < 1e-9
+    assert abs(out[1].perplexity
+               - round(math.exp(-expect_ll_doc1 / 3), 6)) < 1e-6
+
+
+def test_markov_probabilities_row_normalize(spark, sf_dir):
+    out = C.markov_event_transitions(spark, sf_dir)
+    sums = (out.groupBy("prev_type").agg(F.sum("p").alias("s"))
+            .collect())
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-4  # rounded to 6 per cell
+    # counts positive, types from the event vocabulary
+    assert out.filter(F.col("n") <= 0).count() == 0
+
+
+def test_rfm_scores_cover_customers_and_are_bounded(spark, sf_dir):
+    out = C.rfm_customer_segments(spark, sf_dir)
+    rows = out.collect()
+    n_cust = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_custkey").distinct().count())
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
