@@ -88,6 +88,11 @@ HEADLINE = [
     "exact_substring_dedup_docs",
     "ann_query_prebuilt",
     "graph_pagerank_directed_sinks",
+    # round 6b/c/d: LM quality, recursive queries, lifecycle, stats
+    "perplexity_bigram_score",
+    "recursive_hierarchy_rollup",
+    "corr_matrix_lineitem",
+    "decayed_engagement_score",
 ]
 
 
