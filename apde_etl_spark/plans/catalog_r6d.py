@@ -103,17 +103,19 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggs.append(F.sum(dec[a] * dec[b]).cast("double")
                         .alias(f"s_{a}_{b}"))
     m = li.agg(*aggs)
-    rows = [
-        m.select(
+    # derive all 10 coefficients FROM THE ONE MOMENT ROW by exploding
+    # an array of structs — a 10-way union of selects would re-plan
+    # (and re-scan) the aggregate per arm, since each arm prunes to
+    # its own moment subset and nothing is reusable
+    cells = F.array(*[
+        F.struct(
             F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
             F.col("n").cast("long").alias("n"),
             round_half_away(F.expr(_corr_formula(a, b)), 6).alias("corr"))
         for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:]
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    ])
+    return (m.select(F.explode(cells).alias("__r"))
+            .select("__r.col_a", "__r.col_b", "__r.n", "__r.corr"))
 
 
 # ===========================================================================

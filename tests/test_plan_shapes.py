@@ -465,3 +465,45 @@ def test_pagerank_checkpoint_bounds_plan_depth(spark):
     # and the checkpointed plan no longer re-reads the edge source:
     # it starts from the materialized ranks
     assert "ExistingRDD" in p_shallow or "Scan" in p_shallow
+
+
+def test_recursive_hierarchy_uses_union_loop(spark, sf_dir, qs):
+    # the native recursive CTE must plan as Spark 4's UnionLoop —
+    # proof the entry exercises the recursive-query executor, not a
+    # hand-unrolled union
+    plan = _plan(qs["recursive_hierarchy_rollup"](spark, sf_dir))
+    assert "UnionLoop" in plan
+
+
+def test_perplexity_has_no_python_stage(spark, sf_dir, qs):
+    # bigram extraction is transform(sequence(...)) + explode — all
+    # JVM; a Python/Arrow eval stage here would be the slow path
+    plan = _plan(qs["perplexity_bigram_score"](spark, sf_dir))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gdpr_cascade_broadcasts_tombstones(spark, sf_dir, qs):
+    # the request set rides broadcast semi-joins; the fact scans must
+    # not shuffle on the join key
+    plan = _plan(qs["gdpr_cascade_delete"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_editdistance_verify_is_vocab_sized(spark, sf_dir, qs):
+    # the Levenshtein verify must run over DISTINCT name pairs
+    # (HashAggregate before the join) and fan back out through a
+    # broadcast join — never a rows x rows blocked self-join
+    plan = _plan(qs["editdistance_neardup_parts"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "levenshtein" in plan
+
+
+def test_corr_matrix_is_single_pass(spark, sf_dir, qs):
+    # ONE aggregation pass computes every moment; the 10 coefficients
+    # explode out of the single moment row — exactly one scan and one
+    # aggregate pair in the executed plan
+    plan = _plan(qs["corr_matrix_lineitem"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
