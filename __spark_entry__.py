@@ -41,6 +41,7 @@ from apde_etl_spark.plans import catalog_r6  # noqa: E402,F401  (registers on im
 from apde_etl_spark.plans import catalog_r6b  # noqa: E402,F401  (registers on import)
 from apde_etl_spark.plans import catalog_r6c  # noqa: E402,F401  (registers on import)
 from apde_etl_spark.plans import catalog_r6d  # noqa: E402,F401  (registers on import)
+from apde_etl_spark.plans import catalog_r6e  # noqa: E402,F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,245 @@
+"""Round-6 extension catalog, part 5: sparse + hybrid retrieval.
+
+The dense side of retrieval is already first-class (brute-force /
+LSH / IVF / PQ / SQ8 ANN with a persisted index lifecycle); this
+module adds the SPARSE side and the fusion step — together they form
+the standard hybrid-retrieval stack every RAG / retrieval-augmented
+training pipeline runs:
+
+- ``bm25_search_topk``: Okapi BM25 ranking of the documents table for
+  a fixed query term set (k1=1.2, b=0.75) — the inverted-index
+  scoring classic. The plan filters to query terms BEFORE any
+  shuffle, so the corpus-sized explode collapses to |hits| rows
+  immediately; document length and corpus stats ride broadcast.
+- ``hybrid_rrf_fusion``: reciprocal-rank fusion (Cormack et al. 2009:
+  score = Σ 1/(60+rank)) of the BM25 ranking with the dense cosine
+  ranking against a query embedding — the standard way to combine
+  sparse and dense retrieval without score calibration. Rank terms
+  are rounded to 9 places and summed as DECIMAL, so the fused
+  ordering is exact and hash-gateable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from apde_etl_spark.functions.core import round_half_away
+from apde_etl_spark.operators import similarity as SIM
+from apde_etl_spark.plans.catalog import _sql_round, load, register
+
+# ===========================================================================
+# BM25 sparse retrieval
+# ===========================================================================
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("hash", "join", "scan")
+_BM25_TOPK = 20
+
+_Q_LIST = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+# one shared scoring expression TEXT: identical operator tree in both
+# engines => identical IEEE doubles => the rounded DECIMAL sum gates
+_BM25_TERM = (
+    f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({_BM25_K1} + 1.0))"
+    f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B}"
+    f" + {_BM25_B} * len_d / avg_len))"
+)
+
+_BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(t) AS DOUBLE) AS len_d FROM d
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(len(t)) AS DOUBLE) / count(*) AS avg_len
+  FROM d
+), hits AS (
+  SELECT doc_id, w AS term FROM (SELECT doc_id, unnest(t) AS w FROM d)
+  WHERE w IN ({_Q_LIST})
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM hits GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), terms AS (
+  SELECT tf.doc_id,
+         CAST({_sql_round(_BM25_TERM, 9)} AS DECIMAL(20,9)) AS s9
+  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+  CROSS JOIN stats
+), scored AS (
+  SELECT doc_id, {_sql_round('CAST(sum(s9) AS DOUBLE)', 6)} AS score
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, score, CAST(rk AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+) WHERE rk <= {_BM25_TOPK}
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) for every doc matching >= 1 query term."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    lens = d.select("doc_id", F.size("t").cast("double").alias("len_d"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.size("t")).cast("double")
+         / F.count(F.lit(1))).alias("avg_len"))
+    hits = (d.select("doc_id", F.explode("t").alias("term"))
+            .filter(F.col("term").isin(*_BM25_QUERY)))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    terms = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id",
+                round_half_away(F.expr(_BM25_TERM), 9)
+                .cast("decimal(20,9)").alias("s9"))
+    )
+    return terms.groupBy("doc_id").agg(
+        round_half_away(F.sum("s9").cast("double"), 6).alias("score"))
+
+
+@register("bm25_search_topk", _BM25_SQL)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k for a fixed query — the sparse-retrieval
+    classic complementing the dense ANN family. The token explode
+    filters to the query terms IMMEDIATELY (a |Q|-membership predicate
+    on the exploded column), so the only shuffled frame is (matching
+    doc, term) — corpus-sized work never reaches an exchange; document
+    frequencies (|Q| rows) and corpus stats (1 row) broadcast. Each
+    per-term score is a closed form over exact counts — the SAME
+    expression text as the oracle, so the IEEE doubles agree — rounded
+    to 9 and summed as DECIMAL (decimal-exact convention). Top-k ranks
+    order by the ROUNDED score with id tiebreak: rank, unlike raw
+    floats, must be reproducible. At 100 TB the tf aggregation
+    co-partitions on doc_id and the final top-k is the per-partition
+    TakeOrdered merge — no global sort of the corpus."""
+    scored = _bm25_scored(spark, sf_dir)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")) \
+        .limit(_BM25_TOPK)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ===========================================================================
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine
+# ===========================================================================
+
+_RRF_C = 60
+_RRF_TOPK = 10
+_RRF_LIST_K = 20
+_RRF_QVEC_ID = 0
+
+_RRF_SQL = f"""
+WITH sparse AS (
+  SELECT doc_id, rank AS r_sparse FROM ({_BM25_SQL.strip()})
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {_RRF_QVEC_ID}
+), dcos AS (
+  SELECT vec_id,
+         {_sql_round(
+             "list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]),"
+             " q.qv), p -> p[1] * p[2]))"
+             " / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),"
+             " x -> x * x)))"
+             " * sqrt(list_sum(list_transform(q.qv, x -> x * x))))", 6
+         )} AS c6
+  FROM embeddings, q
+), dense AS (
+  SELECT vec_id AS doc_id, CAST(rk AS INTEGER) AS r_dense FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY c6 DESC, vec_id) AS rk
+    FROM dcos
+  ) WHERE rk <= {_RRF_LIST_K}
+), unioned AS (
+  SELECT doc_id,
+         CAST({_sql_round(f'1.0 / ({_RRF_C} + r_sparse)', 9)}
+              AS DECIMAL(20,9)) AS contrib,
+         1 AS in_sparse, 0 AS in_dense
+  FROM sparse
+  UNION ALL
+  SELECT doc_id,
+         CAST({_sql_round(f'1.0 / ({_RRF_C} + r_dense)', 9)}
+              AS DECIMAL(20,9)),
+         0, 1
+  FROM dense
+), fused AS (
+  SELECT doc_id,
+         {_sql_round('CAST(sum(contrib) AS DOUBLE)', 6)} AS rrf_score,
+         CAST(max(in_sparse) AS INTEGER) AS in_sparse,
+         CAST(max(in_dense) AS INTEGER) AS in_dense
+  FROM unioned GROUP BY doc_id
+)
+SELECT doc_id, rrf_score, in_sparse, in_dense,
+       CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= {_RRF_TOPK}
+"""
+
+
+@register("hybrid_rrf_fusion", _RRF_SQL)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 ranking with the dense
+    cosine ranking against vec_id-0's embedding (doc and vector id
+    spaces are aligned in the testdata): score = Σ 1/(60 + rank),
+    the calibration-free way to combine sparse and dense retrieval
+    (Cormack et al. 2009) and the default hybrid mode of production
+    search engines. Both input rankings rank on ROUNDED scores with
+    id tiebreaks (reproducible ranks), each rank contribution is
+    rounded to 9 and summed as DECIMAL — the fused ordering is exact.
+    Both candidate lists are k-row frames: the fusion itself costs
+    nothing at any scale; the inputs are the already-scale-shaped
+    BM25 and ANN plans (at 100 TB the dense list comes from the
+    prebuilt IVF/SQ8 index — ``ann_query_prebuilt`` — not the brute
+    force used at gate size)."""
+    sparse = bm25_search_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("r_sparse"))
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(
+        F.col("vec_id") == _RRF_QVEC_ID).select("embedding").first()[0]]
+    q = F.array(*[F.lit(x) for x in qvec])
+    dcos = emb.select(
+        F.col("vec_id"),
+        round_half_away(
+            SIM.cosine(SIM.as_double_array("embedding"), q), 6).alias("c6"))
+    dtop = dcos.orderBy(F.desc("c6"), F.asc("vec_id")).limit(_RRF_LIST_K)
+    wd = Window.orderBy(F.desc("c6"), F.asc("vec_id"))
+    dense = dtop.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wd).cast("int").alias("r_dense"))
+    unioned = (
+        sparse.select(
+            "doc_id",
+            round_half_away(1.0 / (F.lit(_RRF_C) + F.col("r_sparse")), 9)
+            .cast("decimal(20,9)").alias("contrib"),
+            F.lit(1).alias("in_sparse"), F.lit(0).alias("in_dense"))
+        .unionByName(dense.select(
+            "doc_id",
+            round_half_away(1.0 / (F.lit(_RRF_C) + F.col("r_dense")), 9)
+            .cast("decimal(20,9)").alias("contrib"),
+            F.lit(0).alias("in_sparse"), F.lit(1).alias("in_dense")))
+    )
+    fused = unioned.groupBy("doc_id").agg(
+        round_half_away(F.sum("contrib").cast("double"), 6)
+        .alias("rrf_score"),
+        F.max("in_sparse").cast("int").alias("in_sparse"),
+        F.max("in_dense").cast("int").alias("in_dense"))
+    top = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")) \
+        .limit(_RRF_TOPK)
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(wf).cast("int"))
