@@ -93,6 +93,8 @@ HEADLINE = [
     "recursive_hierarchy_rollup",
     "corr_matrix_lineitem",
     "decayed_engagement_score",
+    "bm25_search_topk",
+    "hybrid_rrf_fusion",
 ]
 
 
