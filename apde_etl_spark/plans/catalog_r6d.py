@@ -375,3 +375,65 @@ def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round_half_away(F.col("value"), 6).alias("last_value"),
                 "n_ops")
     )
+
+
+# ===========================================================================
+# Benford's-law leading-digit forensic
+# ===========================================================================
+
+_BENFORD_SQL = f"""
+WITH cents AS (
+  SELECT CAST(CAST({_sql_round('o_totalprice', 2)} AS DECIMAL(18,2)) * 100
+              AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+), digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM cents
+), obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM obs)
+SELECT digit, n,
+       {_sql_round('n / total', 6)} AS obs_p,
+       {_sql_round('log10(1.0 + 1.0 / digit)', 6)} AS exp_p,
+       {_sql_round(
+           '(n - total * log10(1.0 + 1.0 / digit))'
+           ' * (n - total * log10(1.0 + 1.0 / digit))'
+           ' / (total * log10(1.0 + 1.0 / digit))', 6)} AS chi2_term
+FROM obs CROSS JOIN tot
+"""
+
+
+@register("benford_totalprice_digits", _BENFORD_SQL)
+def benford_totalprice_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit forensic over order totals — the
+    classic fabricated-data / broken-upstream-feed detector (a
+    synthetic uniform generator, like this testdata's, FAILS Benford
+    loudly: that's the point of the check, and the chi2 terms say so).
+    Numeric robustness: the leading digit comes from the EXACT integer
+    cents (decimal-scaled, then the first character of the bigint's
+    decimal rendering — identical across engines), never from float
+    log10 of the value, whose 2.999…96 edge cases would misbin powers
+    of ten. One scan, a 9-row aggregate, closed-form expectations."""
+    orders = load(spark, sf_dir, "orders")
+    cents = (orders.filter(F.col("o_totalprice") > 0)
+             .select((round_half_away(F.col("o_totalprice"), 2)
+                      .cast("decimal(18,2)") * 100)
+                     .cast("bigint").alias("c")))
+    obs = (cents.select(
+               F.substring(F.col("c").cast("string"), 1, 1)
+               .cast("int").alias("digit"))
+           .groupBy("digit")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = obs.agg(F.sum("n").cast("double").alias("total"))
+    exp_n = F.col("total") * F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n",
+            round_half_away(F.col("n") / F.col("total"), 6).alias("obs_p"),
+            round_half_away(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+            .alias("exp_p"),
+            round_half_away(
+                (F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n, 6)
+            .alias("chi2_term"))
+    )

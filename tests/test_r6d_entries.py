@@ -97,3 +97,30 @@ def test_session_path_ranks_are_dense_and_ordered(spark, sf_dir):
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     counts = [r.n_sessions for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_benford_terms_partition_probability(spark, sf_dir):
+    rows = C.benford_totalprice_digits(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    # expectations are the Benford distribution (sums to 1 over 1..9)
+    import math
+    for r in rows:
+        assert abs(r.exp_p - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
+    # observed proportions sum to 1 over the emitted digits
+    assert abs(sum(r.obs_p for r in rows) - 1.0) < 1e-4
+
+
+def test_benford_leading_digit_is_exact_for_powers_of_ten(spark, tmp_path):
+    # 1000.00 must bin to digit 1 (the float-log10 edge case), 999.99
+    # to 9, 0.01 to 1
+    rows = [(1, 1, "O", 1000.00, None, "p"), (2, 1, "O", 999.99, None, "p"),
+            (3, 1, "O", 0.01, None, "p")]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string,"
+              " o_totalprice double, o_orderdate timestamp,"
+              " o_orderpriority string")
+    d = str(tmp_path / "sf")
+    orders.write.parquet(f"{d}/orders.parquet")
+    got = {r.digit: r.n for r in
+           C.benford_totalprice_digits(spark, d).collect()}
+    assert got == {1: 2, 9: 1}
