@@ -240,11 +240,13 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    # top-k FIRST via TakeOrdered (per-partition top-k, k-row driver
+    # merge), then rank the k survivors — a rank-then-filter global
+    # window would single-task the whole path-frequency frame
+    top = freq.orderBy(F.desc("n_sessions"), F.asc("path")) \
+        .limit(_PATH_TOPK)
     wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return (
-        freq.withColumn("rank", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rank") <= _PATH_TOPK)
-    )
+    return top.withColumn("rank", F.row_number().over(wr).cast("int"))
 
 
 # ===========================================================================
