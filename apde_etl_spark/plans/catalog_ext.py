@@ -332,7 +332,7 @@ def simhash64_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight -2^63 so the print is a valid signed int64. The hash oracle
     proves the two-limb packing bit-for-bit across engines, including
     negative (sign-bit-set) fingerprints."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     return SIM.simhash(docs, "doc_id", "text", bits=64)
 
 
@@ -366,7 +366,7 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheapest of the near-dup family at corpus scale, and the 65536
     values per band keep bucket sizes (hence candidate pairs) bounded
     at 10^8-10^9 docs where 8-bit slices go quadratic."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     return SIM.simhash_neardup_pairs(
         docs, "doc_id", "text", bits=64, bands=4, max_hamming=3
     )
@@ -659,7 +659,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-reachable label) — SQL recursion checks Spark iteration."""
     from apde_etl_spark.operators.dedup import connected_components
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     pairs = SIM.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16,
                                   bands=4, threshold=0.2, materialize=True)
     comp = connected_components(pairs, "id_a", "id_b")
@@ -807,7 +807,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — the full corpus never shuffles."""
     from apde_etl_spark.operators.dedup import connected_components
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     pairs = SIM.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16,
                                   bands=4, threshold=0.2, materialize=True)
     comp = connected_components(pairs, "id_a", "id_b")
@@ -953,7 +953,7 @@ def langid_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     natively in the scan stage, per-language hit counts against fixed
     ASCII profiles, first-max-wins prediction. Pure projection — zero
     shuffles at any scale."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = load(spark, sf_dir, "documents", rebalance=True).select("doc_id", "lang", "text")
     return TX.langid_ngram_scores(docs, "text").drop("text")
 
 

@@ -273,7 +273,7 @@ def repeated_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery. Map-side partial aggregation collapses each partition's
     duplicates before the exchange, so shuffle volume is bounded by the
     distinct-span count per partition, not the token count."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", rebalance=True)
     sp = docs.select(
         "doc_id", F.explode(SIM.word_shingles(F.col("text"), _SPAN_K)).alias("span")
     )
