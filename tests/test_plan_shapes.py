@@ -514,3 +514,29 @@ def test_corr_matrix_is_single_pass(spark, sf_dir, qs):
     plan = _plan(qs["corr_matrix_lineitem"](spark, sf_dir))
     assert plan.count("FileScan") == 1
     assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_q19_pushes_common_disjuncts_to_part_scan(spark, sf_dir, qs):
+    # the brand/size conjuncts common to the OR arms must reach the
+    # part scan as pushed filters; the fact side joins broadcast
+    plan = _plan(qs["q19_disjunctive_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    pushed = plan.split("PushedFilters")
+    assert any("p_brand" in p[:400] or "p_size" in p[:400]
+               for p in pushed[1:])
+
+
+def test_q13_counts_join_column_with_one_fact_shuffle(spark, sf_dir, qs):
+    # left join + count(column): the zero bucket must exist, and the
+    # per-customer aggregate co-partitions with the join (<= 2 keyed
+    # exchanges total: join key + final histogram key)
+    plan = _plan(qs["q13_custdist"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_q8_is_single_pass_conditional_aggregate(spark, sf_dir, qs):
+    # home vs total volume come from ONE fact pass (CASE inside SUM),
+    # never two scans joined back: exactly one lineitem scan
+    plan = _plan(qs["q8_market_share"](spark, sf_dir))
+    import re
+    assert len(re.findall(r"FileScan parquet[^\n]*lineitem", plan)) == 1
