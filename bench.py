@@ -95,6 +95,9 @@ HEADLINE = [
     "decayed_engagement_score",
     "bm25_search_topk",
     "hybrid_rrf_fusion",
+    "q8_market_share",
+    "q13_custdist",
+    "q19_disjunctive_revenue",
 ]
 
 
