@@ -199,7 +199,9 @@ def ann_query_prebuilt(
     score dequantized SQ8 codes against the exact query vector
     (asymmetric), shortlist ``rerank`` per query, rerank on exact
     vectors from ``corpus_df``, return the top ``k``
-    (query_id, rank, vec_id, cosine_sim). Self-matches are excluded.
+    (query_id, rank, vec_id, cosine_raw) — ``cosine_raw`` is the
+    unrounded exact cosine; catalog entries round/alias it to their
+    presentation name (e.g. cosine_sim). Self-matches are excluded.
 
     The plan reads: centroids parquet, codes parquet (cell-pruned by
     the probe join — the partition layout makes n_probe/n_cells of the

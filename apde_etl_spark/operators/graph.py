@@ -181,9 +181,16 @@ def pagerank_integer(
             F.when(is_seed, F.lit(scale // n_seed))
             .otherwise(F.lit(0)).cast("long").alias("rank"),
         )
+    # Size-gate on the frames node_sized actually hints: with
+    # dangling="redistribute" the per-iteration frames (ranks/sums) are
+    # keyed by the FULL src∪dst universe, which on sink-heavy graphs —
+    # the exact case redistribute targets — can be far larger than deg
+    # (nodes with out-edges). Gating on deg there would broadcast frames
+    # past the configured cap (round-6 advice).
+    gate_frame = nodes if dangling == "redistribute" else deg
     small = (
         broadcast_below > 0
-        and deg.limit(broadcast_below + 1).count() <= broadcast_below
+        and gate_frame.limit(broadcast_below + 1).count() <= broadcast_below
     )
 
     def node_sized(df: DataFrame) -> DataFrame:

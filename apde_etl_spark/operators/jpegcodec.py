@@ -426,27 +426,32 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 br.sync_restart()
                 preds = [0] * nc
             for ci, dct, act in scan_comps:
+                # The whole per-block entropy decode (DC + AC + magnitude
+                # bits) honors the ValueError contract: a restart marker
+                # hit mid-block (misaligned DRI, corrupt stream) must
+                # surface as ValueError so default_decoder's fallback
+                # engages instead of leaking the internal exception type.
                 try:
                     t = dc_tabs[dct].decode(br)
                     diff = _extend(br.bits(t), t)
+                    preds[ci] += diff
+                    zz = [0] * 64
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = ac_tabs[act].decode(br)
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = _extend(br.bits(rs & 0x0F), rs & 0x0F)
+                        k += 1
                 except _RestartMarker:
                     raise ValueError("restart marker without DRI alignment")
-                preds[ci] += diff
-                zz = [0] * 64
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = ac_tabs[act].decode(br)
-                    if rs == 0x00:
-                        break
-                    if rs == 0xF0:
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.bits(rs & 0x0F), rs & 0x0F)
-                    k += 1
                 q = qtabs[comps[ci][2]]
                 coef = [[0.0] * 8 for _ in range(8)]
                 for i, (r, c) in enumerate(_ZIGZAG):

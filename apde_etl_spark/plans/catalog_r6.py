@@ -418,9 +418,15 @@ def _ensure_index(spark: SparkSession, sf_dir: str, variant: str = "full") -> st
 
     key = (sf_dir, variant)
     if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
         import tempfile
 
         d = tempfile.mkdtemp(prefix=f"apde_annidx_{variant}_")
+        # repeated gate runs would otherwise leak index dirs (centroids,
+        # bounds, codebooks, cell-partitioned codes) in the temp fs —
+        # same cleanup pattern as stream_linkage_upsert's work dir.
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         emb = load(spark, sf_dir, "embeddings")
         if variant == "sub":
             emb = emb.filter(F.col("vec_id") % 20 != 0)

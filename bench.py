@@ -155,6 +155,15 @@ def main() -> None:
               f"{cold[name]:.3f}s cold ({n} rows)", file=sys.stderr)
     loadavg_end = os.getloadavg()
 
+    # Stamp the round this record belongs to (max existing BENCH_r{N} + 1)
+    # so BENCH_FULL.json / BENCH_COLD.json are diffable across rounds
+    # without grepping commit history (round-6 verdict housekeeping item).
+    import re
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prior = [int(m.group(1)) for f in os.listdir(repo)
+             if (m := re.match(r"BENCH_r(\d+)\.json$", f))]
+    bench_round = (max(prior) + 1) if prior else 1
+
     # The cold first-touch map is part of the record but NOT part of the
     # final stdout line: the driver captures a bounded tail of stdout, and
     # a single line carrying both maps (~3 KB) gets truncated mid-JSON
@@ -171,6 +180,7 @@ def main() -> None:
         "loadavg_start": list(loadavg_start),
         "loadavg_end": list(loadavg_end),
         "sf": sf,
+        "round": bench_round,
     }
     print(json.dumps(cold_record), file=sys.stderr)
     try:

@@ -6,8 +6,8 @@ value hash. Exits non-zero on any mismatch.
 Usage: python tools/verify_local.py [sf_dir] [query_name ...]
 
 Full runs (no query-name filter) also write the per-entry results to
-CORRECTNESS_local_r5.json (default sf0.01) or
-CORRECTNESS_local_r5_<sftag>.json (other scale factors, e.g. _sf01 for
+CORRECTNESS_local.json (default sf0.01) or
+CORRECTNESS_local_<sftag>.json (other scale factors, e.g. _sf01 for
 sf0.1 — scale-variant bugs like broadcast-gate flips or bin-width
 defaults would only surface there) at the repo root so a judge can diff
 the full registry without re-running minutes of Spark. (The driver's own
@@ -125,8 +125,8 @@ def main() -> int:
     import json
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "")
-    fname = ("CORRECTNESS_local_r5.json" if tag == "sf001"
-             else f"CORRECTNESS_local_r5_{tag}.json")
+    fname = ("CORRECTNESS_local.json" if tag == "sf001"
+             else f"CORRECTNESS_local_{tag}.json")
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         fname,
