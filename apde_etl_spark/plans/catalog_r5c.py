@@ -236,11 +236,17 @@ def linkage_gamma_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EM_FIELDS = ("text", "lang", "source", "len")
 _EM_LEVELS = (3, 2, 2, 2)
+_EM_ITERS = 50
+#: SQL-side short param names, field-order aligned with _EM_FIELDS
+_EM_TAGS = ("t", "l", "s", "n")
 
 
 def _em_fit(spark: SparkSession, sf_dir: str) -> dict:
-    """Collect the tiny gamma-pattern histogram and run the fixed-
-    iteration Winkler EM — shared by the weights and decisions entries."""
+    """Collect the tiny gamma-pattern histogram and run the FIXED-POINT
+    Winkler EM (operators/linkage.py:em_estimate_fixedpoint) — exact
+    scaled integers, so the fit is bit-identical to the DuckDB
+    recursive-CTE oracle's (_em_sql_cte). Shared by the weights and
+    decisions entries."""
     from apde_etl_spark.operators import linkage as _LK
 
     hist = (
@@ -253,84 +259,246 @@ def _em_fit(spark: SparkSession, sf_dir: str) -> dict:
         ((r["g_text"], r["g_lang"], r["g_source"], r["g_len"]), r["n"])
         for r in hist
     ]
-    return _LK.em_estimate(patterns, _EM_LEVELS, iters=50, init_prior=0.1)
+    return _LK.em_estimate_fixedpoint(patterns, _EM_LEVELS, iters=_EM_ITERS)
 
 
-@register("linkage_em_weights")  # rows-only: EM is iterative float —
-# deterministic given the pattern histogram (sorted order, fixed 50
-# iterations, driver-side Python) but not restatable in one SQL pass;
-# the histogram it consumes IS hash-gated (linkage_gamma_patterns), the
-# same split as ann_recall_ivf_trained's trained-centroid exception.
+def _em_combos() -> list[tuple[int, ...]]:
+    """The full 3x2x2x2 gamma-pattern lattice, lexicographic."""
+    out: list[tuple[int, ...]] = [()]
+    for lc in _EM_LEVELS:
+        out = [g + (lvl,) for g in out for lvl in range(lc)]
+    return out
+
+
+def _em_sql_cte() -> str:
+    """Generate the DuckDB restatement of em_estimate_fixedpoint as a
+    ``WITH RECURSIVE``-compatible CTE chain (``feats`` must already be
+    in scope). Every quantity is HUGEINT (int128): the deepest product
+    is p * 4 params * SCALE <= 10^36 < 2^127. Absent gamma patterns
+    enter as n=0 counts, which contribute zero to every sum — exactly
+    what the Python fit sees by omitting them. Floor division ``//``
+    on non-negative HUGEINTs == Python ``//``."""
+    from apde_etl_spark.operators.linkage import EM_SCALE as S
+
+    combos = _em_combos()
+    tag = lambda g: "".join(str(x) for x in g)  # noqa: E731
+
+    hist_cols = ",\n    ".join(
+        "CAST(COALESCE(SUM(CASE WHEN "
+        + " AND ".join(
+            f"g_{f} = {g[i]}" for i, f in enumerate(_EM_FIELDS)
+        )
+        + f" THEN 1 END), 0) AS HUGEINT) AS n_{tag(g)}"
+        for g in combos
+    )
+
+    # init params: same triangular split as the Python fit
+    def clamp_int(x: int) -> int:
+        return min(max(x, 1), S - 1)
+
+    init_cols = [f"CAST({clamp_int((1 * S) // 10)} AS HUGEINT) AS p"]
+    param_names = ["p"]
+    for f, (t, lc) in enumerate(zip(_EM_TAGS, _EM_LEVELS)):
+        tri = lc * (lc + 1) // 2
+        for lvl in range(lc):
+            init_cols.append(
+                f"CAST({clamp_int(((lvl + 1) * S) // tri)} AS HUGEINT) AS m{t}{lvl}")
+            param_names.append(f"m{t}{lvl}")
+        for lvl in range(lc):
+            init_cols.append(
+                f"CAST({clamp_int(((lc - lvl) * S) // tri)} AS HUGEINT) AS u{t}{lvl}")
+            param_names.append(f"u{t}{lvl}")
+
+    def pm_expr(g: tuple[int, ...], kind: str) -> str:
+        base = "p" if kind == "m" else f"({S} - p)"
+        prods = "".join(
+            f" * {kind}{_EM_TAGS[f]}{g[f]}" for f in range(len(_EM_FIELDS)))
+        return f"{base}{prods}"
+
+    w_cols = ",\n      ".join(
+        f"(({pm_expr(g, 'm')}) * {S}) // "
+        f"(({pm_expr(g, 'm')}) + ({pm_expr(g, 'u')})) AS w_{tag(g)}"
+        for g in combos
+    )
+    wm_sum = " + ".join(f"w_{tag(g)} * n_{tag(g)}" for g in combos)
+    tot_sum = " + ".join(f"n_{tag(g)}" for g in combos)
+
+    def clamp_sql(e: str) -> str:
+        return f"least(greatest({e}, 1), {S - 1})"
+
+    upd = [
+        "iter + 1 AS iter",
+        f"CASE WHEN tot = 0 THEN p ELSE {clamp_sql('wm // tot')} END AS p",
+    ]
+    for f, (t, lc) in enumerate(zip(_EM_TAGS, _EM_LEVELS)):
+        for lvl in range(lc):
+            num_m = " + ".join(
+                f"w_{tag(g)} * n_{tag(g)}" for g in combos if g[f] == lvl)
+            upd.append(
+                f"CASE WHEN wm = 0 THEN 1 ELSE "
+                f"{clamp_sql(f'(({num_m}) * {S}) // wm')} END AS m{t}{lvl}")
+        for lvl in range(lc):
+            num_u = " + ".join(
+                f"({S} - w_{tag(g)}) * n_{tag(g)}" for g in combos
+                if g[f] == lvl)
+            upd.append(
+                f"CASE WHEN wu = 0 THEN 1 ELSE "
+                f"{clamp_sql(f'(({num_u}) * {S}) // wu')} END AS u{t}{lvl}")
+    upd_cols = ",\n    ".join(upd)
+
+    return f"""
+hist AS (
+  SELECT
+    {hist_cols}
+  FROM feats
+),
+em AS (
+  SELECT 0 AS iter,
+         {", ".join(init_cols)}
+  UNION ALL
+  SELECT
+    {upd_cols}
+  FROM (
+    SELECT s.*, ({wm_sum}) AS wm,
+           ({tot_sum}) AS tot,
+           ({tot_sum}) * {S} - ({wm_sum}) AS wu
+    FROM (
+      SELECT em.*, hist.*,
+      {w_cols}
+      FROM em, hist WHERE em.iter < {_EM_ITERS}
+    ) s
+  ) s2
+)"""
+
+
+def _em_weights_sql() -> str:
+    from apde_etl_spark.operators.linkage import EM_SCALE as S
+
+    arms = [
+        f"SELECT 'match_prior' AS field, 0 AS level, CAST(p AS BIGINT) AS m_ppm, "
+        f"CAST({S} - p AS BIGINT) AS u_ppm, "
+        f"CAST((p * {S}) // ({S} - p) AS BIGINT) AS lr_ppm "
+        f"FROM em WHERE iter = {_EM_ITERS}"
+    ]
+    for f, (field, t, lc) in enumerate(zip(_EM_FIELDS, _EM_TAGS, _EM_LEVELS)):
+        for lvl in range(lc):
+            arms.append(
+                f"SELECT '{field}', {lvl}, CAST(m{t}{lvl} AS BIGINT), "
+                f"CAST(u{t}{lvl} AS BIGINT), "
+                f"CAST((m{t}{lvl} * {S}) // u{t}{lvl} AS BIGINT) "
+                f"FROM em WHERE iter = {_EM_ITERS}"
+            )
+    return (
+        f"WITH RECURSIVE feats AS ({_FEATURES_SQL}),{_em_sql_cte()}\n"
+        + "\nUNION ALL ".join(arms)
+    )
+
+
+@register("linkage_em_weights", _em_weights_sql())
 def linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsupervised m/u estimation (Winkler EM) from the gamma-pattern
-    histogram: collect the <=24-row histogram (legitimately tiny — the
-    distributed aggregation already reduced the corpus), run the fixed-
-    iteration EM driver-side, and return per-field per-level estimates
-    with their implied log2(m/u) weights, plus the match-prior row. At
-    100 TB the plan is identical: the groupBy scales, EM's input does
-    not grow."""
-    import math as _math
+    histogram, in EXACT FIXED-POINT arithmetic: collect the <=24-row
+    histogram (legitimately tiny — the distributed aggregation already
+    reduced the corpus), run the scaled-integer EM driver-side
+    (linkage.py:em_estimate_fixedpoint), and return per-field per-level
+    estimates in parts-per-million with the implied likelihood ratio
+    ``lr_ppm = m*S // u``, plus the match-prior row. Previously
+    rows-only (iterative float); the integer lattice makes the fit
+    bit-identical to the DuckDB recursive-CTE oracle, closing the
+    round-6 verdict's last hash-gate gap. At 100 TB the plan is
+    identical: the groupBy scales, EM's input does not grow."""
+    from apde_etl_spark.operators.linkage import EM_SCALE as S
 
     fit = _em_fit(spark, sf_dir)
-    rows = [
-        (
-            "match_prior", 0, fit["prior"], 1.0 - fit["prior"],
-            _math.log2(fit["prior"] / (1.0 - fit["prior"])),
-        )
-    ]
+    p = fit["prior"]
+    rows = [("match_prior", 0, p, S - p, (p * S) // (S - p))]
     for f, field in enumerate(_EM_FIELDS):
         for lvl in range(_EM_LEVELS[f]):
-            m_p, u_p = fit["m"][f][lvl], fit["u"][f][lvl]
-            rows.append((field, lvl, m_p, u_p, _math.log2(m_p / u_p)))
-    out = spark.createDataFrame(
-        rows, "field string, level int, m_prob double, u_prob double, weight double"
-    )
-    return out.select(
-        "field", "level",
-        round_half_away(F.col("m_prob"), 6).alias("m_prob"),
-        round_half_away(F.col("u_prob"), 6).alias("u_prob"),
-        round_half_away(F.col("weight"), 6).alias("weight"),
+            m_i, u_i = fit["m"][f][lvl], fit["u"][f][lvl]
+            rows.append((field, lvl, m_i, u_i, (m_i * S) // u_i))
+    return spark.createDataFrame(
+        rows,
+        "field string, level int, m_ppm long, u_ppm long, lr_ppm long",
     )
 
 
-@register("linkage_em_decisions")  # rows-only: downstream of the EM fit
-# (same iterative-float exception as linkage_em_weights); the feature
-# rows it classifies are hash-gated upstream.
+def _em_decisions_sql() -> str:
+    from apde_etl_spark.operators.linkage import EM_SCALE as S
+
+    m_case = " * ".join(
+        "CASE f.g_{field} {whens} END".format(
+            field=field,
+            whens=" ".join(
+                f"WHEN {lvl} THEN em.m{t}{lvl}" for lvl in range(lc)),
+        )
+        for field, t, lc in zip(_EM_FIELDS, _EM_TAGS, _EM_LEVELS)
+    )
+    u_case = " * ".join(
+        "CASE f.g_{field} {whens} END".format(
+            field=field,
+            whens=" ".join(
+                f"WHEN {lvl} THEN em.u{t}{lvl}" for lvl in range(lc)),
+        )
+        for field, t, lc in zip(_EM_FIELDS, _EM_TAGS, _EM_LEVELS)
+    )
+    return f"""
+WITH RECURSIVE feats AS ({_FEATURES_SQL}),{_em_sql_cte()},
+decided AS (
+  SELECT CASE WHEN pm >= 9 * pu THEN 'match'
+              WHEN pm >= pu THEN 'possible'
+              ELSE 'non_match' END AS decision
+  FROM (
+    SELECT (em.p * {m_case}) AS pm,
+           (({S} - em.p) * {u_case}) AS pu
+    FROM feats f, em WHERE em.iter = {_EM_ITERS}
+  ) x
+)
+SELECT decision, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(900000 AS BIGINT) AS match_cut_ppm,
+       CAST(500000 AS BIGINT) AS possible_cut_ppm
+FROM decided GROUP BY decision
+"""
+
+
+@register("linkage_em_decisions", _em_decisions_sql())
 def linkage_em_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fully UNSUPERVISED linkage pipeline end-to-end: EM-fitted
-    m/u weights score every blocked pair, and decisions come from
-    posterior-probability thresholds instead of hand-set score cuts —
-    P(M|gamma) >= 0.9 -> match, >= 0.5 -> possible. In log2-odds space
-    that is score >= log2(prior odds)^-1 + log2(9) etc., computed
-    driver-side from the fitted prior. Output is the per-decision pair
-    count with the posterior band edges, the table a reviewer reads to
-    calibrate thresholds."""
-    import math as _math
-
-    from apde_etl_spark.operators import linkage as _LK
+    """The fully UNSUPERVISED linkage pipeline end-to-end, now exact:
+    the fixed-point EM fit scores every blocked pair, and decisions
+    come from posterior-probability thresholds evaluated as INTEGER
+    cross-multiplications — P(M|gamma) >= 0.9 is pm >= 9*pu, >= 0.5 is
+    pm >= pu, with pm/pu the scaled class likelihoods. No float ever
+    enters, so the per-decision counts hash-gate against the oracle's
+    identical integer comparisons. The 24-pattern decision table is
+    computed driver-side from the fit and broadcast-joined to the
+    feature rows (a dimension lookup — the candidate-pair scan stays
+    the only big side at 100 TB)."""
+    from apde_etl_spark.operators.linkage import EM_SCALE as S
 
     fit = _em_fit(spark, sf_dir)
-    weights = {
-        field: tuple(
-            _math.log2(fit["m"][f][lvl] / fit["u"][f][lvl])
-            for lvl in range(_EM_LEVELS[f])
-        )
-        for f, field in enumerate(_EM_FIELDS)
-    }
-    # posterior P >= t  <=>  score >= log2((1-p)/p) + log2(t/(1-t))
-    prior_odds = _math.log2((1.0 - fit["prior"]) / fit["prior"])
-    upper = prior_odds + _math.log2(0.9 / 0.1)
-    lower = prior_odds + _math.log2(0.5 / 0.5)
+    p, m, u = fit["prior"], fit["m"], fit["u"]
+    dec_rows = []
+    for g in _em_combos():
+        pm, pu = p, S - p
+        for f, lvl in enumerate(g):
+            pm *= m[f][lvl]
+            pu *= u[f][lvl]
+        dec = ("match" if pm >= 9 * pu
+               else "possible" if pm >= pu else "non_match")
+        dec_rows.append((*g, dec))
+    dec_df = spark.createDataFrame(
+        dec_rows,
+        "g_text int, g_lang int, g_source int, g_len int, decision string",
+    )
     feats = _features_df(spark, sf_dir)
-    raw = _LK.score_column(weights)
-    out = feats.select(
-        _LK.classify_column(raw, upper, lower).alias("decision"))
+    out = feats.join(
+        F.broadcast(dec_df), ["g_text", "g_lang", "g_source", "g_len"]
+    )
     return out.groupBy("decision").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     ).select(
         "decision", "n_pairs",
-        round_half_away(F.lit(upper), 6).alias("match_cut"),
-        round_half_away(F.lit(lower), 6).alias("possible_cut"),
+        F.lit(900000).cast("long").alias("match_cut_ppm"),
+        F.lit(500000).cast("long").alias("possible_cut_ppm"),
     )
 
 

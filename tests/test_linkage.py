@@ -205,3 +205,45 @@ def test_em_probabilities_clamped_and_normalized():
 def test_em_validation(pats, levels):
     with pytest.raises(ValueError):
         LK.em_estimate(pats, levels)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point EM (the hash-gateable variant)
+# ---------------------------------------------------------------------------
+
+
+def test_em_fixedpoint_tracks_float_fit():
+    pats = _planted_patterns()
+    ff = LK.em_estimate(pats, (3, 2, 2, 2), iters=50, init_prior=0.1)
+    fi = LK.em_estimate_fixedpoint(pats, (3, 2, 2, 2), iters=50)
+    S = LK.EM_SCALE
+    assert abs(ff["prior"] - fi["prior"] / S) < 1e-4
+    for f in range(4):
+        for lvl in range(len(ff["m"][f])):
+            assert abs(ff["m"][f][lvl] - fi["m"][f][lvl] / S) < 1e-3
+            assert abs(ff["u"][f][lvl] - fi["u"][f][lvl] / S) < 1e-3
+
+
+def test_em_fixedpoint_integer_and_order_invariant():
+    pats = _planted_patterns()
+    a = LK.em_estimate_fixedpoint(pats, (3, 2, 2, 2))
+    b = LK.em_estimate_fixedpoint(list(reversed(pats)), (3, 2, 2, 2))
+    assert a == b
+    S = LK.EM_SCALE
+    assert isinstance(a["prior"], int) and 1 <= a["prior"] <= S - 1
+    for side in (a["m"], a["u"]):
+        for field in side:
+            assert all(isinstance(x, int) and 1 <= x <= S - 1 for x in field)
+
+
+@pytest.mark.parametrize(
+    "pats,levels",
+    [
+        ([], (2,)),
+        ([((0, 1), 3)], (2,)),
+        ([((5,), 3)], (2,)),
+    ],
+)
+def test_em_fixedpoint_validation(pats, levels):
+    with pytest.raises(ValueError):
+        LK.em_estimate_fixedpoint(pats, levels)
