@@ -827,12 +827,43 @@ def embed_neardup_pairs(
     return scored.filter(F.col("cosine_sim") >= F.lit(threshold))
 
 
+#: Quantization step for exact-mean Lloyd training: member coordinates
+#: floor to a 2^-24 lattice BEFORE the mean's sum, so the aggregation is
+#: an exact BIGINT sum — order-independent, hence bit-identical across
+#: partitionings, hosts, and engines. val * 2^24 is a pure exponent
+#: shift (no rounding), floor is exact, and the final
+#: (sum/count)/2^24 double arithmetic is the same two IEEE divisions
+#: everywhere. The 2^-24 mean perturbation (~6e-8) is far below any
+#: centroid-assignment decision margin in practice and buys a
+#: HASH-GATEABLE trained index (round-6 verdict item #1).
+EXACT_MEAN_Q = float(1 << 24)
+
+
+def exact_mean_agg(val: Column) -> Column:
+    """Order-independent deterministic mean aggregate of ``val`` —
+    exact BIGINT sum of floor(val * 2^24), divided back in double."""
+    return (
+        F.sum(F.floor(val * F.lit(EXACT_MEAN_Q))).cast("double")
+        / F.count(F.lit(1)).cast("double")
+    ) / F.lit(EXACT_MEAN_Q)
+
+
+def sql_exact_mean(val: str) -> str:
+    """DuckDB twin of :func:`exact_mean_agg` (same IEEE ops)."""
+    q = int(EXACT_MEAN_Q)
+    return (
+        f"(CAST(SUM(CAST(floor({val} * {q}.0) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE)) / {q}.0"
+    )
+
+
 def train_ivf_centroids(
     e: DataFrame,
     id_col: str,
     n_cells: int,
     iters: int,
     stride: int = 1,
+    exact_mean: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Spherical k-means (Lloyd) refinement of the deterministic seed
     centroids — the driver-coordinated iterative loop that turns IVF's
@@ -856,6 +887,13 @@ def train_ivf_centroids(
     selection as the untrained path (ids that are multiples of stride,
     first n_cells of them). Returns [(cell_id, centroid)] with
     cell_id = 0..n_cells-1.
+
+    ``exact_mean=True`` replaces the float ``avg`` with
+    :func:`exact_mean_agg` — an order-independent quantized-integer
+    sum — which removes the float-summation-order sensitivity entirely:
+    the trained centroids are bit-identical on every run AND
+    restatable in DuckDB SQL (:func:`sql_exact_mean`), so trained-IVF
+    entries can be value-hash-gated instead of rows-only.
     """
     import math
 
@@ -880,9 +918,11 @@ def train_ivf_centroids(
             .filter(F.col("__rk") == 1)
             .select("cell_id", F.posexplode("__v").alias("pos", "val"))
         )
+        mean_agg = (exact_mean_agg(F.col("val")) if exact_mean
+                    else F.avg("val"))
         means = (
             assigned.groupBy("cell_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(mean_agg.alias("m"))
             .collect()
         )
         new_cents = [list(c) for c in cents]  # empty cells keep previous
@@ -1024,6 +1064,7 @@ def ann_ivf_topk(
     salt_buckets: int = 8,
     train_iters: int = 0,
     assign_strategy: str = "auto",
+    train_exact_mean: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` inverted
     lists, then search each query vector only against its ``n_probe``
@@ -1061,7 +1102,8 @@ def ann_ivf_topk(
         # stay-alive trade the minhash base projection makes for lazy
         # callers)
         e = tracked_persist(e, scope="similarity")
-        trained = train_ivf_centroids(e, id_col, n_cells, train_iters, stride)
+        trained = train_ivf_centroids(e, id_col, n_cells, train_iters, stride,
+                                      exact_mean=train_exact_mean)
         cent = (
             df.sparkSession.createDataFrame(
                 trained, "cell_id int, __c array<double>"
@@ -1287,6 +1329,7 @@ def train_pq_codebooks(
     k_codes: int = 16,
     iters: int = 1,
     train_sample_max: int = 65536,
+    exact_mean: bool = False,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search" — public method): the
@@ -1303,9 +1346,12 @@ def train_pq_codebooks(
     (:func:`ann_ivfpq_topk`: residuals must NOT be re-normalized — the
     ADC identity ||q-v|| == ||(q-c)-(v-c)|| only holds for raw
     residuals). Returns ``codebooks[subspace][code] = centroid`` (list
-    of dim/m floats). Iterative and float-summation-order sensitive,
-    hence rows-only correctness treatment downstream (same rationale
-    as trained IVF).
+    of dim/m floats). With the default float ``avg`` the loop is
+    summation-order sensitive (rows-only treatment downstream);
+    ``exact_mean=True`` swaps in :func:`exact_mean_agg` — the
+    order-independent quantized-integer mean — making the books
+    bit-deterministic and SQL-restatable, so PQ recall entries can be
+    value-hash-gated.
     """
     sub = dim // m
     # cap the training set: codebook quality saturates at a few
@@ -1373,12 +1419,14 @@ def train_pq_codebooks(
         w = Window.partitionBy(id_col, "sub_id").orderBy(
             F.asc("__d"), F.asc("code")
         )
+        mean_agg = (exact_mean_agg(F.col("val")) if exact_mean
+                    else F.avg("val"))
         means = (
             assigned.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .select("sub_id", "code", F.posexplode("__s").alias("pos", "val"))
             .groupBy("sub_id", "code", "pos")
-            .agg(F.avg("val").alias("mv"))
+            .agg(mean_agg.alias("mv"))
             .collect()
         )
         new_books = [[list(c) for c in bk] for bk in books]  # empty codes keep previous
@@ -1517,6 +1565,7 @@ def pq_train_books(
     m: int = 8,
     k_codes: int = 16,
     train_iters: int = 1,
+    exact_mean: bool = False,
 ) -> list[list[list[float]]]:
     """Train flat-PQ codebooks on the unit-normalized corpus, exactly
     as :func:`ann_pq_topk` does internally — the share point for
@@ -1536,7 +1585,8 @@ def pq_train_books(
         scope="similarity",
     )
     try:
-        return train_pq_codebooks(e, id_col, dim, m, k_codes, train_iters)
+        return train_pq_codebooks(e, id_col, dim, m, k_codes, train_iters,
+                                  exact_mean=exact_mean)
     finally:
         tracked_release(e)
 
@@ -1568,6 +1618,7 @@ def ann_pq_topk(
     broadcast_threshold_bytes: int = ANN_BROADCAST_THRESHOLD_BYTES,
     on_overflow: str = "ivfpq",
     codebooks: list[list[list[float]]] | None = None,
+    train_exact_mean: bool = False,
 ) -> DataFrame:
     """Approximate top-k by product quantization with asymmetric
     distance (ADC): vectors unit-normalize, codebooks train (driver-
@@ -1631,9 +1682,11 @@ def ann_pq_topk(
             n_cells=n_cells, n_probe=max(2, n_cells // 8),
             m=m, k_codes=k_codes, pq_train_iters=train_iters, rerank=rerank,
             broadcast_threshold_bytes=broadcast_threshold_bytes,
+            pq_train_exact_mean=train_exact_mean,
         )
     books = codebooks if codebooks is not None else train_pq_codebooks(
-        e, id_col, dim, m, k_codes, train_iters)
+        e, id_col, dim, m, k_codes, train_iters,
+        exact_mean=train_exact_mean)
     k_codes = len(books[0])  # may have clamped to the corpus size
     if n_rows >= PQ_ENCODE_BLAS_MIN_ROWS:
         codes = pq_codes_blas(e, id_col, "__v", books).select(
@@ -1705,6 +1758,7 @@ def ann_ivfpq_topk(
     salt_buckets: int = 8,
     query_filter: Column | None = None,
     assign_strategy: str = "auto",
+    pq_train_exact_mean: bool = False,
 ) -> DataFrame:
     """IVF + PQ composed — the production-scale ANN shape: IVF cells
     restrict WHICH pairs are considered (n_probe cells per query, never
@@ -1786,6 +1840,7 @@ def ann_ivfpq_topk(
     books = train_pq_codebooks(
         res1.select(F.col(id_col), F.col("__res").alias("__v")),
         id_col, dim, m, k_codes, pq_train_iters,
+        exact_mean=pq_train_exact_mean,
     )
     k_codes = len(books[0])  # may have clamped to the corpus size
     if n_corpus >= PQ_ENCODE_BLAS_MIN_ROWS:

@@ -385,36 +385,302 @@ def minhash_neardup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+#: Integer-mix constants for the synthetic clustered corpus — shared
+#: verbatim by the Spark generator and the DuckDB oracle restatement.
+_CLUS_CENTER = (2654435761, 40503, 12345, 2000001, 1000000)
+_CLUS_RESID = (2246822519, 3266489917, 999331, 160001, 80000)
+
+
 def clustered_embeddings(
     spark: SparkSession,
     n: int,
     dim: int = 64,
     n_clusters: int = 32,
-    spread: float = 0.08,
-    seed: int = 42,
 ) -> DataFrame:
     """Deterministic clustered synthetic corpus — the operating regime
     real embedding models produce (semantic clusters with low residual
     energy), as opposed to the uniform-noise testdata corpus that is
     PQ's documented worst case (BASELINE.md round-3 notes: recall
-    ceiling 0.69 at 8 probes). Centers are uniform in [-1,1]^dim;
-    members add uniform residuals at ``spread`` of that scale. Fixed
-    RNG seed -> identical corpus on every run/engine, so recall rows
-    derived from it are stable."""
-    import numpy as np
+    ceiling 0.69 at 8 probes). Centers are hash-mixed uniform in
+    [-1,1]^dim; members add hash-mixed residuals in [-0.08, 0.08].
 
-    rng = np.random.RandomState(seed)
-    centers = rng.uniform(-1.0, 1.0, (n_clusters, dim))
-    assign = np.arange(n) % n_clusters
-    vecs = centers[assign] + rng.uniform(-spread, spread, (n, dim))
-    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
-    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    Round 7: generated from pure INTEGER modular mixes (not numpy RNG)
+    so the corpus is restatable in DuckDB SQL coordinate-for-coordinate
+    — every term is a positive BIGINT product/mod, and the only float
+    ops are two exact int->double casts and two divisions by 1e6, the
+    same IEEE ops in both engines. That is what lets the
+    clustered-corpus recall rows be value-hash-gated."""
+    ca, cb, cc, cm, co = _CLUS_CENTER
+    ra, rb, rc, rm, ro = _CLUS_RESID
+    i = F.col("id")
+    cl = i % F.lit(n_clusters)
+
+    def coord(d: F.Column) -> F.Column:
+        center = (
+            ((cl * F.lit(ca) + d * F.lit(cb) + F.lit(cc)) % F.lit(cm)
+             - F.lit(co)).cast("double") / F.lit(1000000.0)
+        )
+        resid = (
+            ((i * F.lit(ra) + d * F.lit(rb) + F.lit(rc)) % F.lit(rm)
+             - F.lit(ro)).cast("double") / F.lit(1000000.0)
+        )
+        return center + resid
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: coord(d.cast("long")),
+        ).alias("embedding"),
+    )
 
 
-@register("ann_recall_pq")  # rows-only: PQ codebooks come from the same
-# Lloyd loop as trained IVF (float-summation-order sensitive), so the
-# value-hash treatment would be flaky; the behavioral test asserts the
-# recall floor and the compression arithmetic instead.
+def _sql_clustered_corpus(dim: int = 64, n_clusters: int = 32) -> str:
+    """DuckDB twin of :func:`clustered_embeddings` with n = the
+    embeddings rowcount: row ids come from row_number over the
+    embeddings table (the SQL stand-in for spark.range(count))."""
+    ca, cb, cc, cm, co = _CLUS_CENTER
+    ra, rb, rc, rm, ro = _CLUS_RESID
+    return f"""
+  SELECT i AS vec_id,
+         list_transform(range(0, {dim}), d ->
+           CAST(((i % {n_clusters}) * {ca} + d * {cb} + {cc}) % {cm} - {co}
+                AS DOUBLE) / 1000000.0
+         + CAST((i * {ra} + d * {rb} + {rc}) % {rm} - {ro}
+                AS DOUBLE) / 1000000.0) AS v
+  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i
+        FROM embeddings) base"""
+
+
+_SQL_H60_ID = "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+def _sql_sql2(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1]-p[2])*(p[1]-p[2])))")
+
+
+def _sql_dotp(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]))"
+
+
+def _sql_normp(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, y -> y*y)))"
+
+
+def _sql_pq_book_ctes(p: str, src: str, m: int, sub: int, k_codes: int) -> str:
+    """CTE chain training PQ codebooks (1 exact-mean Lloyd iteration,
+    hash60-ordered seeds) over ``{src}(vec_id, x)`` and encoding the
+    same rows: emits ``{p}codes(vec_id, cs)`` and the nested book
+    literal ``{p}bl(books)``. Mirrors
+    similarity.train_pq_codebooks(exact_mean=True) + pq_encode_col."""
+    from apde_etl_spark.operators.similarity import sql_exact_mean
+
+    def argmin(bk: str) -> str:
+        return f"""
+    SELECT vec_id, sub_id, code FROM (
+      SELECT s.vec_id, s.sub_id, b.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+               ORDER BY {_sql_sql2('s.sv', 'b.c')} ASC, b.code ASC) AS rk
+      FROM {p}sub s JOIN {bk} b USING (sub_id)) z WHERE rk = 1"""
+
+    return f"""
+{p}seed AS (
+  SELECT row_number() OVER (ORDER BY {_SQL_H60_ID}, vec_id) - 1 AS code, x
+  FROM {src} QUALIFY code < {k_codes}
+), {p}bk0 AS (
+  SELECT sub_id, code, x[sub_id*{sub}+1 : sub_id*{sub}+{sub}] AS c
+  FROM {p}seed, range(0, {m}) t(sub_id)
+), {p}sub AS (
+  SELECT vec_id, sub_id, x[sub_id*{sub}+1 : sub_id*{sub}+{sub}] AS sv
+  FROM {src}, range(0, {m}) t(sub_id)
+), {p}mv AS (
+  SELECT sub_id, code, list(mv ORDER BY pos) AS c
+  FROM (
+    SELECT a.sub_id, a.code, pos, {sql_exact_mean('val')} AS mv
+    FROM (
+      SELECT a0.sub_id, a0.code, a0.vec_id, unnest(s.sv) AS val,
+             generate_subscripts(s.sv, 1) AS pos
+      FROM ({argmin(f'{p}bk0')}) a0
+      JOIN {p}sub s ON s.vec_id = a0.vec_id AND s.sub_id = a0.sub_id
+    ) a GROUP BY a.sub_id, a.code, pos
+  ) dims GROUP BY sub_id, code
+), {p}bk AS (
+  SELECT s.sub_id, s.code, COALESCE(t.c, s.c) AS c
+  FROM {p}bk0 s LEFT JOIN {p}mv t USING (sub_id, code)
+), {p}codes AS (
+  SELECT vec_id, list(code ORDER BY sub_id) AS cs
+  FROM ({argmin(f'{p}bk')}) enc GROUP BY vec_id
+), {p}bl AS (
+  SELECT list(bk ORDER BY sub_id) AS books
+  FROM (SELECT sub_id, list(c ORDER BY code) AS bk
+        FROM {p}bk GROUP BY sub_id) g
+)"""
+
+
+def _sql_adc(qvec: str, cs: str, books: str, m: int, sub: int) -> str:
+    """ADC distance: sum over subspaces (i ascending, the same fold
+    order as ann_pq_topk's aggregate) of sqL2(query subvector i,
+    codebook centroid of the candidate's code i)."""
+    return (f"list_sum(list_transform(range(0, {m}), i -> "
+            f"list_sum(list_transform(list_zip("
+            f"{qvec}[i*{sub}+1 : i*{sub}+{sub}], "
+            f"{books}[CAST(i+1 AS INTEGER)][{cs}[CAST(i+1 AS INTEGER)]+1]), "
+            f"p -> (p[1]-p[2])*(p[1]-p[2])))))")
+
+
+def _sql_topk(p: str, pairs: str, corpus: str, k: int,
+              rerank: int | None) -> str:
+    """{p}top: final (id_a, id_b) — ADC shortlist (asc ad, asc id_b),
+    then optional exact rerank on unit-vector dot products."""
+    if rerank is None:
+        return f"""
+{p}top AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+             ORDER BY ad ASC, id_b ASC) AS rk
+    FROM {pairs}) z WHERE rk <= {k}
+)"""
+    return f"""
+{p}top AS (
+  SELECT id_a, id_b FROM (
+    SELECT sl.id_a, sl.id_b,
+           row_number() OVER (PARTITION BY sl.id_a
+             ORDER BY {_sql_dotp('ea.u', 'eb.u')} DESC, sl.id_b ASC) AS rk
+    FROM (SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+                     ORDER BY ad ASC, id_b ASC) AS rk
+            FROM {pairs}) y WHERE rk <= {rerank}) sl
+    JOIN {corpus} ea ON ea.vec_id = sl.id_a
+    JOIN {corpus} eb ON eb.vec_id = sl.id_b) z WHERE rk <= {k}
+)"""
+
+
+def _sql_ivfpq_ctes(w: str, corpus: str, n_cells: int, n_probe: int,
+                    m: int, sub: int, k_codes: int) -> str:
+    """IVFPQ search CTEs over ``{corpus}(vec_id, u)``: seed cells
+    (first n_cells by id, cell_id = 1-based row_number), top-n_probe
+    cosine assignment with the zero-norm guard (assign_topn_cells hof
+    semantics), residual-trained codebooks, cell-restricted ADC pairs
+    -> ``{w}pairs(id_a, id_b, ad)``."""
+    guard = (f"CASE WHEN {_sql_normp('t.u')} = 0 OR {_sql_normp('c.c')} = 0 "
+             f"THEN 0.0 ELSE {_sql_dotp('t.u', 'c.c')} / "
+             f"({_sql_normp('t.u')} * {_sql_normp('c.c')}) END")
+    return f"""
+{w}cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell_id,
+         u AS c
+  FROM (SELECT vec_id, u FROM {corpus} ORDER BY vec_id LIMIT {n_cells}) s
+), {w}ass AS (
+  SELECT t.vec_id, c.cell_id,
+         row_number() OVER (PARTITION BY t.vec_id
+           ORDER BY {guard} DESC, c.cell_id ASC) AS rk
+  FROM {corpus} t CROSS JOIN {w}cent c
+), {w}res1 AS (
+  SELECT a.vec_id, a.cell_id,
+         list_transform(list_zip(e.u, c.c), p -> p[1] - p[2]) AS x
+  FROM (SELECT vec_id, cell_id FROM {w}ass WHERE rk = 1) a
+  JOIN {corpus} e USING (vec_id) JOIN {w}cent c USING (cell_id)
+), {_sql_pq_book_ctes(w, f'{w}res1', m, sub, k_codes)},
+{w}lists AS (
+  SELECT c.vec_id, c.cs, r.cell_id FROM {w}codes c
+  JOIN {w}res1 r USING (vec_id)
+), {w}qres AS (
+  SELECT a.vec_id, a.cell_id,
+         list_transform(list_zip(e.u, c.c), p -> p[1] - p[2]) AS r
+  FROM (SELECT vec_id, cell_id FROM {w}ass WHERE rk <= {n_probe}) a
+  JOIN {corpus} e USING (vec_id) JOIN {w}cent c USING (cell_id)
+), {w}pairs AS (
+  SELECT q.vec_id AS id_a, l.vec_id AS id_b,
+         {_sql_adc('q.r', 'l.cs', 'bl.books', m, sub)} AS ad
+  FROM {w}qres q
+  JOIN {w}lists l ON q.cell_id = l.cell_id AND q.vec_id != l.vec_id
+  CROSS JOIN {w}bl bl
+)"""
+
+
+def _sql_pq_recall() -> str:
+    """The full DuckDB restatement of ann_recall_pq: both corpora
+    (parquet uniform + the integer-mix clustered synthetic), exact
+    ground truths, flat-PQ ADC with and without rerank, and the two
+    IVFPQ configurations — all trained with the exact-mean Lloyd
+    iteration so codebooks are bit-identical to the Spark side's."""
+    m, k_codes, k, rr = 8, 16, _RECALL_K, 40
+    sub = _RECALL_DIM // m
+
+    def corpus(p: str, raw: str) -> str:
+        return f"""
+{p}e AS (
+  SELECT vec_id, v, {_sql_normp('v')} AS n,
+         list_transform(v, x -> x / {_sql_normp('v')}) AS u
+  FROM {raw}
+), {p}exact AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_sql_dotp('a.v', 'b.v')} / (a.n * b.n) DESC,
+                      b.vec_id ASC) AS rn
+    FROM {p}e a JOIN {p}e b ON a.vec_id != b.vec_id) z WHERE rn <= {k}
+), {p}nex AS (SELECT count(*) AS n FROM {p}exact)"""
+
+    flat_pairs = """
+{q}src AS (SELECT vec_id, u AS x FROM {pe}),
+{books},
+{q}pairs AS (
+  SELECT q.vec_id AS id_a, cd.vec_id AS id_b,
+         {adc} AS ad
+  FROM {pe} q CROSS JOIN {q}codes cd CROSS JOIN {q}bl bl
+  WHERE q.vec_id != cd.vec_id
+)"""
+
+    fu = flat_pairs.format(
+        q="fu", pe="ue",
+        books=_sql_pq_book_ctes("fu", "fusrc", m, sub, k_codes),
+        adc=_sql_adc("q.u", "cd.cs", "bl.books", m, sub),
+    )
+    fc = flat_pairs.format(
+        q="fc", pe="ce",
+        books=_sql_pq_book_ctes("fc", "fcsrc", m, sub, k_codes),
+        adc=_sql_adc("q.u", "cd.cs", "bl.books", m, sub),
+    )
+    return f"""
+WITH uraw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), craw AS ({_sql_clustered_corpus()}
+), {corpus('u', 'uraw')}, {corpus('c', 'craw')},
+{fu},
+{_sql_topk('fu1', 'fupairs', 'ue', k, None)},
+{_sql_topk('fu2', 'fupairs', 'ue', k, rr)},
+{_sql_ivfpq_ctes('wu', 'ue', 16, 2, m, sub, k_codes)},
+{_sql_topk('wu', 'wupairs', 'ue', k, rr)},
+{fc},
+{_sql_topk('fc2', 'fcpairs', 'ce', k, rr)},
+{_sql_ivfpq_ctes('wc', 'ce', 32, 4, m, sub, k_codes)},
+{_sql_topk('wc', 'wcpairs', 'ce', k, rr)},
+hits AS (
+  SELECT 0 AS ord, 'pq_m8_k16' AS method,
+         (SELECT count(*) FROM fu1top JOIN uexact USING (id_a, id_b)) AS hits,
+         (SELECT n FROM unex) AS n_exact
+  UNION ALL SELECT 1, 'pq_m8_k16_rerank40',
+         (SELECT count(*) FROM fu2top JOIN uexact USING (id_a, id_b)),
+         (SELECT n FROM unex)
+  UNION ALL SELECT 2, 'ivfpq_c16_p2_rerank40',
+         (SELECT count(*) FROM wutop JOIN uexact USING (id_a, id_b)),
+         (SELECT n FROM unex)
+  UNION ALL SELECT 3, 'pq_m8_k16_rerank40_clustered',
+         (SELECT count(*) FROM fc2top JOIN cexact USING (id_a, id_b)),
+         (SELECT n FROM cnex)
+  UNION ALL SELECT 4, 'ivfpq_c32_p4_rerank40_clustered',
+         (SELECT count(*) FROM wctop JOIN cexact USING (id_a, id_b)),
+         (SELECT n FROM cnex)
+)
+SELECT method, CAST(hits AS BIGINT) AS hits, CAST(n_exact AS BIGINT) AS n_exact,
+       {_sql_round('CAST(hits AS DOUBLE) / n_exact', 6)} AS recall_at_k
+FROM hits
+"""
+
+
+@register("ann_recall_pq", _sql_pq_recall())
 def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of product-quantization ADC search
     (operators/similarity.py ann_pq_topk: m=8 subspaces x 16 codes over
@@ -434,7 +700,13 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators with standard knobs on a deterministic clustered corpus
     (:func:`clustered_embeddings` — the shape real embedding models
     emit), where IVFPQ+rerank reaches production-grade recall. Floors
-    for both regimes are asserted in tests/test_dedup_similarity.py."""
+    for both regimes are asserted in tests/test_dedup_similarity.py.
+
+    FULLY HASH-GATED as of round 7 (was rows-only): all codebooks train
+    with exact_mean=True (order-independent quantized-integer means),
+    the clustered corpus generates from integer modular mixes, and the
+    oracle restates training + encode + ADC + rerank for all five
+    methods in SQL — integer hit counts must match exactly."""
     from apde_etl_spark.operators.cache import tracked_persist
 
     # cache the rebalanced source: every method re-normalizes and the
@@ -458,7 +730,7 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training; several driver round-trips saved per shared method)
     books = SIM.pq_train_books(
         emb, "vec_id", "embedding", dim=_RECALL_DIM, m=8, k_codes=16,
-        train_iters=1)
+        train_iters=1, exact_mean=True)
     methods = [
         ("pq_m8_k16", SIM.ann_pq_topk(
             emb, "vec_id", "embedding", k=_RECALL_K, dim=_RECALL_DIM,
@@ -470,14 +742,15 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivfpq_c16_p2_rerank40", SIM.ann_ivfpq_topk(
             emb, "vec_id", "embedding", k=_RECALL_K, dim=_RECALL_DIM,
             n_cells=16, n_probe=2, m=8, k_codes=16, pq_train_iters=1,
-            rerank=40), exact, ex_n),
+            rerank=40, pq_train_exact_mean=True), exact, ex_n),
         ("pq_m8_k16_rerank40_clustered", SIM.ann_pq_topk(
             clus, "vec_id", "embedding", k=_RECALL_K, dim=_RECALL_DIM,
-            m=8, k_codes=16, train_iters=1, rerank=40), exact_c, ex_n_c),
+            m=8, k_codes=16, train_iters=1, rerank=40,
+            train_exact_mean=True), exact_c, ex_n_c),
         ("ivfpq_c32_p4_rerank40_clustered", SIM.ann_ivfpq_topk(
             clus, "vec_id", "embedding", k=_RECALL_K, dim=_RECALL_DIM,
             n_cells=32, n_probe=4, m=8, k_codes=16, pq_train_iters=1,
-            rerank=40), exact_c, ex_n_c),
+            rerank=40, pq_train_exact_mean=True), exact_c, ex_n_c),
     ]
     rows = []
     for name, approx, truth, truth_n in methods:
@@ -502,19 +775,138 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("ann_recall_ivf_trained")  # rows-only: Lloyd means are float-
-# summation-order sensitive, so a value-hash oracle would be flaky — a
-# 1e-15 centroid wiggle can flip one argmax assignment. The behavioral
-# test (tests/test_dedup_similarity.py) asserts the recall LIFT instead.
+def _sql_dot_over_norms(a: str, an: str, b: str, bn: str) -> str:
+    return (f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]))"
+            f" / ({an} * {bn})")
+
+
+def _sql_ivf_trained_recall() -> str:
+    """DuckDB restatement of ann_recall_ivf_trained: exact ground
+    truth, the seed-centroid IVF search, AND the 2-iteration
+    exact-mean Lloyd training unrolled as CTEs (tc0 -> tc1 -> tc2).
+    Hash-gateable because the Spark side trains with
+    similarity.exact_mean_agg — an order-independent quantized-integer
+    mean — so both engines land on bit-identical centroids, and every
+    other float op (cosines, window ranks) is per-row identical."""
+    from apde_etl_spark.operators.similarity import sql_exact_mean
+
+    k, cells, nprobe = _RECALL_K, _RECALL_CELLS, _RECALL_NPROBE
+    iters = []
+    for i in (1, 2):
+        iters.append(f"""
+tas{i} AS (
+  SELECT e.vec_id, e.v, cc.cell_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {_sql_dot_over_norms(
+               'e.v', 'e.n', 'cc.c',
+               'sqrt(list_sum(list_transform(cc.c, y -> y*y)))')} DESC,
+                    cc.cell_id ASC) AS rk
+  FROM e CROSS JOIN tc{i - 1} cc
+), tmv{i} AS (
+  SELECT cell_id, list(mv ORDER BY pos) AS c
+  FROM (
+    SELECT cell_id, pos, {sql_exact_mean('val')} AS mv
+    FROM (SELECT cell_id, unnest(v) AS val,
+                 generate_subscripts(v, 1) AS pos
+          FROM tas{i} WHERE rk = 1) mem
+    GROUP BY cell_id, pos) dims
+  GROUP BY cell_id
+), tc{i} AS (
+  SELECT s.cell_id,
+         CASE WHEN t.c IS NULL OR len(list_filter(t.c, x -> x != 0.0)) = 0
+              THEN s.c ELSE t.c END AS c
+  FROM tc{i - 1} s LEFT JOIN tmv{i} t USING (cell_id)
+)""")
+    iter_sql = ",".join(iters)
+    return f"""
+WITH raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y*y))) AS n FROM raw
+), exact_ranked AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {_sql_dot_over_norms('a.v', 'a.n', 'b.v', 'b.n')} DESC,
+                    b.vec_id ASC) AS rn
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+), exact AS (
+  SELECT id_a, id_b FROM exact_ranked WHERE rn <= {k}
+), cent AS (
+  SELECT vec_id AS cell_id, v AS c, n AS cn FROM e ORDER BY vec_id LIMIT {cells}
+), assign AS (
+  SELECT e.vec_id, e.v, e.n, cent.cell_id,
+         {_sql_dot_over_norms('e.v', 'e.n', 'cent.c', 'cent.cn')} AS sim
+  FROM e CROSS JOIN cent
+), probed AS (
+  SELECT vec_id, v, n, cell_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rk
+  FROM assign
+), ivf_ranked AS (
+  SELECT q.vec_id AS id_a, l.vec_id AS id_b,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_dot_over_norms('q.v', 'q.n', 'l.v', 'l.n')} DESC,
+                    l.vec_id ASC) AS rn
+  FROM (SELECT * FROM probed WHERE rk <= {nprobe}) q
+  JOIN (SELECT * FROM probed WHERE rk = 1) l
+    ON q.cell_id = l.cell_id AND q.vec_id != l.vec_id
+), ivf AS (
+  SELECT id_a, id_b FROM ivf_ranked WHERE rn <= {k}
+), tc0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell_id,
+         v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {cells}) s
+),{iter_sql},
+tcent AS (
+  SELECT cell_id, c, sqrt(list_sum(list_transform(c, y -> y*y))) AS cn
+  FROM tc2
+), tassign AS (
+  SELECT e.vec_id, e.v, e.n, tcent.cell_id,
+         {_sql_dot_over_norms('e.v', 'e.n', 'tcent.c', 'tcent.cn')} AS sim
+  FROM e CROSS JOIN tcent
+), tprobed AS (
+  SELECT vec_id, v, n, cell_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) AS rk
+  FROM tassign
+), tivf_ranked AS (
+  SELECT q.vec_id AS id_a, l.vec_id AS id_b,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_dot_over_norms('q.v', 'q.n', 'l.v', 'l.n')} DESC,
+                    l.vec_id ASC) AS rn
+  FROM (SELECT * FROM tprobed WHERE rk <= {nprobe}) q
+  JOIN (SELECT * FROM tprobed WHERE rk = 1) l
+    ON q.cell_id = l.cell_id AND q.vec_id != l.vec_id
+), tivf AS (
+  SELECT id_a, id_b FROM tivf_ranked WHERE rn <= {k}
+), n_exact AS (
+  SELECT count(*) AS n FROM exact
+), hits AS (
+  SELECT 'ivf_seed' AS method,
+         (SELECT count(*) FROM ivf JOIN exact USING (id_a, id_b)) AS hits
+  UNION ALL
+  SELECT 'ivf_kmeans2',
+         (SELECT count(*) FROM tivf JOIN exact USING (id_a, id_b))
+)
+SELECT method, CAST(hits AS BIGINT) AS hits, CAST(n AS BIGINT) AS n_exact,
+       {_sql_round('CAST(hits AS DOUBLE) / n', 6)} AS recall_at_k
+FROM hits, n_exact
+"""
+
+
+@register("ann_recall_ivf_trained", _sql_ivf_trained_recall())
 def ann_recall_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of IVF with seed centroids vs 2-iteration spherical
-    k-means centroids (train_ivf_centroids — driver-coordinated Lloyd,
-    RNG-free, only n_cells x dim scalars collected per iteration).
-    Measured lift at sf0.01: 0.279 -> 0.308 at identical probe cost —
-    the recall-per-probe argument for training cells before a 100 TB
-    run. Genuinely iterative, hence no SQL oracle (see decorator note);
-    the exact ground truth is the same in-Spark exact_topk_pairs the
-    oracle-checked ann_recall_at_k entry uses."""
+    k-means centroids (train_ivf_centroids with exact_mean=True —
+    driver-coordinated Lloyd, RNG-free, means as order-independent
+    quantized-integer sums, only n_cells x dim scalars collected per
+    iteration). The recall-per-probe argument for training cells
+    before a 100 TB run. FULLY HASH-GATED as of round 7: the exact-mean
+    trainer is bit-deterministic, so the oracle unrolls both Lloyd
+    iterations in SQL and the integer hit counts must match exactly
+    (previously rows-only — the last trained-float exception, closed
+    per the round-6 verdict)."""
     emb = load(spark, sf_dir, "embeddings", rebalance=True)
     exact = exact_topk_pairs(emb, "vec_id", "embedding", k=_RECALL_K).persist()
     ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -524,7 +916,8 @@ def ann_recall_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_cells=_RECALL_CELLS, n_probe=_RECALL_NPROBE)),
         ("ivf_kmeans2", SIM.ann_ivf_topk(
             emb, "vec_id", "embedding", k=_RECALL_K,
-            n_cells=_RECALL_CELLS, n_probe=_RECALL_NPROBE, train_iters=2)),
+            n_cells=_RECALL_CELLS, n_probe=_RECALL_NPROBE, train_iters=2,
+            train_exact_mean=True)),
     ]
     rows = []
     for name, approx in methods:
