@@ -1,0 +1,269 @@
+"""Round-7 extension catalog: the final TPC-H-class shapes (Q2, Q6,
+Q15, Q16 analogues) — round-6 verdict item #2.
+
+With these four, every classic TPC-H query class has a registered,
+hash-gated analogue. The testdata has no partsupp table, so the
+part-supplier relation derives from lineitem (``supply`` = DISTINCT
+(l_partkey, l_suppkey), with MIN(l_extendedprice) as the supply-cost
+proxy) — the JOIN/aggregation structure Catalyst plans is the faithful
+part, as with the other adapted shapes (catalog_r6g.py's preamble).
+
+Reference anchor: the apde.etl reference ships ad-hoc analytic SQL
+through its generic loaders (load_table_from_sql_server.R,
+copy_into.R:31-66); these entries are the decision-support query
+family a reference user runs on top of such loads.
+
+All revenue aggregation follows the q5 convention: the per-row product
+is one IEEE op, CAST to DECIMAL(18,4) and summed exactly —
+order-independent, hash-gateable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apde_etl_spark.plans.catalog import load, register
+
+_REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+
+def _rev_col() -> F.Column:
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+
+
+# ===========================================================================
+# Q2 — minimum-cost supplier per part over a two-level dimension chain
+# ===========================================================================
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "ECONOMY"
+_Q2_MAX_SIZE = 10
+
+_Q2_SQL = f"""
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+), eligible AS (
+  SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name,
+         p_brand, p_size
+  FROM supply
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  JOIN part     ON p_partkey = ps_partkey
+  WHERE r_name = '{_Q2_REGION}'
+    AND p_type = '{_Q2_TYPE}' AND p_size <= {_Q2_MAX_SIZE}
+), mins AS (
+  SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+  FROM eligible GROUP BY 1
+)
+SELECT e.ps_partkey AS p_partkey, e.p_brand, e.p_size,
+       e.s_name, e.n_name,
+       CAST(e.s_acctbal AS DOUBLE) AS s_acctbal,
+       CAST(e.ps_supplycost AS DOUBLE) AS supplycost
+FROM eligible e JOIN mins m
+  ON e.ps_partkey = m.ps_partkey AND e.ps_supplycost = m.min_cost
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in a
+    region offering the MINIMUM supply cost — the classic correlated
+    min-cost subquery, executed DECORRELATED as aggregate + self-join
+    (the plan Catalyst rewrites the subquery form into, and the only
+    shape that scales: one groupBy-min over the eligible supply rows,
+    one equi-join back, never a per-part re-scan).
+
+    Scale posture: the supply relation derives from lineitem with one
+    map-side-combinable groupBy; part/supplier/nation/region dims all
+    broadcast (the part filter prunes BEFORE the min aggregate, so the
+    aggregate's input is already the small eligible set); ties on the
+    minimum are kept, as in TPC-H."""
+    supply = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"),
+                 F.col("l_suppkey").alias("ps_suppkey"))
+        .agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    )
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    pa = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == _Q2_TYPE) & (F.col("p_size") <= _Q2_MAX_SIZE))
+    eligible = (
+        supply
+        .join(F.broadcast(su), supply.ps_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(pa), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal",
+                "n_name", "p_brand", "p_size")
+    )
+    # the eligible set feeds BOTH the min aggregate and the final join —
+    # persist so lineitem scans once (it is tiny by construction: the
+    # part/region filters prune before it materializes)
+    eligible = eligible.persist()
+    mins = eligible.groupBy(
+        F.col("ps_partkey").alias("m_partkey")
+    ).agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        eligible.join(
+            mins,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")))
+        .select(
+            F.col("ps_partkey").alias("p_partkey"), "p_brand", "p_size",
+            "s_name", "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+# ===========================================================================
+# Q6 — pure-predicate single-scan forecast-revenue aggregate
+# ===========================================================================
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: one filtered scan, one global aggregate, zero
+    joins — the query that exists to prove predicate pushdown and
+    map-side partial aggregation. The plan must be: parquet scan with
+    all four predicates in PushedFilters -> partial agg -> single-row
+    exchange -> final agg (asserted in tests/test_plan_shapes.py). At
+    100 TB this is a pure scan-bandwidth query; anything else in the
+    plan is a bug."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                  .cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+# ===========================================================================
+# Q15 — top supplier vs the max of a derived revenue view
+# ===========================================================================
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({_REV_DEC}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a derived revenue view compared against its own
+    MAX — the view-vs-scalar-subquery machinery (the second use of the
+    q11 pattern). Exact DECIMAL revenue sums make the equality
+    comparison safe: ties on the maximum are kept deterministically,
+    never float-straddled. Plan: one lineitem scan feeds the groupBy;
+    the 1-row max rides a broadcast back onto the view (no second
+    lineitem scan — the view is reused, asserted in
+    tests/test_plan_shapes.py)."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_col()).alias("total_revenue"))
+    )
+    # materialize the view once: both the max aggregate and the final
+    # join read it (same single-scan discipline as corr_matrix)
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx),
+                 F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(su), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+# ===========================================================================
+# Q16 — supplier counts by part attribute, NOT IN as anti join
+# ===========================================================================
+
+_Q16_SIZES = (1, 5, 9, 15, 23, 31, 42, 49)
+
+_Q16_SQL = f"""
+WITH supply AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+  FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM supply JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#17'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN {_Q16_SIZES}
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q16_supplier_cnt", _Q16_SQL)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group with a NOT IN exclusion list. The NOT IN executes as a
+    BROADCAST ANTI JOIN (the exclusion list — suppliers with negative
+    balances, the complaint proxy — is a dimension subquery with a
+    non-null key, so no null-aware fallback), and the count(DISTINCT)
+    rides the standard two-phase distinct-aggregate expansion. The
+    part filters broadcast-prune the supply rows BEFORE the distinct
+    aggregation."""
+    supply = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("ps_partkey"),
+                F.col("l_suppkey").alias("ps_suppkey"))
+        .distinct()
+    )
+    pa = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#17") & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(*_Q16_SIZES))
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        supply
+        .join(F.broadcast(pa), supply.ps_partkey == pa.p_partkey)
+        .join(F.broadcast(bad), supply.ps_suppkey == bad.s_suppkey,
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("long")
+             .alias("supplier_cnt"))
+    )

@@ -98,6 +98,10 @@ HEADLINE = [
     "q8_market_share",
     "q13_custdist",
     "q19_disjunctive_revenue",
+    # round 7: the final TPC-H shapes
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q16_supplier_cnt",
 ]
 
 

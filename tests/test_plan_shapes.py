@@ -540,3 +540,52 @@ def test_q8_is_single_pass_conditional_aggregate(spark, sf_dir, qs):
     plan = _plan(qs["q8_market_share"](spark, sf_dir))
     import re
     assert len(re.findall(r"FileScan parquet[^\n]*lineitem", plan)) == 1
+
+
+def test_q2_min_cost_decorrelated_to_aggregate_join(spark, sf_dir, qs):
+    """The correlated min-cost subquery must run as ONE groupBy-min +
+    equi-join (the decorrelated shape), with every dimension riding a
+    broadcast — never a per-part re-scan of the supply relation."""
+    plan = _plan(qs["q2_min_cost_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the eligible view is persisted: both the min aggregate and the
+    # final join read the cache, so lineitem executes ONCE (the plan
+    # text prints the cached recipe under InMemoryRelation, so a
+    # textual parquet-scan count would double-count; the cache node is
+    # the real assertion)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_is_pure_scan_aggregate(spark, sf_dir, qs):
+    """Q6 exists to prove pushdown: one scan with the predicates pushed
+    and a two-phase aggregate — no join, no wide shuffle."""
+    plan = _plan(qs["q6_forecast_revenue"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    # only the single-row partial->final aggregate exchange remains
+    assert plan.count("Exchange") == 1
+
+
+def test_q15_reuses_the_revenue_view(spark, sf_dir, qs):
+    """The revenue view feeds both its own MAX and the final join; the
+    max must ride a broadcast back (no re-aggregation of lineitem) and
+    the persisted view appears as an InMemory scan, not a second
+    parquet scan of lineitem."""
+    df = qs["q15_top_supplier"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # lineitem is scanned at most once as parquet; the second reference
+    # reads the cached view (InMemoryTableScan)
+    assert "InMemoryTableScan" in plan
+    df.unpersist() if hasattr(df, "unpersist") else None
+
+
+def test_q16_not_in_runs_as_broadcast_anti_join(spark, sf_dir, qs):
+    plan = _plan(qs["q16_supplier_cnt"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    # distinct-aggregate expansion, not a row-by-row subquery
+    assert "HashAggregate" in plan
