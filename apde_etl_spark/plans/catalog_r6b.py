@@ -150,17 +150,26 @@ def basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _EDIT_MAX_DIST = 4
+_EDIT_BLOCK_CAP = 2000
 
 _EDIT_SQL = f"""
 WITH names AS (
-  SELECT split_part(p_name, ' ', 1) AS blk, p_name,
+  SELECT split_part(p_name, ' ', 1) AS tok1, p_name,
          CAST(count(*) AS BIGINT) AS cnt
   FROM part GROUP BY 1, 2
+), sizes AS (
+  SELECT tok1, count(*) AS blk_n FROM names GROUP BY 1
+), keyed AS (
+  SELECT CASE WHEN blk_n > {_EDIT_BLOCK_CAP}
+              THEN tok1 || '|' || substr(split_part(p_name, ' ', 2), 1, 1)
+              ELSE tok1 END AS blk,
+         p_name, cnt
+  FROM names JOIN sizes USING (tok1)
 )
 SELECT a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
        a.cnt * b.cnt AS n_pairs
-FROM names a JOIN names b
+FROM keyed a JOIN keyed b
   ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= {_EDIT_MAX_DIST}
 """
@@ -187,32 +196,17 @@ def editdistance_neardup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer fans out with one broadcast join when it truly needs id
     granularity; the round-6 rework measured the enumeration at 27.7s
     of pure row transfer vs 0.9s for this table, identical content).
-    Identical names are excluded (exact dedup's job); a hot block
-    (stopword-like first token) is the documented skew case — cap
-    block size or add a second blocking char, exactly like the
-    linkage blockers."""
-    names = (
-        load(spark, sf_dir, "part")
-        .groupBy(
-            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
-            .alias("__blk"),
-            "p_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    a = names.select("__blk", F.col("p_name").alias("name_a"),
-                     F.col("cnt").alias("__ca"))
-    b = names.select("__blk", F.col("p_name").alias("name_b"),
-                     F.col("cnt").alias("__cb"))
-    return (
-        a.join(b, "__blk")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .filter(F.abs(F.length("name_a") - F.length("name_b"))
-                <= _EDIT_MAX_DIST)
-        .withColumn(
-            "edit_dist",
-            F.levenshtein(F.col("name_a"), F.col("name_b"),
-                          _EDIT_MAX_DIST).cast("int"))
-        .filter(F.col("edit_dist") >= 0)
-        .select("name_a", "name_b", "edit_dist",
-                (F.col("__ca") * F.col("__cb")).alias("n_pairs"))
-    )
+    Identical names are excluded (exact dedup's job).
+
+    Round 7: the HOT-BLOCK GUARD is now executable, not documentation —
+    any block whose distinct-name count exceeds {cap} splits on the
+    first char of the second token (operators/dedup.py:
+    editdist_neardup_pairs; the linkage/LSH escape-hatch pattern).
+    The fixture's largest block is 8 names, so the gate output is
+    bit-identical; the planted 50k-name hot block is measured by
+    tools/scale_stress_editdist.py."""
+    from apde_etl_spark.operators.dedup import editdist_neardup_pairs
+
+    return editdist_neardup_pairs(
+        load(spark, sf_dir, "part"), "p_name",
+        max_dist=_EDIT_MAX_DIST, block_cap=_EDIT_BLOCK_CAP)

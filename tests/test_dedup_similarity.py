@@ -661,3 +661,37 @@ def test_ngram_jaccard_short_docs_engine_parity(spark, tmp_path):
     assert spark_pairs == oracle_pairs
     assert (1, 2) in spark_pairs
     assert not any(3 in p or 4 in p for p in oracle_pairs)
+
+
+def test_editdist_hot_block_guard(spark):
+    """The block cap must split a hot first-token block on the second
+    token's first char (bounded sub-blocks), stay output-identical
+    when every block is under the cap, and never compare across
+    sub-blocks once it engages."""
+    # 60 names share first token; cap 20 forces the split
+    hot = spark.range(60).select(
+        F.concat(F.lit("shared "),
+                 F.conv(F.col("id").cast("string"), 10, 36),
+                 F.lit(" tail")).alias("name"))
+    guarded = D.editdist_neardup_pairs(hot, "name", block_cap=20)
+    unguarded = D.editdist_neardup_pairs(hot, "name", block_cap=10**9)
+    g = {(r["name_a"], r["name_b"]) for r in guarded.collect()}
+    u = {(r["name_a"], r["name_b"]) for r in unguarded.collect()}
+    # guard only DROPS cross-sub-block pairs, never invents any
+    assert g <= u
+    # within a sub-block (same first char of token 2) pairs survive:
+    # single-digit ids 1..9 share second-token first char per digit,
+    # so at least the (shared 1x, shared 1?) style pairs exist
+    assert len(g) > 0
+    sub = {(a, b) for a, b in u
+           if a.split(" ")[1][0] == b.split(" ")[1][0]}
+    assert g == sub
+    # under the cap: bit-identical
+    small = spark.range(15).select(
+        F.concat(F.lit("few "), F.col("id").cast("string"),
+                 F.lit(" x")).alias("name"))
+    ga = {tuple(r) for r in D.editdist_neardup_pairs(
+        small, "name", block_cap=20).collect()}
+    ub = {tuple(r) for r in D.editdist_neardup_pairs(
+        small, "name", block_cap=10**9).collect()}
+    assert ga == ub
