@@ -55,6 +55,8 @@ __all__ = [
     "encode_against_index",
     "ann_index_add",
     "ann_query_prebuilt",
+    "build_knn_graph",
+    "ann_graph_search",
 ]
 
 
@@ -265,4 +267,146 @@ def ann_query_prebuilt(
             F.col(id_col),
             F.col("__cos").alias("cosine_raw"),
         )
+    )
+
+
+# ===========================================================================
+# Graph-based ANN (NSW-class): persisted exact k-NN graph + beam search
+# ===========================================================================
+
+def build_knn_graph(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_neighbors: int = 8,
+) -> dict:
+    """Build and persist a DETERMINISTIC k-NN-graph ANN index — the
+    navigable-graph family (NSW/HNSW class; Malkov & Yashunin 2018,
+    public method) the cluster-routing indices (IVF/PQ/SQ8) don't
+    cover. Construction is the exact k-NN graph of the corpus
+    (similarity.exact_topk_pairs — bounded by EXACT_TOPK_MAX_ROWS, the
+    documented build-on-a-sample posture at scale), with
+    integer-ordered neighbor selection (cosine desc, id asc) so the
+    graph is bit-reproducible and an external oracle can rebuild it.
+
+    Persists two artifacts under ``index_dir``:
+
+    - ``graph``      (src BIGINT, dst BIGINT, rank INT) — each vector's
+      ``n_neighbors`` nearest, the adjacency the beam search walks;
+    - ``graph_meta`` (entry_id BIGINT, n_neighbors INT) — the
+      deterministic entry point (minimum id) every search starts from.
+
+    At 100 TB the construction runs per-shard (graph over a routing
+    sample) while serving stays a bounded frontier walk — the 'train
+    once, serve many' split the IVF lifecycle established."""
+    spark = df.sparkSession
+    from apde_etl_spark.operators.similarity import exact_topk_pairs
+
+    knn = exact_topk_pairs(df, id_col, vec_col, k=n_neighbors)
+    # exact_topk_pairs emits per-query neighbors in rank order within
+    # each query's block; re-derive the explicit rank deterministically
+    # from the cosine ordering so the stored table is self-describing
+    e = df.select(F.col(id_col), as_double_array(vec_col).alias("__v")) \
+        .withColumn("__n", l2_norm(F.col("__v")))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+                 F.col("__n").alias("__na"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+                 F.col("__n").alias("__nb"))
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("__cos"), F.asc("id_b"))
+    graph = (
+        knn.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("__va"), F.col("__vb"))
+             / (F.col("__na") * F.col("__nb"))).alias("__cos"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+                "rank")
+    )
+    write_analytic_table(graph, f"{index_dir}/graph")
+    entry = df.agg(F.min(id_col).cast("long").alias("entry_id")).select(
+        "entry_id", F.lit(n_neighbors).cast("int").alias("n_neighbors"))
+    write_analytic_table(entry, f"{index_dir}/graph_meta")
+    return {"n_neighbors": n_neighbors}
+
+
+def ann_graph_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    beam: int = 10,
+    hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve queries from the FROZEN k-NN graph: fixed-hop beam search.
+
+    Every query starts at the stored entry point; each hop expands the
+    current beam with its graph neighbors (one equi-join against the
+    persisted adjacency), scores candidates by exact cosine against
+    the query vector, and keeps the top ``beam`` (cosine desc, id asc
+    — fully deterministic). After ``hops`` rounds the final beam
+    re-ranks to the top ``k``, self-matches excluded (the query may
+    ride in its own beam as a navigator).
+
+    The FIXED hop count (not a convergence loop) is what makes this
+    restatable in SQL hop-for-hop — the unrolled-iteration discipline
+    of the exact-mean Lloyd oracles — and it bounds worst-case serving
+    cost: per query per hop the frontier is <= beam * n_neighbors
+    candidate rows, each costing one dot fold. The plan reads ONLY the
+    graph/graph_meta parquet and the two input frames — no
+    construction scan (test-asserted).
+
+    Returns (query_id, rank, vec_id, cosine_raw) — ``cosine_raw``
+    unrounded, as in :func:`ann_query_prebuilt`."""
+    graph = spark.read.parquet(f"{index_dir}/graph").select("src", "dst")
+    meta = spark.read.parquet(f"{index_dir}/graph_meta")
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    corpus = corpus_df.select(
+        F.col(id_col).alias("__cid"), as_double_array(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("__cid"))
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(corpus, "__cid")
+            .join(q, "query_id")
+            .select(
+                "query_id", "__cid",
+                (dot(F.col("__cv"), F.col("__qv"))
+                 / (F.col("__cn") * F.col("__qn"))).alias("__cos"),
+            )
+        )
+
+    beam_df = q.select("query_id").crossJoin(
+        F.broadcast(meta.select(F.col("entry_id").alias("__cid"))))
+    for _ in range(hops):
+        expanded = beam_df.select("query_id", "__cid").unionAll(
+            beam_df.join(
+                graph, beam_df["__cid"] == graph["src"]
+            ).select("query_id", F.col("dst").alias("__cid"))
+        ).distinct()
+        scored = score(expanded).withColumn(
+            "__rk", F.row_number().over(wb))
+        beam_df = scored.filter(F.col("__rk") <= beam).select(
+            "query_id", "__cid", "__cos")
+        # bound lineage growth across hops (the PageRank/BFS discipline)
+        beam_df = beam_df.localCheckpoint(eager=False)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("__cid"))
+    return (
+        beam_df.filter(F.col("__cid") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("__cid").alias(id_col),
+                F.col("__cos").alias("cosine_raw"))
     )

@@ -1915,6 +1915,76 @@ def ann_ivfpq_topk(
     )
 
 
+#: Hard cap on the corpus side of the exact ground-truth scan — it is
+#: an evaluation harness, and past this size the correct move is a
+#: query SAMPLE against the full corpus (the standard ANN-benchmark
+#: shape, e.g. tools/scale_stress.py's 100-query truth), not a bigger
+#: all-pairs run.
+EXACT_TOPK_MAX_ROWS = 200_000
+
+
+def exact_topk_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact per-vector cosine top-k over the whole table (self excluded)
+    — the ground truth the recall entries compare against, and the
+    k-NN-graph construction primitive (ann_index.build_knn_graph).
+    All-pairs by construction: only run on sampled/query-subset frames
+    at scale (the standard ANN evaluation shape — ground truth over a
+    probe sample, never the full corpus); corpora past
+    :data:`EXACT_TOPK_MAX_ROWS` raise instead of silently running an
+    unbounded quadratic scan.
+
+    Computed as an Arrow-batched matmul against the collected corpus
+    matrix (bounded by the cap — 1 MB at the bench corpus): each batch
+    scores X @ C.T once in BLAS instead of 4M interpreted dot folds,
+    and the per-query top-k is a stable argsort (ties broken by
+    ascending id, exactly the ranking the previous crossJoin+window
+    formulation produced — hashes of the consuming oracle entry are
+    unchanged at all three SFs)."""
+    import numpy as np
+
+    e = df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    # size-gate BEFORE the collect — checking len(collect()) after the
+    # fact cannot prevent the driver-memory blowup the cap exists for.
+    # limit(cap+1).count() reads at most cap+1 ids, never the vectors.
+    probe = e.select(id_col).limit(EXACT_TOPK_MAX_ROWS + 1).count()
+    if probe > EXACT_TOPK_MAX_ROWS:
+        raise ValueError(
+            f"exact_topk_pairs: corpus exceeds the "
+            f"{EXACT_TOPK_MAX_ROWS}-row harness cap — ground-truth a "
+            "query sample against the full corpus instead"
+        )
+    corpus = e.collect()
+    corpus.sort(key=lambda r: r[id_col])  # stable argsort => id asc on ties
+    ids = np.array([r[id_col] for r in corpus], dtype=np.int64)
+    C = np.array([list(r["__v"]) for r in corpus], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    n_keep = min(k, len(ids) - 1)
+
+    def topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            Xn = np.linalg.norm(X, axis=1)
+            S = (X @ C.T) / (Xn[:, None] * Cn[None, :])
+            qids = pdf[id_col].to_numpy()
+            S[qids[:, None] == ids[None, :]] = -np.inf  # self excluded
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n_keep]
+            yield pd.DataFrame({
+                "id_a": qids.repeat(n_keep),
+                "id_b": ids[order].reshape(len(pdf) * n_keep),
+            })
+
+    return e.mapInPandas(topk, schema="id_a long, id_b long")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apde_etl_spark.plans.catalog import load, register
+from apde_etl_spark.plans.catalog import _sql_round, load, register
 
 _REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
 
@@ -266,4 +266,194 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").cast("long")
              .alias("supplier_cnt"))
+    )
+
+
+# ===========================================================================
+# Graph-based ANN (NSW-class) on the persistent index — verdict item #3
+# ===========================================================================
+
+_G_M = 8        # stored neighbors per node
+_G_BEAM = 10    # beam width
+_G_HOPS = 3     # fixed hop count (unrolled in the oracle)
+_G_K = 5
+_G_QUERY_PRED = "vec_id % 97 = 0"
+
+#: per-process graph-index build cache (the _ensure_index pattern,
+#: atexit-cleaned)
+_GRAPH_CACHE: dict = {}
+
+
+def _ensure_graph_index(spark: SparkSession, sf_dir: str) -> str:
+    from apde_etl_spark.operators.ann_index import build_knn_graph
+
+    if sf_dir not in _GRAPH_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="apde_anngraph_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        emb = load(spark, sf_dir, "embeddings")
+        build_knn_graph(emb, d, n_neighbors=_G_M)
+        _GRAPH_CACHE[sf_dir] = d
+    return _GRAPH_CACHE[sf_dir]
+
+
+def _sql_g_cos(av: str, an: str, bv: str, bn: str) -> str:
+    return (f"list_sum(list_transform(list_zip({av}, {bv}), "
+            f"p -> p[1]*p[2])) / ({an} * {bn})")
+
+
+def _sql_graph_search_ctes() -> str:
+    """Shared oracle CTEs: rebuild the exact k-NN graph from first
+    principles, then unroll the fixed-hop beam search (the
+    unrolled-iteration discipline — same as the exact-mean Lloyd and
+    EM oracles). Ends at ``beam{H}(query_id, cid, cos)``."""
+    hops = []
+    for i in range(1, _G_HOPS + 1):
+        hops.append(f"""
+cand{i} AS (
+  SELECT DISTINCT query_id, cid FROM (
+    SELECT query_id, cid FROM beam{i - 1}
+    UNION ALL
+    SELECT b.query_id, g.dst AS cid
+    FROM beam{i - 1} b JOIN graph g ON g.src = b.cid) u
+), beam{i} AS (
+  SELECT query_id, cid, cos FROM (
+    SELECT c.query_id, c.cid,
+           {_sql_g_cos('ce.v', 'ce.n', 'q.qv', 'q.qn')} AS cos,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY {_sql_g_cos('ce.v', 'ce.n', 'q.qv', 'q.qn')} DESC,
+                      c.cid ASC) AS rk
+    FROM cand{i} c
+    JOIN e ce ON ce.vec_id = c.cid
+    JOIN q ON q.query_id = c.query_id) s
+  WHERE rk <= {_G_BEAM}
+)""")
+    return f"""
+raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, y -> y*y))) AS n FROM raw),
+knn AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY {_sql_g_cos('a.v', 'a.n', 'b.v', 'b.n')} DESC,
+                    b.vec_id ASC) AS rn
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+graph AS (SELECT src, dst FROM knn WHERE rn <= {_G_M}),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn
+      FROM e WHERE {_G_QUERY_PRED}),
+ent AS (SELECT min(vec_id) AS eid FROM e),
+beam0 AS (SELECT query_id, eid AS cid, CAST(NULL AS DOUBLE) AS cos
+          FROM q, ent),{",".join(hops)}"""
+
+
+_GRAPH_TOPK_SQL = f"""
+WITH {_sql_graph_search_ctes()},
+fin AS (
+  SELECT query_id, cid, cos,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, cid ASC) AS rnk
+  FROM beam{_G_HOPS} WHERE cid != query_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, cid AS vec_id,
+       {_sql_round('cos', 6)} AS cosine_sim
+FROM fin WHERE rnk <= {_G_K}
+"""
+
+
+@register("ann_graph_topk", _GRAPH_TOPK_SQL)
+def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve a query batch (every 97th vector) from the PERSISTED
+    k-NN-graph index by fixed-hop beam search
+    (operators/ann_index.py:ann_graph_search): entry point -> expand
+    graph neighbors -> exact-cosine top-{beam} per hop, 3 hops, final
+    top-{k}. The query plan reads ONLY the frozen graph/graph_meta
+    parquet + the corpus vectors — no k-NN construction scan (asserted
+    in tests/test_plan_shapes.py: zero Python stages in the serve
+    plan). Oracle rebuilds the graph from first principles and unrolls
+    the identical three hops."""
+    from apde_etl_spark.operators.ann_index import ann_graph_search
+
+    d = _ensure_graph_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_G_QUERY_PRED))
+    out = ann_graph_search(
+        spark, d, queries, emb, k=_G_K, beam=_G_BEAM, hops=_G_HOPS)
+    from apde_etl_spark.functions.core import round_half_away
+
+    return out.select(
+        "query_id", "rank", "vec_id",
+        round_half_away(F.col("cosine_raw"), 6).alias("cosine_sim"),
+    )
+
+
+_GRAPH_RECALL_SQL = f"""
+WITH {_sql_graph_search_ctes()},
+gtop AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, cid ASC) AS rnk
+    FROM beam{_G_HOPS} WHERE cid != query_id) z
+  WHERE rnk <= {_G_K}
+),
+exact_q AS (
+  SELECT vec_id AS query_id, bid AS cid FROM (
+    SELECT a.vec_id, b.vec_id AS bid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_sql_g_cos('a.v', 'a.n', 'b.v', 'b.n')} DESC,
+                      b.vec_id ASC) AS rn
+    FROM e a JOIN e b ON a.vec_id != b.vec_id
+    WHERE a.{_G_QUERY_PRED}) t
+  WHERE rn <= {_G_K}
+)
+SELECT 'graph_m{_G_M}_b{_G_BEAM}_h{_G_HOPS}' AS method,
+       CAST((SELECT count(*) FROM gtop JOIN exact_q
+             ON gtop.query_id = exact_q.query_id
+            AND gtop.cid = exact_q.cid) AS BIGINT) AS hits,
+       CAST((SELECT count(*) FROM exact_q) AS BIGINT) AS n_exact,
+       {_sql_round(
+           'CAST((SELECT count(*) FROM gtop JOIN exact_q '
+           'ON gtop.query_id = exact_q.query_id AND gtop.cid = exact_q.cid)'
+           ' AS DOUBLE) / (SELECT count(*) FROM exact_q)', 6)}
+       AS recall_at_k
+"""
+
+
+@register("ann_recall_graph", _GRAPH_RECALL_SQL)
+def ann_recall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{k} of the persisted-graph beam search against the exact
+    top-{k} over the query sample — integer hit counts, hash-gated
+    like every other recall entry after round 7. The graph family is
+    the high-recall serving index (navigable small world); this row is
+    the number you tune beam/hops by before a 100 TB deployment."""
+    from apde_etl_spark.operators.ann_index import ann_graph_search
+    from apde_etl_spark.operators.similarity import exact_topk_pairs
+
+    d = _ensure_graph_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_G_QUERY_PRED))
+    approx = ann_graph_search(
+        spark, d, queries, emb, k=_G_K, beam=_G_BEAM, hops=_G_HOPS
+    ).select(F.col("query_id").alias("id_a"), F.col("vec_id").alias("id_b"))
+    truth = (
+        exact_topk_pairs(emb, "vec_id", "embedding", k=_G_K)
+        .filter(F.expr(_G_QUERY_PRED.replace("vec_id", "id_a")))
+        .persist()
+    )
+    ex_n = truth.agg(F.count(F.lit(1)).alias("n_exact"))
+    h = approx.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("hits"))
+    from apde_etl_spark.functions.core import round_half_away
+
+    return h.crossJoin(ex_n).select(
+        F.lit(f"graph_m{_G_M}_b{_G_BEAM}_h{_G_HOPS}").alias("method"),
+        F.col("hits").cast("long").alias("hits"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        round_half_away(
+            F.col("hits").cast("double") / F.col("n_exact"), 6
+        ).alias("recall_at_k"),
     )

@@ -589,3 +589,14 @@ def test_q16_not_in_runs_as_broadcast_anti_join(spark, sf_dir, qs):
     assert "BroadcastHashJoin" in plan
     # distinct-aggregate expansion, not a row-by-row subquery
     assert "HashAggregate" in plan
+
+
+def test_ann_graph_serve_plan_reads_frozen_artifacts(spark, sf_dir, qs):
+    """The beam-search serve plan must contain ZERO construction work:
+    no Python/Arrow stage (the k-NN build's exact_topk_pairs is
+    mapInPandas — it must not appear at query time) and no cartesian
+    all-pairs; candidates come from equi-joins against the persisted
+    adjacency."""
+    plan = _plan(qs["ann_graph_topk"](spark, sf_dir))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
