@@ -457,3 +457,177 @@ def ann_recall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hits").cast("double") / F.col("n_exact"), 6
         ).alias("recall_at_k"),
     )
+
+
+# ===========================================================================
+# Lakehouse table maintenance: MERGE -> version, compaction, time travel
+# (round-6 verdict item #4; sources/lifecycle.py versioned-table layout)
+# ===========================================================================
+
+#: per-process versioned-table work area ({sf_dir: (cust_dir, ord_dir,
+#: compact_stats)}), atexit-cleaned like the ANN index caches
+_VERSIONED_CACHE: dict = {}
+
+_COMPACT_FRAGMENTS = 64
+_COMPACT_TARGET = 4
+
+
+def _ensure_versioned(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build (once per process) a real versioned customers table —
+    v=1 the base snapshot, v=2 the MERGE result (updates + inserts +
+    deletes) — and a fragmented orders table compacted into v=2.
+    Everything derives deterministically from the base tables, so the
+    SQL oracles can restate the final states from the views alone."""
+    if sf_dir in _VERSIONED_CACHE:
+        return _VERSIONED_CACHE[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from apde_etl_spark.sources.lifecycle import (
+        compact_table,
+        merge_into_versioned,
+        versioned_write,
+    )
+
+    root = tempfile.mkdtemp(prefix="apde_versioned_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cust_dir, ord_dir = f"{root}/customers", f"{root}/orders"
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment")
+    versioned_write(cust, cust_dir)
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 500 == 0).select(
+            (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    deletes = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    merge_into_versioned(
+        spark, cust_dir, updates, "c_custkey",
+        ["c_acctbal", "c_mktsegment"], deletes=deletes)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    versioned_write(orders, ord_dir, n_files=_COMPACT_FRAGMENTS)
+    _, before, after = compact_table(spark, ord_dir, _COMPACT_TARGET)
+    _VERSIONED_CACHE[sf_dir] = (cust_dir, ord_dir, (before, after))
+    return _VERSIONED_CACHE[sf_dir]
+
+
+_MERGE_V2_SQL = """
+WITH tgt AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+), upd AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 0.0, 'NEW'
+  FROM customer WHERE c_custkey % 500 = 0
+), merged AS (
+  SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+         CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+              ELSE t.c_acctbal END AS c_acctbal,
+         CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+              ELSE t.c_mktsegment END AS c_mktsegment
+  FROM tgt t FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey
+)
+SELECT c_custkey, c_acctbal, c_mktsegment FROM merged
+WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+"""
+
+
+@register("merge_versioned_customers", _MERGE_V2_SQL)
+def merge_versioned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO against a VERSIONED table (lifecycle.py:
+    merge_into_versioned): WHEN MATCHED UPDATE (acctbal bump on every
+    10th key), WHEN NOT MATCHED INSERT (new 10M+ keys), WHEN MATCHED
+    DELETE (every 97th key) — applied via the SCD1 full-outer merge +
+    broadcast anti join, WRITTEN AS v=2, with v=1 untouched. The entry
+    returns the v=2 snapshot READ BACK FROM DISK, so the gate proves
+    the whole write->read round trip equals the oracle's restatement
+    of the merge. At 100 TB: immutable snapshots + atomic version flip
+    = readers never see a half-merged table."""
+    from apde_etl_spark.sources.lifecycle import read_version
+
+    cust_dir, _, _ = _ensure_versioned(spark, sf_dir)
+    return read_version(spark, cust_dir, 2).select(
+        "c_custkey", "c_acctbal", "c_mktsegment")
+
+
+_COMPACT_SQL = f"""
+SELECT CAST({_COMPACT_FRAGMENTS} AS BIGINT) AS files_before,
+       CAST({_COMPACT_TARGET} AS BIGINT) AS files_after,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS totalprice_sum
+FROM orders
+"""
+
+
+@register("compact_small_files_orders", _COMPACT_SQL)
+def compact_small_files_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a NEW VERSION: v=1 is deliberately
+    fragmented ({n} files — the streaming-ingest aftermath), v=2 is
+    the compacted rewrite ({m} files). The row carries the EXECUTED
+    file counts (read from the filesystem, not a plan estimate) and a
+    content digest (exact DECIMAL sum + rowcount) computed FROM THE
+    COMPACTED FILES — the oracle pins the expected counts as literals
+    and recomputes the digest from the base table, so a compaction
+    that lost or duplicated rows, or wrote the wrong layout, fails the
+    hash. The previous fragmented version stays readable (time
+    travel), exactly how lake formats run OPTIMIZE."""
+    from apde_etl_spark.sources.lifecycle import read_version
+
+    _, ord_dir, (before, after) = _ensure_versioned(spark, sf_dir)
+    v2 = read_version(spark, ord_dir, 2)
+    return v2.agg(
+        F.lit(before).cast("long").alias("files_before"),
+        F.lit(after).cast("long").alias("files_after"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .alias("totalprice_sum"),
+    )
+
+
+_TT_DIFF_SQL = """
+WITH arms AS (
+  SELECT 'only_in_a' AS status, CAST(count(*) AS BIGINT) AS n_rows
+  FROM customer WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT 'only_in_b', CAST(count(*) AS BIGINT)
+  FROM customer WHERE c_custkey % 500 = 0
+  UNION ALL
+  SELECT 'changed', CAST(count(*) AS BIGINT)
+  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 97 != 0
+  UNION ALL
+  SELECT 'identical', CAST(count(*) AS BIGINT)
+  FROM customer WHERE c_custkey % 10 != 0 AND c_custkey % 97 != 0
+)
+SELECT status, n_rows FROM arms WHERE n_rows > 0
+"""
+
+
+@register("snapshot_time_travel_customers", _TT_DIFF_SQL)
+def snapshot_time_travel_customers(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Time-travel read + snapshot diff: v=1 AS OF the pre-merge state
+    and v=2 read from the SAME table directory, diffed with
+    lifecycle.py:table_diff (full-outer on the key, null-safe attr
+    compare, per-status counts). The oracle derives the expected
+    status census analytically from the merge's key arithmetic —
+    deletes are only_in_a, inserts only_in_b, acctbal bumps changed,
+    the rest identical — so the gate proves version isolation: the
+    merge wrote v=2 without perturbing v=1."""
+    from apde_etl_spark.sources.lifecycle import read_version, table_diff
+
+    cust_dir, _, _ = _ensure_versioned(spark, sf_dir)
+    v1 = read_version(spark, cust_dir, 1)
+    v2 = read_version(spark, cust_dir, 2)
+    return table_diff(v1, v2, "c_custkey", ["c_acctbal", "c_mktsegment"])

@@ -604,3 +604,103 @@ def table_diff(
         .groupBy("status")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
+
+
+# ===========================================================================
+# Versioned-table lifecycle: MERGE -> new version, compaction, time travel
+# ===========================================================================
+
+def list_versions(table_dir: str) -> list[int]:
+    """Version numbers present under ``table_dir`` (``v=N`` snapshot
+    directories, ascending). Pure directory-listing metadata — the
+    lake-format manifest read, minus the format dependency."""
+    import os
+    import re
+
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m and os.path.isdir(os.path.join(table_dir, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def versioned_write(df: DataFrame, table_dir: str,
+                    n_files: int | None = None) -> int:
+    """Write ``df`` as the NEXT immutable version snapshot
+    (``table_dir/v=N``) and return N. Snapshots are never mutated —
+    the transactional-maintenance discipline (MERGE, compaction,
+    schema change) is always write-new-version + atomic pointer flip,
+    which is what makes concurrent readers safe and time travel free.
+    ``n_files`` forces the output file count (compaction's lever)."""
+    version = (list_versions(table_dir) or [0])[-1] + 1
+    out = df.repartition(n_files) if n_files else df
+    out.write.mode("error").parquet(f"{table_dir}/v={version}")
+    return version
+
+
+def read_version(spark: SparkSession, table_dir: str,
+                 version: int | None = None) -> DataFrame:
+    """Snapshot / time-travel read: a specific version, or the latest.
+    Reading ``v=N`` after ``v=N+1`` exists is the AS OF query."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no versions under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions} under {table_dir}")
+    return spark.read.parquet(f"{table_dir}/v={v}")
+
+
+def data_file_count(table_dir: str, version: int) -> int:
+    """Number of parquet data files in a version snapshot — the
+    compaction metric (the executed layout, not a plan estimate)."""
+    import os
+
+    d = f"{table_dir}/v={version}"
+    return sum(1 for f in os.listdir(d)
+               if f.endswith(".parquet") and not f.startswith("_"))
+
+
+def merge_into_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    deletes: DataFrame | None = None,
+) -> int:
+    """MERGE INTO semantics against a versioned table: read the latest
+    snapshot, apply the SCD1 upsert (WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT) plus optional WHEN MATCHED DELETE keys, and write
+    the result as a NEW immutable version. Returns the new version
+    number. The previous snapshot stays readable — readers mid-query
+    never see a half-merged table, and the diff between N and N+1 IS
+    the audit trail (table_diff)."""
+    target = read_version(spark, table_dir)
+    merged = scd1_upsert(target, updates, key, attrs).drop("action")
+    if deletes is not None:
+        merged = merged.join(
+            F.broadcast(deletes.select(key)), key, "left_anti")
+    return versioned_write(merged, table_dir)
+
+
+def compact_table(spark: SparkSession, table_dir: str,
+                  target_files: int) -> tuple[int, int, int]:
+    """Small-file compaction as a new version: read the latest
+    snapshot, rewrite it as ``target_files`` files, return
+    (new_version, files_before, files_after) with the file counts read
+    from the EXECUTED layout. Row content is identical by construction
+    (a repartition is a pure shuffle); the consuming entry proves it
+    by value hash. At 100 TB this is the nightly maintenance job that
+    keeps scan task counts sane after streaming ingest."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no versions under {table_dir}")
+    before = data_file_count(table_dir, versions[-1])
+    df = read_version(spark, table_dir)
+    new_v = versioned_write(df, table_dir, n_files=target_files)
+    after = data_file_count(table_dir, new_v)
+    return new_v, before, after

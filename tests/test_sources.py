@@ -361,3 +361,74 @@ def test_duplicate_table_confirm_false_refuses_overwrite(spark):
             duplicate_table(spark, df, "dup_confirm_probe", confirm=False)
     finally:
         spark.sql("DROP TABLE IF EXISTS dup_confirm_probe")
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table lifecycle (round 7): MERGE -> version, compaction,
+# time travel
+# ---------------------------------------------------------------------------
+
+
+def test_versioned_write_and_time_travel(spark, tmp_path):
+    from apde_etl_spark.sources.lifecycle import (
+        list_versions,
+        read_version,
+        versioned_write,
+    )
+
+    d = str(tmp_path / "vt")
+    df1 = spark.range(10).select(F.col("id"), F.lit("a").alias("tag"))
+    assert versioned_write(df1, d) == 1
+    df2 = spark.range(12).select(F.col("id"), F.lit("b").alias("tag"))
+    assert versioned_write(df2, d) == 2
+    assert list_versions(d) == [1, 2]
+    # latest is v2; AS OF v1 still reads the old snapshot untouched
+    assert read_version(spark, d).count() == 12
+    v1 = read_version(spark, d, 1)
+    assert v1.count() == 10
+    assert {r["tag"] for r in v1.collect()} == {"a"}
+    with pytest.raises(ValueError):
+        read_version(spark, d, 9)
+
+
+def test_merge_into_versioned_writes_new_version(spark, tmp_path):
+    from apde_etl_spark.sources.lifecycle import (
+        merge_into_versioned,
+        read_version,
+        versioned_write,
+    )
+
+    d = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    versioned_write(base, d)
+    updates = spark.createDataFrame(
+        [(2, 99.0), (4, 40.0)], "k long, v double")
+    deletes = spark.createDataFrame([(3,)], "k long")
+    assert merge_into_versioned(spark, d, updates, "k", ["v"],
+                                deletes=deletes) == 2
+    got = {r["k"]: r["v"] for r in read_version(spark, d, 2).collect()}
+    assert got == {1: 10.0, 2: 99.0, 4: 40.0}
+    # v1 unchanged — version isolation
+    assert {r["k"] for r in read_version(spark, d, 1).collect()} == {1, 2, 3}
+
+
+def test_compact_table_reduces_files_preserving_rows(spark, tmp_path):
+    from apde_etl_spark.sources.lifecycle import (
+        compact_table,
+        data_file_count,
+        read_version,
+        versioned_write,
+    )
+
+    d = str(tmp_path / "vt")
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    versioned_write(df, d, n_files=16)
+    assert data_file_count(d, 1) == 16
+    new_v, before, after = compact_table(spark, d, 2)
+    assert (new_v, before, after) == (2, 16, 2)
+    # executed-layout assertion + exact row identity
+    assert data_file_count(d, 2) == 2
+    a = {tuple(r) for r in read_version(spark, d, 1).collect()}
+    b = {tuple(r) for r in read_version(spark, d, 2).collect()}
+    assert a == b
