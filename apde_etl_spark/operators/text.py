@@ -706,3 +706,101 @@ def remove_duplicated_substrings(
             F.coalesce(F.col("__ctext"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def langid_nb_score(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial naive Bayes language ID over char n-grams WITH
+    multiplicity (add-one smoothing) — the TRAINED counterpart of the
+    profile heuristics (langid_ngram_scores / stopword_ratio), and the
+    round-6 verdict's item #6.
+
+    Training is three keyed aggregations over the train split: per
+    (label, gram) occurrence counts, per-label totals, the global
+    train vocabulary size, plus the per-label doc-count prior. Scoring
+    joins each test gram occurrence against the count table per label
+    (test grams x the small label dim — unseen grams fall to the
+    smoothed floor via the left join), so the plan is explode ->
+    broadcastable dimension joins -> one keyed aggregation; nothing is
+    ever corpus x corpus.
+
+    Determinism (the perplexity convention): each gram log-probability
+    ``ln((cnt+1)/(tot+V))`` is a pure function of three integers,
+    rounded to 9 places and summed as DECIMAL(20,9) — exact and
+    order-independent, so the scores hash-gate against a SQL oracle.
+    The label prior ``ln(docs_l/T)`` joins in once per (doc, label).
+    Prediction = max score, ties to the lexicographically first label.
+
+    Returns (id_col, lang_true, predicted_lang, nb_score) for the test
+    rows, ``nb_score`` the winning log-score rounded to 6 places.
+    """
+    from pyspark.sql import Window
+
+    from apde_etl_spark.functions.core import round_half_away
+
+    def grams(df: DataFrame, *keep: str) -> DataFrame:
+        # CASE guard: Spark's sequence(1, 0) would generate a DESCENDING
+        # [1, 0] for sub-n texts — short docs must yield zero grams
+        # (and therefore no prediction: explode drops them, the caller's
+        # documented contract for sub-n test docs)
+        g = F.expr(
+            f"CASE WHEN length({text_col}) >= {n} THEN "
+            f"transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substr({text_col}, i, {n})) "
+            f"ELSE array() END")
+        return df.select(*keep, F.explode(g).alias("gram"))
+
+    tr = grams(train, label_col).withColumnRenamed(label_col, "__l")
+    cnt = tr.groupBy("__l", "gram").agg(F.count(F.lit(1)).alias("__c"))
+    tot = cnt.groupBy("__l").agg(F.sum("__c").alias("__tot"))
+    vsz = tr.select("gram").distinct().agg(
+        F.count(F.lit(1)).alias("__v"))
+    prior = train.groupBy(F.col(label_col).alias("__l")).agg(
+        F.count(F.lit(1)).alias("__docs"))
+    tdocs = train.agg(F.count(F.lit(1)).alias("__t"))
+    labels = (
+        prior.join(tot, "__l")
+        .crossJoin(F.broadcast(vsz)).crossJoin(F.broadcast(tdocs))
+        .select(
+            "__l", "__tot", "__v",
+            round_half_away(
+                F.log(F.col("__docs").cast("double")
+                      / F.col("__t").cast("double")), 9)
+            .cast("decimal(20,9)").alias("__lprior"),
+        )
+    )
+    tg = grams(test, id_col, label_col).withColumnRenamed(
+        label_col, "lang_true")
+    lp = F.log(
+        (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("__tot") + F.col("__v")).cast("double"))
+    scored = (
+        tg.crossJoin(F.broadcast(labels))
+        .join(F.broadcast(cnt), ["__l", "gram"], "left")
+        .select(
+            id_col, "lang_true", "__l", "__lprior",
+            round_half_away(lp, 9).cast("decimal(20,9)").alias("__lp9"),
+        )
+    )
+    per_label = scored.groupBy(id_col, "lang_true", "__l", "__lprior").agg(
+        F.sum("__lp9").alias("__s"))
+    total = per_label.select(
+        id_col, "lang_true", "__l",
+        (F.col("__s") + F.col("__lprior")).alias("__score"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("__l"))
+    return (
+        total.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            id_col, "lang_true",
+            F.col("__l").alias("predicted_lang"),
+            round_half_away(F.col("__score").cast("double"), 6)
+            .alias("nb_score"),
+        )
+    )

@@ -631,3 +631,280 @@ def snapshot_time_travel_customers(spark: SparkSession,
     v1 = read_version(spark, cust_dir, 1)
     v2 = read_version(spark, cust_dir, 2)
     return table_diff(v1, v2, "c_custkey", ["c_acctbal", "c_mktsegment"])
+
+
+# ===========================================================================
+# Trained language ID: multinomial NB over char trigrams on a seeded
+# labeled fixture (round-6 verdict item #6)
+# ===========================================================================
+
+#: per-language letter pools (12 chars each): overlapping cores with
+#: distinct tails, so trigram NB separates well but not trivially
+_LID_POOLS = ("etaoinshrdlu", "enisratdukgm", "aeosrnltcdpb", "iaonesrmtvzq")
+_LID_WORDS = 40
+_LID_A, _LID_B, _LID_M = 2654435761, 40503, 1000003
+_LID_C = 2246822519
+
+
+def _lid_text_expr(dialect: str) -> str:
+    """The seeded labeled corpus's text expression over row index ``i``
+    — pure positive-integer modular mixes + substr into the per-lang
+    pool literal, the same IEEE-free construction in both engines
+    (the clustered_embeddings trick applied to text)."""
+    if dialect == "spark":
+        lt, aj, rng = "transform", "array_join", None
+    else:
+        lt, aj, rng = "list_transform", "array_to_string", None
+    pool = ("CASE i % 4 "
+            + " ".join(f"WHEN {k} THEN '{p}'"
+                       for k, p in enumerate(_LID_POOLS))
+            + " END")
+    base = f"(i * {_LID_A} + j * {_LID_B}) % {_LID_M}"
+    wl = f"3 + ({base}) % 4"
+    idx = f"(({base}) * (k + 7) + k * {_LID_C}) % 12"
+    letter = f"substr({pool}, CAST({idx} AS INTEGER) + 1, 1)"
+    if dialect == "spark":
+        letters = f"transform(sequence(0, {wl} - 1), k -> {letter})"
+        words = (f"transform(sequence(0, {_LID_WORDS - 1}), "
+                 f"j -> array_join({letters}, ''))")
+    else:
+        letters = f"list_transform(range(0, {wl}), k -> {letter})"
+        words = (f"list_transform(range(0, {_LID_WORDS}), "
+                 f"j -> array_to_string({letters}, ''))")
+    return f"{aj}({words}, ' ')"
+
+
+def _lid_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, text): deterministic labeled corpus sized by the
+    documents table, 4 synthetic languages with distinct char
+    distributions (i % 4)."""
+    n = load(spark, sf_dir, "documents").count()
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lang"), (F.col("id") % 4).cast("string"))
+        .alias("lang"),
+        F.expr(_lid_text_expr("spark").replace("i %", "id %")
+               .replace("(i ", "(id ")).alias("text"),
+    )
+
+
+def _lid_fixture_sql() -> str:
+    return f"""
+  SELECT i AS doc_id, 'lang' || CAST(i % 4 AS VARCHAR) AS lang,
+         {_lid_text_expr('duckdb')} AS text
+  FROM (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS i
+        FROM documents) b"""
+
+
+def _lid_nb_sql_ctes() -> str:
+    """DuckDB restatement of operators/text.py:langid_nb_score over the
+    fixture's 80/20 split — ends at ``nbp(doc_id, lang_true,
+    predicted_lang, nb_score)``."""
+    grams = ("CASE WHEN length(text) >= 3 THEN "
+             "list_transform(range(1, length(text) - 1), "
+             "x -> substr(text, CAST(x AS INTEGER), 3)) "
+             "ELSE [] END")
+    lp = ("ln((COALESCE(c.c, 0) + 1) * 1.0 / (l.tot + l.v))")
+    return f"""
+fx AS ({_lid_fixture_sql()}),
+tr AS (SELECT * FROM fx WHERE doc_id % 5 != 0),
+te AS (SELECT * FROM fx WHERE doc_id % 5 = 0),
+trg AS (SELECT lang AS l, unnest({grams}) AS gram FROM tr),
+cnt AS (SELECT l, gram, count(*) AS c FROM trg GROUP BY 1, 2),
+tot AS (SELECT l, sum(c) AS tot FROM cnt GROUP BY 1),
+vsz AS (SELECT count(DISTINCT gram) AS v FROM trg),
+pri AS (SELECT lang AS l, count(*) AS docs FROM tr GROUP BY 1),
+tdocs AS (SELECT count(*) AS t FROM tr),
+labels AS (
+  SELECT pri.l, tot.tot, vsz.v,
+         CAST({_sql_round('ln(pri.docs * 1.0 / tdocs.t)', 9)}
+              AS DECIMAL(20,9)) AS lprior
+  FROM pri JOIN tot USING (l), vsz, tdocs
+),
+teg AS (SELECT doc_id, lang AS lang_true, unnest({grams}) AS gram FROM te),
+sc AS (
+  SELECT g.doc_id, g.lang_true, l.l, l.lprior,
+         CAST({_sql_round(lp, 9)} AS DECIMAL(20,9)) AS lp9
+  FROM teg g CROSS JOIN labels l
+  LEFT JOIN cnt c ON c.l = l.l AND c.gram = g.gram
+),
+per_l AS (
+  SELECT doc_id, lang_true, l, sum(lp9) + any_value(lprior) AS s
+  FROM sc GROUP BY 1, 2, 3
+),
+nbp AS (
+  SELECT doc_id, lang_true, l AS predicted_lang,
+         {_sql_round('CAST(s AS DOUBLE)', 6)} AS nb_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY s DESC, l ASC) AS rk FROM per_l) z
+  WHERE rk = 1
+)"""
+
+
+_LID_NB_SQL = f"""
+WITH {_lid_nb_sql_ctes()}
+SELECT doc_id, lang_true, predicted_lang, nb_score FROM nbp
+"""
+
+
+@register("langid_nb_trained", _LID_NB_SQL)
+def langid_nb_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID: multinomial naive Bayes over char trigrams
+    (operators/text.py:langid_nb_score), trained on the 80% split of a
+    seeded labeled fixture and scoring the held-out 20% — the
+    neardup_method_recall pattern applied to langid (the real
+    documents table's lang labels are RANDOM w.r.t. the text, so a
+    fixture with genuine per-language character distributions is the
+    honest evaluation bed; it generates from integer modular mixes,
+    bit-identical in both engines). Scores are decimal-exact sums of
+    9-dp-rounded gram log-probs (the perplexity convention), so the
+    whole trained model hash-gates."""
+    from apde_etl_spark.operators.text import langid_nb_score
+
+    fx = _lid_fixture(spark, sf_dir).persist()
+    train = fx.filter(F.col("doc_id") % 5 != 0)
+    test = fx.filter(F.col("doc_id") % 5 == 0)
+    return langid_nb_score(train, test)
+
+
+_LID_ACC_SQL = f"""
+WITH {_lid_nb_sql_ctes()},
+hx AS (
+  SELECT doc_id, lang_true, predicted_lang FROM (
+    SELECT t.doc_id, t.lang_true, p.l AS predicted_lang,
+           row_number() OVER (PARTITION BY t.doc_id
+             ORDER BY p.hits DESC, p.l ASC) AS rk
+    FROM (
+      SELECT g.doc_id, any_value(g.lang_true) AS lang_true FROM teg g
+      GROUP BY g.doc_id) t
+    JOIN (
+      SELECT g.doc_id, pr.l,
+             sum(CASE WHEN pr.tri = g.gram THEN 1 ELSE 0 END) AS hits
+      FROM teg g CROSS JOIN (
+        SELECT l, unnest(tris) AS tri FROM profiles) pr
+      GROUP BY 1, 2) p
+      ON p.doc_id = t.doc_id) z
+  WHERE rk = 1
+),
+profiles AS (
+  SELECT 'lang' || CAST(k AS VARCHAR) AS l,
+         list_transform(range(1, 11),
+           x -> substr(CASE k {" ".join(
+               f"WHEN {i} THEN '{p}'" for i, p in enumerate(_LID_POOLS))}
+                END, CAST(x AS INTEGER), 3)) AS tris
+  FROM range(0, 4) t(k)
+),
+maj AS (
+  SELECT l FROM (SELECT lang AS l, count(*) AS c FROM tr GROUP BY 1
+                 ORDER BY c DESC, l ASC LIMIT 1) m
+),
+arms AS (
+  SELECT 'nb_trained' AS method,
+         CAST(sum(CASE WHEN predicted_lang = lang_true THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM nbp
+  UNION ALL
+  SELECT 'ngram_profile_heuristic',
+         CAST(sum(CASE WHEN predicted_lang = lang_true THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM hx
+  UNION ALL
+  SELECT 'majority_class',
+         CAST(sum(CASE WHEN te.lang = maj.l THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM te, maj
+)
+SELECT method, n_correct, n_total,
+       {_sql_round('CAST(n_correct AS DOUBLE) / n_total', 6)} AS accuracy
+FROM arms
+"""
+
+
+@register("langid_method_accuracy", _LID_ACC_SQL)
+def langid_method_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy shoot-out on the held-out fixture split — INTEGER
+    correct/total counts per method (hash-gated): the trained NB, the
+    untrained char-trigram profile heuristic (profiles = each
+    language's first 10 pool trigrams — the hand-built analogue of
+    langid_ngram_scores), and the majority-class floor. The row a user
+    reads to decide whether training the classifier is worth it
+    (measured: NB near-perfect, heuristic far below — the same
+    evaluation shape as neardup_method_recall)."""
+    from apde_etl_spark.functions.core import round_half_away
+    from apde_etl_spark.operators.text import (
+        langid_ngram_scores,
+        langid_nb_score,
+    )
+
+    fx = _lid_fixture(spark, sf_dir).persist()
+    train = fx.filter(F.col("doc_id") % 5 != 0)
+    test = fx.filter(F.col("doc_id") % 5 == 0)
+
+    nb = langid_nb_score(train, test)
+    nb_row = nb.agg(
+        F.lit("nb_trained").alias("method"),
+        F.sum(F.when(F.col("predicted_lang") == F.col("lang_true"), 1)
+              .otherwise(0)).cast("long").alias("n_correct"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+
+    profiles = {
+        f"lang{k}": [p[i:i + 3] for i in range(10)]
+        for k, p in enumerate(_LID_POOLS)
+    }
+    # multiplicity-counting heuristic (mirrors the oracle's hx arm):
+    # hits = occurrences of profile trigrams, first-max-wins
+    hx = langid_ngram_scores_multiplicity(test, profiles)
+    hx_row = hx.agg(
+        F.lit("ngram_profile_heuristic").alias("method"),
+        F.sum(F.when(F.col("predicted_lang") == F.col("lang"), 1)
+              .otherwise(0)).cast("long").alias("n_correct"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+
+    maj = (train.groupBy("lang").count()
+           .orderBy(F.desc("count"), F.asc("lang")).limit(1)
+           .select(F.col("lang").alias("__maj")))
+    maj_row = test.crossJoin(F.broadcast(maj)).agg(
+        F.lit("majority_class").alias("method"),
+        F.sum(F.when(F.col("lang") == F.col("__maj"), 1).otherwise(0))
+        .cast("long").alias("n_correct"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    out = nb_row.unionAll(hx_row).unionAll(maj_row)
+    return out.select(
+        "method", "n_correct", "n_total",
+        round_half_away(
+            F.col("n_correct").cast("double") / F.col("n_total"), 6
+        ).alias("accuracy"),
+    )
+
+
+def langid_ngram_scores_multiplicity(
+    df: DataFrame, profiles: dict[str, list[str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Profile heuristic with OCCURRENCE counts (not distinct-gram
+    hits): per language, total occurrences of its profile trigrams in
+    the text; first-max-wins over lexicographic language order. Used
+    by the accuracy entry so the Spark arm and the SQL arm count the
+    same statistic."""
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= 3 THEN "
+        f"transform(sequence(1, length({text_col}) - 2),"
+        f" i -> substr({text_col}, i, 3)) ELSE array() END")
+    out = df.select("doc_id", "lang", F.explode(grams).alias("gram"))
+    langs = sorted(profiles)
+    agg = [
+        F.sum(F.when(F.col("gram").isin(profiles[la]), 1).otherwise(0))
+        .alias(f"__h_{la}")
+        for la in langs
+    ]
+    per_doc = out.groupBy("doc_id", "lang").agg(*agg)
+    best = F.greatest(*[F.col(f"__h_{la}") for la in langs])
+    pred = F.lit(langs[-1])
+    for la in reversed(langs[:-1]):
+        pred = F.when(F.col(f"__h_{la}") == best, F.lit(la)).otherwise(pred)
+    return per_doc.select("doc_id", "lang", pred.alias("predicted_lang"))

@@ -95,3 +95,36 @@ def test_rfm_scores_cover_customers_and_are_bounded(spark, sf_dir):
         assert 1 <= r.r_score <= 5
         assert 1 <= r.f_score <= 5
         assert 1 <= r.m_score <= 5
+
+
+def test_langid_nb_beats_heuristic_and_majority(spark, sf_dir):
+    """The trained NB must dominate both baselines on the held-out
+    fixture split (measured at sf0.01: NB 1.0, profile heuristic 0.85,
+    majority 0.25)."""
+    from apde_etl_spark.plans.catalog_r7 import langid_method_accuracy
+
+    out = {r["method"]: r["accuracy"]
+           for r in langid_method_accuracy(spark, sf_dir).collect()}
+    assert out["nb_trained"] >= 0.95
+    assert out["nb_trained"] > out["ngram_profile_heuristic"]
+    assert out["ngram_profile_heuristic"] > out["majority_class"]
+
+
+def test_langid_nb_score_short_and_unseen(spark):
+    """Operator-level: unseen grams fall to the smoothing floor (no
+    join dropout), predictions are deterministic, sub-n test docs drop
+    (documented contract)."""
+    from apde_etl_spark.operators.text import langid_nb_score
+
+    train = spark.createDataFrame(
+        [(1, "aa", "aaaa aaa aaaa"), (2, "aa", "aaa aaaab"),
+         (3, "bb", "bbbb bbb bbbb"), (4, "bb", "bbb bbbba")],
+        "doc_id long, lang string, text string")
+    test = spark.createDataFrame(
+        [(10, "aa", "aaa azz"),   # unseen grams 'azz'
+         (11, "bb", "bbb bzz"),
+         (12, "aa", "x")],        # sub-trigram: dropped
+        "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r["predicted_lang"]
+           for r in langid_nb_score(train, test).collect()}
+    assert out == {10: "aa", 11: "bb"}
