@@ -243,3 +243,154 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_TOPK)
     wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(wf).cast("int"))
+
+
+# ===========================================================================
+# Positional BM25: phrase match + proximity window (round-7 item #7)
+# ===========================================================================
+
+_PHRASE = ("hash", "join")       # exact quoted span: 'hash join'
+_PROX = ("scan", "sort")         # unordered pair within the window
+_PROX_WIN = 4
+_PHRASE_TOPK = 20
+
+_POS_TERMS = tuple(sorted(set(_PHRASE) | set(_PROX)))
+_POS_LIST = ", ".join(f"'{t}'" for t in _POS_TERMS)
+
+_PHRASE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(t) AS DOUBLE) AS len_d FROM d
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(len(t)) AS DOUBLE) / count(*) AS avg_len
+  FROM d
+), posts AS (
+  SELECT doc_id, w AS term, p FROM (
+    SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS p FROM d)
+  WHERE w IN ({_POS_LIST})
+), phr AS (
+  SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS tf
+  FROM posts a JOIN posts b
+    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{_PHRASE[0]}' AND b.term = '{_PHRASE[1]}'
+  GROUP BY 1
+), prox AS (
+  SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS tf
+  FROM posts a JOIN posts b
+    ON a.doc_id = b.doc_id
+   AND b.p BETWEEN a.p - {_PROX_WIN} AND a.p + {_PROX_WIN}
+  WHERE a.term = '{_PROX[0]}' AND b.term = '{_PROX[1]}'
+  GROUP BY 1
+), arms AS (
+  SELECT doc_id, 'phrase' AS kind, tf,
+         (SELECT CAST(count(*) AS DOUBLE) FROM phr) AS df
+  FROM phr
+  UNION ALL
+  SELECT doc_id, 'prox', tf,
+         (SELECT CAST(count(*) AS DOUBLE) FROM prox)
+  FROM prox
+), terms AS (
+  SELECT doc_id, kind, tf,
+         CAST({_sql_round(_BM25_TERM, 9)} AS DECIMAL(20,9)) AS s9
+  FROM arms JOIN lens USING (doc_id) CROSS JOIN stats
+), scored AS (
+  SELECT doc_id,
+         CAST(COALESCE(max(CASE WHEN kind = 'phrase' THEN tf END), 0)
+              AS BIGINT) AS phrase_tf,
+         CAST(COALESCE(max(CASE WHEN kind = 'prox' THEN tf END), 0)
+              AS BIGINT) AS prox_tf,
+         {_sql_round('CAST(sum(s9) AS DOUBLE)', 6)} AS score
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, phrase_tf, prox_tf, score, CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+) WHERE rk <= {_PHRASE_TOPK}
+"""
+
+
+@register("bm25_phrase_topk", _PHRASE_SQL)
+def bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL BM25: exact-phrase match ('{p0} {p1}' — adjacent
+    positions) plus an unordered proximity pair ({x0}, {x1} within
+    ±{w} tokens), each scored with the same Okapi closed form as
+    bm25_search_topk, with the phrase/pair occurrence count as tf and
+    the matching-doc count as df.
+
+    The scale discipline is bm25's, extended to positions: posexplode
+    filters to the positional-query vocabulary IMMEDIATELY (corpus
+    bytes never reach an exchange — the postings frame is |hits| rows
+    of (doc, term, pos)), and both the adjacency and window joins are
+    SELF-JOINS ON doc_id over that filtered frame, so the shuffle key
+    is the document and the per-doc position lists are tiny. Gap
+    checks are residual predicates on the co-partitioned join — the
+    positional-index query plan, not a regex rescan of the text.
+    Plan-asserted in tests/test_retrieval.py."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    lens = d.select("doc_id", F.size("t").cast("double").alias("len_d"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.size("t")).cast("double")
+         / F.count(F.lit(1))).alias("avg_len"))
+    posts = (
+        d.select("doc_id", F.posexplode("t").alias("p0", "term"))
+        .filter(F.col("term").isin(*_POS_TERMS))
+        # 1-based positions, matching the oracle's generate_subscripts
+        .select("doc_id", "term", (F.col("p0") + 1).alias("p"))
+    )
+    a = posts.filter(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("p").alias("pa"))
+    b = posts.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("p").alias("pb"))
+    phr = (a.join(b, "doc_id")
+           .filter(F.col("pb") == F.col("pa") + 1)
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    xa = posts.filter(F.col("term") == _PROX[0]).select(
+        "doc_id", F.col("p").alias("pa"))
+    xb = posts.filter(F.col("term") == _PROX[1]).select(
+        "doc_id", F.col("p").alias("pb"))
+    prox = (xa.join(xb, "doc_id")
+            .filter((F.col("pb") >= F.col("pa") - _PROX_WIN)
+                    & (F.col("pb") <= F.col("pa") + _PROX_WIN))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    phr_df = phr.agg(F.count(F.lit(1)).cast("double").alias("df"))
+    prox_df = prox.agg(F.count(F.lit(1)).cast("double").alias("df"))
+    arms = (
+        phr.withColumn("kind", F.lit("phrase"))
+        .crossJoin(F.broadcast(phr_df))
+        .unionByName(
+            prox.withColumn("kind", F.lit("prox"))
+            .crossJoin(F.broadcast(prox_df)))
+    )
+    terms = (
+        arms.join(lens, "doc_id").crossJoin(F.broadcast(stats))
+        .select("doc_id", "kind", "tf",
+                round_half_away(F.expr(_BM25_TERM), 9)
+                .cast("decimal(20,9)").alias("s9"))
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("kind") == "phrase", F.col("tf"))),
+            F.lit(0.0)).cast("long").alias("phrase_tf"),
+        F.coalesce(
+            F.max(F.when(F.col("kind") == "prox", F.col("tf"))),
+            F.lit(0.0)).cast("long").alias("prox_tf"),
+        round_half_away(F.sum("s9").cast("double"), 6).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")) \
+        .limit(_PHRASE_TOPK)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+bm25_phrase_topk.__doc__ = bm25_phrase_topk.__doc__.format(
+    p0=_PHRASE[0], p1=_PHRASE[1], x0=_PROX[0], x1=_PROX[1], w=_PROX_WIN)

@@ -59,3 +59,37 @@ def test_rrf_query_doc_is_top_dense_hit(spark, sf_dir):
             C.hybrid_rrf_fusion(spark, sf_dir).collect()}
     assert C._RRF_QVEC_ID in rows
     assert rows[C._RRF_QVEC_ID].in_dense == 1
+
+
+def test_bm25_phrase_known_corpus(spark, tmp_path):
+    """Adjacency and window semantics on a planted corpus: only true
+    adjacent 'hash join' counts as a phrase hit; 'scan ... sort' within
+    the ±4 window counts as proximity; reversed-order phrase does not."""
+    rows = [
+        (1, "hash join hash join pad pad pad"),        # 2 phrase hits
+        (2, "join hash pad pad pad pad pad"),          # reversed: 0
+        (3, "scan pad pad sort pad pad pad"),          # prox within 4
+        (4, "scan pad pad pad pad pad sort"),          # gap 6: no prox
+        (5, "hash join scan sort pad pad pad"),        # both
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in C.bm25_phrase_topk(spark, d).collect()}
+    assert 2 not in out and 4 not in out
+    assert out[1].phrase_tf == 2 and out[1].prox_tf == 0
+    assert out[3].prox_tf == 1 and out[3].phrase_tf == 0
+    assert out[5].phrase_tf == 1 and out[5].prox_tf == 1
+    # doc 5 matches both components -> outranks single-component docs
+    assert out[5].rank == 1
+
+
+def test_bm25_phrase_plan_filters_before_position_joins(spark, sf_dir):
+    df = C.bm25_phrase_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # postings explode + vocabulary filter in the scan stage, position
+    # joins keyed on doc_id (no cartesian), top-k without a global sort
+    assert "Generate posexplode" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
