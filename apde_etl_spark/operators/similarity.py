@@ -1928,6 +1928,7 @@ def exact_topk_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    query_filter: Column | None = None,
 ) -> DataFrame:
     """Exact per-vector cosine top-k over the whole table (self excluded)
     — the ground truth the recall entries compare against, and the
@@ -1944,7 +1945,15 @@ def exact_topk_pairs(
     and the per-query top-k is a stable argsort (ties broken by
     ascending id, exactly the ranking the previous crossJoin+window
     formulation produced — hashes of the consuming oracle entry are
-    unchanged at all three SFs)."""
+    unchanged at all three SFs).
+
+    ``query_filter`` restricts the QUERY side only (the corpus stays
+    the full table) — the standard ANN-benchmark shape at scale:
+    ground-truth a probe sample against everything. The in-worker
+    matmul is CHUNKED so the score block stays ~64 MB regardless of
+    corpus size — at the 200k cap an unchunked Arrow batch would
+    materialize a batch x corpus block of several GB per task
+    (measured: worker OOM crash at 6250-row batches x 200k corpus)."""
     import numpy as np
 
     e = df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
@@ -1964,25 +1973,31 @@ def exact_topk_pairs(
     C = np.array([list(r["__v"]) for r in corpus], dtype=np.float64)
     Cn = np.linalg.norm(C, axis=1)
     n_keep = min(k, len(ids) - 1)
+    # rows per matmul chunk: ~64 MB of score doubles (8M cells)
+    chunk = max(1, 8_000_000 // max(len(ids), 1))
 
     def topk(batches):
         import pandas as pd
 
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
-            Xn = np.linalg.norm(X, axis=1)
-            S = (X @ C.T) / (Xn[:, None] * Cn[None, :])
-            qids = pdf[id_col].to_numpy()
-            S[qids[:, None] == ids[None, :]] = -np.inf  # self excluded
-            order = np.argsort(-S, axis=1, kind="stable")[:, :n_keep]
-            yield pd.DataFrame({
-                "id_a": qids.repeat(n_keep),
-                "id_b": ids[order].reshape(len(pdf) * n_keep),
-            })
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo:lo + chunk]
+                if len(part) == 0:
+                    continue
+                X = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in part["__v"]])
+                Xn = np.linalg.norm(X, axis=1)
+                S = (X @ C.T) / (Xn[:, None] * Cn[None, :])
+                qids = part[id_col].to_numpy()
+                S[qids[:, None] == ids[None, :]] = -np.inf  # self excluded
+                order = np.argsort(-S, axis=1, kind="stable")[:, :n_keep]
+                yield pd.DataFrame({
+                    "id_a": qids.repeat(n_keep),
+                    "id_b": ids[order].reshape(len(part) * n_keep),
+                })
 
-    return e.mapInPandas(topk, schema="id_a long, id_b long")
+    q = e if query_filter is None else e.filter(query_filter)
+    return q.mapInPandas(topk, schema="id_a long, id_b long")
 
 
 def semantic_dedup(

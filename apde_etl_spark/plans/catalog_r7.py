@@ -277,6 +277,7 @@ _G_M = 8        # stored neighbors per node
 _G_BEAM = 10    # beam width
 _G_HOPS = 3     # fixed hop count (unrolled in the oracle)
 _G_K = 5
+_G_ENTRIES = 16  # hash-stratified entry points (see build_knn_graph)
 _G_QUERY_PRED = "vec_id % 97 = 0"
 
 #: per-process graph-index build cache (the _ensure_index pattern,
@@ -295,7 +296,7 @@ def _ensure_graph_index(spark: SparkSession, sf_dir: str) -> str:
         d = tempfile.mkdtemp(prefix="apde_anngraph_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         emb = load(spark, sf_dir, "embeddings")
-        build_knn_graph(emb, d, n_neighbors=_G_M)
+        build_knn_graph(emb, d, n_neighbors=_G_M, n_entries=_G_ENTRIES)
         _GRAPH_CACHE[sf_dir] = d
     return _GRAPH_CACHE[sf_dir]
 
@@ -345,7 +346,13 @@ knn AS (
 graph AS (SELECT src, dst FROM knn WHERE rn <= {_G_M}),
 q AS (SELECT vec_id AS query_id, v AS qv, n AS qn
       FROM e WHERE {_G_QUERY_PRED}),
-ent AS (SELECT min(vec_id) AS eid FROM e),
+ent AS (
+  SELECT vec_id AS eid FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY
+      CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+           AS BIGINT), vec_id) AS hrn
+    FROM e) s WHERE hrn <= {_G_ENTRIES}
+),
 beam0 AS (SELECT query_id, eid AS cid, CAST(NULL AS DOUBLE) AS cos
           FROM q, ent),{",".join(hops)}"""
 

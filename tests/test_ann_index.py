@@ -125,13 +125,16 @@ def test_knn_graph_build_and_beam_search(spark, sf_dir, tmp_path):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     d = str(tmp_path / "gidx")
-    meta = build_knn_graph(emb, d, n_neighbors=4)
-    assert meta["n_neighbors"] == 4
+    meta = build_knn_graph(emb, d, n_neighbors=4, n_entries=8)
+    assert meta["n_neighbors"] == 4 and meta["n_entries"] == 8
     g = spark.read.parquet(f"{d}/graph")
     n = emb.count()
     assert g.count() == n * 4
-    assert spark.read.parquet(f"{d}/graph_meta").first()["entry_id"] == \
-        emb.agg(F.min("vec_id")).first()[0]
+    # hash-stratified entry set: 8 distinct corpus ids
+    ents = {r["entry_id"]
+            for r in spark.read.parquet(f"{d}/graph_meta").collect()}
+    corpus_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert len(ents) == 8 and ents <= corpus_ids
 
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     out = ann_graph_search(spark, d, queries, emb, k=3, beam=6, hops=2)
