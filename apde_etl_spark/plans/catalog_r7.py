@@ -278,6 +278,7 @@ _G_BEAM = 10    # beam width
 _G_HOPS = 3     # fixed hop count (unrolled in the oracle)
 _G_K = 5
 _G_ENTRIES = 16  # hash-stratified entry points (see build_knn_graph)
+_G_LONG = 2      # deterministic small-world long links per node
 _G_QUERY_PRED = "vec_id % 97 = 0"
 
 #: per-process graph-index build cache (the _ensure_index pattern,
@@ -296,7 +297,8 @@ def _ensure_graph_index(spark: SparkSession, sf_dir: str) -> str:
         d = tempfile.mkdtemp(prefix="apde_anngraph_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         emb = load(spark, sf_dir, "embeddings")
-        build_knn_graph(emb, d, n_neighbors=_G_M, n_entries=_G_ENTRIES)
+        build_knn_graph(emb, d, n_neighbors=_G_M, n_entries=_G_ENTRIES,
+                        n_long_links=_G_LONG)
         _GRAPH_CACHE[sf_dir] = d
     return _GRAPH_CACHE[sf_dir]
 
@@ -343,7 +345,18 @@ knn AS (
                     b.vec_id ASC) AS rn
   FROM e a JOIN e b ON a.vec_id != b.vec_id
 ),
-graph AS (SELECT src, dst FROM knn WHERE rn <= {_G_M}),
+rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn2
+       FROM e),
+nn AS (SELECT count(*) AS n FROM e),
+longl AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM rk a CROSS JOIN nn CROSS JOIN range(1, {_G_LONG + 1}) t(r)
+  INNER JOIN rk b
+    ON b.rn2 = (a.rn2 * 2654435761 + r * 40503 + 12345) % nn.n
+   AND b.vec_id != a.vec_id
+),
+graph AS (SELECT src, dst FROM knn WHERE rn <= {_G_M}
+          UNION ALL SELECT src, dst FROM longl),
 q AS (SELECT vec_id AS query_id, v AS qv, n AS qn
       FROM e WHERE {_G_QUERY_PRED}),
 ent AS (

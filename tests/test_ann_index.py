@@ -125,11 +125,15 @@ def test_knn_graph_build_and_beam_search(spark, sf_dir, tmp_path):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     d = str(tmp_path / "gidx")
-    meta = build_knn_graph(emb, d, n_neighbors=4, n_entries=8)
+    meta = build_knn_graph(emb, d, n_neighbors=4, n_entries=8,
+                           n_long_links=2)
     assert meta["n_neighbors"] == 4 and meta["n_entries"] == 8
     g = spark.read.parquet(f"{d}/graph")
     n = emb.count()
-    assert g.count() == n * 4
+    # k-NN rows exact; long links n*2 minus the rare self-target hits
+    assert g.filter(F.col("rank") <= 4).count() == n * 4
+    n_long = g.filter(F.col("rank") > 4).count()
+    assert n * 2 - n <= n_long <= n * 2
     # hash-stratified entry set: 8 distinct corpus ids
     ents = {r["entry_id"]
             for r in spark.read.parquet(f"{d}/graph_meta").collect()}

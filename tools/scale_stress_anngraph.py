@@ -23,6 +23,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _manifold_embeddings(spark, n: int, dim: int = 64, latent: int = 4):
+    """Intrinsic-low-dim corpus: 4 latent coords per row (integer-mix
+    uniforms) pushed through a fixed random-ish linear map to 64-dim.
+    Nearest neighbors in 64-dim = nearest in the 4-dim latent, so the
+    k-NN graph is navigable — the structure real embeddings carry."""
+    from pyspark.sql import functions as F
+
+    t = [
+        ((F.col("id") * F.lit(2654435761 + 97 * a) + F.lit(12345 + a))
+         % F.lit(1000003)).cast("double") / F.lit(1000003.0)
+        for a in range(latent)
+    ]
+    coeff = [
+        [(((d * (40503 + a) + 7 * a + d) * 2246822519) % 2000001
+          - 1000000) / 1e6
+         for a in range(latent)]
+        for d in range(dim)
+    ]
+    vec = F.array(*[
+        sum((t[a] * F.lit(coeff[d][a]) for a in range(1, latent)),
+            t[0] * F.lit(coeff[d][0]))
+        for d in range(dim)
+    ])
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -38,19 +65,25 @@ def main() -> None:
     regime = sys.argv[3] if len(sys.argv) > 3 else "uniform"
     spark = get_spark("scale-stress-anngraph")
 
-    # Two regimes, because they split the index families: "uniform"
-    # (n_clusters = n -> every vector its own center; spread cosine
-    # landscape) is the NAVIGABLE regime where graph search shines;
-    # "clustered" (32 tight clusters) is DEGENERATE for graph walks —
-    # intra-cluster members are near-equidistant to any query (the
-    # center dominates every cosine), so greedy guidance has no
-    # gradient and recall collapses regardless of entry coverage
-    # (measured 0.011 even with 128 stratified entries). That regime
-    # belongs to IVF/IVFPQ, whose cells ARE the clusters — the
-    # documented pick-the-index-per-regime split.
-    n_clusters = n_corpus if regime == "uniform" else 32
-    emb = clustered_embeddings(
-        spark, n=n_corpus, n_clusters=n_clusters).persist()
+    # Three regimes, because they split the index families:
+    # - "manifold" (4-dim latent coords, linear 64-dim embedding):
+    #   intrinsic-low-dimension data — what real embedding models emit
+    #   and the premise of every navigable-graph index. Graph search's
+    #   home regime.
+    # - "uniform" (i.i.d. 64-dim): NO navigable structure —
+    #   concentration of measure flattens the cosine landscape, greedy
+    #   guidance has nothing to follow (measured recall 0.02 at 200k
+    #   even at beam=32/hops=8). The documented adversarial case.
+    # - "clustered" (32 tight clusters): DISCONNECTED k-NN graph +
+    #   near-equidistant intra-cluster members (measured 0.011 with
+    #   128 stratified entries) — IVF/IVFPQ's home turf, whose cells
+    #   ARE the clusters (>=0.9 in-gate).
+    if regime == "manifold":
+        emb = _manifold_embeddings(spark, n_corpus).persist()
+    else:
+        n_clusters = n_corpus if regime == "uniform" else 32
+        emb = clustered_embeddings(
+            spark, n=n_corpus, n_clusters=n_clusters).persist()
     emb.count()
 
     d = tempfile.mkdtemp(prefix="apde_anngraph_stress_")
@@ -60,7 +93,8 @@ def main() -> None:
         # recall ceiling (e^-4 ~ 2% clusters uncovered at 128 draws);
         # measured 0.001 recall with ONE entry at this same scale
         t0 = time.perf_counter()
-        build_knn_graph(emb, d, n_neighbors=8, n_entries=128)
+        build_knn_graph(emb, d, n_neighbors=12, n_entries=128,
+                        n_long_links=3)
         build_wall = time.perf_counter() - t0
 
         stride = max(1, n_corpus // n_queries)
@@ -68,7 +102,7 @@ def main() -> None:
         nq = queries.count()
         t0 = time.perf_counter()
         approx = ann_graph_search(
-            spark, d, queries, emb, k=5, beam=32, hops=8)
+            spark, d, queries, emb, k=5, beam=48, hops=12)
         n_results = approx.count()
         serve_wall = time.perf_counter() - t0
 
