@@ -533,6 +533,17 @@ def _ensure_versioned(spark: SparkSession, sf_dir: str) -> tuple:
         spark, cust_dir, updates, "c_custkey",
         ["c_acctbal", "c_mktsegment"], deletes=deletes)
 
+    # v=3: SCHEMA EVOLUTION — the loyalty-tier column arrives; earlier
+    # versions read it as NULL through the mergeSchema union
+    from apde_etl_spark.sources.lifecycle import read_version
+
+    v2 = read_version(spark, cust_dir, 2)
+    versioned_write(
+        v2.withColumn(
+            "loyalty_tier",
+            F.when(F.col("c_acctbal") > 5000, "gold").otherwise("std")),
+        cust_dir)
+
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice")
     versioned_write(orders, ord_dir, n_files=_COMPACT_FRAGMENTS)
@@ -928,3 +939,41 @@ def langid_ngram_scores_multiplicity(
     for la in reversed(langs[:-1]):
         pred = F.when(F.col(f"__h_{la}") == best, F.lit(la)).otherwise(pred)
     return per_doc.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+_SCHEMA_EVO_SQL = f"""
+WITH merged AS ({_MERGE_V2_SQL})
+SELECT CAST(1 AS INTEGER) AS version,
+       CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_tiered,
+       CAST(0 AS BIGINT) AS n_gold
+UNION ALL
+SELECT 2, (SELECT count(*) FROM merged), 0, 0
+UNION ALL
+SELECT 3, (SELECT count(*) FROM merged),
+       (SELECT count(*) FROM merged),
+       (SELECT count(*) FROM merged WHERE c_acctbal > 5000)
+"""
+
+
+@register("versioned_schema_evolution", _SCHEMA_EVO_SQL)
+def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across versions: v=3 adds the loyalty_tier
+    column; ONE mergeSchema read of the table directory (the v=N
+    layout IS a hive partition scheme, so the version arrives as a
+    column) unifies all snapshots, with pre-evolution versions reading
+    the new column as NULL — the lake-format contract. Output is the
+    per-version (rows, non-null-tier) census, gated against the
+    analytically derived expectation, which proves BOTH the evolved
+    write and the legacy-version NULL semantics in one row set."""
+    from apde_etl_spark.sources.lifecycle import read_all_versions
+
+    cust_dir, _, _ = _ensure_versioned(spark, sf_dir)
+    allv = read_all_versions(spark, cust_dir)
+    return (
+        allv.groupBy(F.col("v").cast("int").alias("version"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.count("loyalty_tier").cast("long").alias("n_tiered"),
+             F.sum(F.when(F.col("loyalty_tier") == "gold", 1)
+                   .otherwise(0)).cast("long").alias("n_gold"))
+    )

@@ -704,3 +704,29 @@ def compact_table(spark: SparkSession, table_dir: str,
     new_v = versioned_write(df, table_dir, n_files=target_files)
     after = data_file_count(table_dir, new_v)
     return new_v, before, after
+
+
+def read_all_versions(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Every snapshot at once, with the version as a column: the v=N
+    directory layout IS a hive partition scheme, so one
+    mergeSchema-enabled read yields the union of all versions with
+    schema evolution handled natively (columns added in later versions
+    read as NULL in earlier ones — the lake-format behavior)."""
+    return spark.read.option("mergeSchema", "true").parquet(table_dir)
+
+
+def vacuum_versions(table_dir: str, keep_last: int = 2) -> tuple[list[int], list[int]]:
+    """Retention: physically remove all but the newest ``keep_last``
+    version snapshots. Returns (removed, kept). The latest version is
+    never removable (keep_last >= 1 enforced) — the VACUUM analogue
+    that caps time-travel storage after compactions and merges
+    accumulate snapshots."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("vacuum_versions: keep_last must be >= 1")
+    versions = list_versions(table_dir)
+    removed = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in removed:
+        shutil.rmtree(f"{table_dir}/v={v}")
+    return removed, [v for v in versions if v not in removed]

@@ -432,3 +432,35 @@ def test_compact_table_reduces_files_preserving_rows(spark, tmp_path):
     a = {tuple(r) for r in read_version(spark, d, 1).collect()}
     b = {tuple(r) for r in read_version(spark, d, 2).collect()}
     assert a == b
+
+
+def test_vacuum_and_read_all_versions(spark, tmp_path):
+    from apde_etl_spark.sources.lifecycle import (
+        list_versions,
+        read_all_versions,
+        read_version,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    d = str(tmp_path / "vt")
+    versioned_write(spark.range(5).select(F.col("id")), d)
+    versioned_write(spark.range(7).select(F.col("id")), d)
+    # schema evolution: v3 adds a column; mergeSchema read unifies
+    versioned_write(
+        spark.range(7).select(F.col("id"), F.lit("x").alias("extra")), d)
+    allv = read_all_versions(spark, d)
+    assert set(allv.columns) == {"id", "extra", "v"}
+    per_v = {r["v"]: (r["n"], r["e"]) for r in allv.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("extra").alias("e")).collect()}
+    assert per_v == {1: (5, 0), 2: (7, 0), 3: (7, 7)}
+    removed, kept = vacuum_versions(d, keep_last=2)
+    assert removed == [1] and kept == [2, 3]
+    assert list_versions(d) == [2, 3]
+    assert read_version(spark, d, 2).count() == 7
+    with pytest.raises(ValueError):
+        vacuum_versions(d, keep_last=0)
+    # vacuum never removes the only/latest snapshot
+    removed2, kept2 = vacuum_versions(d, keep_last=5)
+    assert removed2 == [] and kept2 == [2, 3]
