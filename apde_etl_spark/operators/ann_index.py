@@ -57,6 +57,7 @@ __all__ = [
     "ann_query_prebuilt",
     "build_knn_graph",
     "ann_graph_search",
+    "ann_graph_add",
 ]
 
 
@@ -463,3 +464,37 @@ def ann_graph_search(
         .select("query_id", "rank", F.col("__cid").alias(id_col),
                 F.col("__cos").alias("cosine_raw"))
     )
+
+
+def ann_graph_add(
+    spark: SparkSession,
+    index_dir: str,
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    beam: int = 10,
+    hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental insert into the FROZEN graph index — the NSW insert
+    step: each new vector's neighbor list is the beam-search result
+    against the existing graph (no rebuild, no exact k-NN job), and the
+    new out-edges APPEND to the persisted adjacency. One-directional
+    approximation (classic NSW also adds the reverse edges; appending
+    src-side only keeps the stored lists immutable — the same
+    append-only posture as ann_index_add's cell partitions, at the
+    cost of new nodes being findable only via future inserts until the
+    next rebuild — documented trade). Returns the appended edge frame
+    (src = new id, dst = neighbor, rank)."""
+    n_nbrs = int(spark.read.parquet(f"{index_dir}/graph_meta")
+                 .first()["n_neighbors"])
+    nbrs = ann_graph_search(
+        spark, index_dir, new_df, corpus_df, k=n_nbrs,
+        beam=beam, hops=hops, id_col=id_col, vec_col=vec_col)
+    edges = nbrs.select(
+        F.col("query_id").alias("src"),
+        F.col(id_col).alias("dst"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    edges.write.mode("append").parquet(f"{index_dir}/graph")
+    return edges

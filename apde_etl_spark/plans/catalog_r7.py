@@ -308,11 +308,15 @@ def _sql_g_cos(av: str, an: str, bv: str, bn: str) -> str:
             f"p -> p[1]*p[2])) / ({an} * {bn})")
 
 
-def _sql_graph_search_ctes() -> str:
-    """Shared oracle CTEs: rebuild the exact k-NN graph from first
-    principles, then unroll the fixed-hop beam search (the
-    unrolled-iteration discipline — same as the exact-mean Lloyd and
-    EM oracles). Ends at ``beam{H}(query_id, cid, cos)``."""
+def _sql_graph_search_ctes(corpus_where: str = "TRUE",
+                           query_pred: str | None = None) -> str:
+    """Shared oracle CTEs: rebuild the small-world graph (exact k-NN +
+    hash-derived long links) from first principles over the
+    ``corpus_where``-filtered corpus, then unroll the fixed-hop beam
+    search for queries matching ``query_pred`` (drawn from the FULL
+    raw table, so incremental-add batches outside the corpus can
+    query it). Ends at ``beam{H}(query_id, cid, cos)``."""
+    query_pred = query_pred or _G_QUERY_PRED
     hops = []
     for i in range(1, _G_HOPS + 1):
         hops.append(f"""
@@ -337,7 +341,8 @@ cand{i} AS (
     return f"""
 raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 e AS (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, y -> y*y))) AS n FROM raw),
+             sqrt(list_sum(list_transform(v, y -> y*y))) AS n FROM raw
+      WHERE {corpus_where}),
 knn AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          row_number() OVER (PARTITION BY a.vec_id
@@ -357,8 +362,9 @@ longl AS (
 ),
 graph AS (SELECT src, dst FROM knn WHERE rn <= {_G_M}
           UNION ALL SELECT src, dst FROM longl),
-q AS (SELECT vec_id AS query_id, v AS qv, n AS qn
-      FROM e WHERE {_G_QUERY_PRED}),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_sum(list_transform(v, y -> y*y))) AS qn
+      FROM raw WHERE {query_pred}),
 ent AS (
   SELECT vec_id AS eid FROM (
     SELECT vec_id, row_number() OVER (ORDER BY
@@ -976,4 +982,78 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("loyalty_tier").cast("long").alias("n_tiered"),
              F.sum(F.when(F.col("loyalty_tier") == "gold", 1)
                    .otherwise(0)).cast("long").alias("n_gold"))
+    )
+
+
+_G_SUB_WHERE = "vec_id % 20 != 0"
+_G_BATCH_PRED = "vec_id % 20 = 0"
+
+_GRAPH_ADD_SQL = f"""
+WITH {_sql_graph_search_ctes(corpus_where=_G_SUB_WHERE,
+                             query_pred=_G_BATCH_PRED)},
+nbrs AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, cid ASC) AS rnk
+    FROM beam{_G_HOPS} WHERE cid != query_id) z
+  WHERE rnk <= {_G_M}
+)
+SELECT query_id AS vec_id,
+       CAST(count(*) AS BIGINT) AS n_nbrs,
+       CAST(sum(cid) AS BIGINT) AS nbr_id_sum
+FROM nbrs GROUP BY query_id
+"""
+
+
+@register("ann_graph_add_incremental", _GRAPH_ADD_SQL)
+def ann_graph_add_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental insert into a FROZEN graph index (the NSW insert
+    step): the graph is built on 95% of the corpus (vec_id % 20 != 0);
+    the arriving 5% batch gets its neighbor lists from beam search
+    against the existing graph — no rebuild, no exact k-NN job — and
+    the new out-edges append to the persisted adjacency
+    (operators/ann_index.py:ann_graph_add). Output is each new
+    vector's neighbor count and integer neighbor-id sum, so the whole
+    insert-time search is hash-gated (the ann_index_add_incremental
+    pattern applied to the graph family). At 100 TB this is the
+    nightly vector-ingest job: batch x frozen-graph walk, bounded per
+    vector by beam * degree * hops."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from apde_etl_spark.operators.ann_index import (
+        ann_graph_add,
+        build_knn_graph,
+    )
+
+    key = (sf_dir, "sub")
+    if key not in _GRAPH_CACHE:
+        d = tempfile.mkdtemp(prefix="apde_anngraph_sub_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        emb95 = load(spark, sf_dir, "embeddings").filter(
+            F.expr(_G_SUB_WHERE))
+        build_knn_graph(emb95, d, n_neighbors=_G_M, n_entries=_G_ENTRIES,
+                        n_long_links=_G_LONG)
+        _GRAPH_CACHE[key] = d
+    d = _GRAPH_CACHE[key]
+    emb = load(spark, sf_dir, "embeddings")
+    corpus95 = emb.filter(F.expr(_G_SUB_WHERE))
+    batch = emb.filter(F.expr(_G_BATCH_PRED))
+    # search WITHOUT writing (the append side effect is ann_graph_add's
+    # job and is pytest-covered; the gate entry must be re-runnable
+    # without mutating the cached index)
+    from apde_etl_spark.operators.ann_index import ann_graph_search
+
+    nbrs = ann_graph_search(
+        spark, d, batch, corpus95, k=_G_M, beam=_G_BEAM, hops=_G_HOPS)
+    # aggregate the NEIGHBOR ids per query, then surface the query id
+    # under the output name (renaming inside groupBy would shadow the
+    # summed column)
+    return (
+        nbrs.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nbrs"),
+             F.sum("vec_id").cast("long").alias("nbr_id_sum"))
+        .select(F.col("query_id").alias("vec_id"), "n_nbrs", "nbr_id_sum")
     )

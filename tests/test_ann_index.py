@@ -169,3 +169,31 @@ def test_graph_recall_floor(spark, sf_dir):
     # measured 0.6 at sf0.01 on the uniform-noise corpus (ANN's hard
     # case); floor well under
     assert r["recall_at_k"] >= 0.35
+
+
+def test_ann_graph_add_appends_edges(spark, sf_dir, tmp_path):
+    """NSW insert: new vectors get beam-search neighbor lists against
+    the frozen graph, and the out-edges append to the adjacency."""
+    import pyspark.sql.functions as F
+
+    from apde_etl_spark.operators.ann_index import (
+        ann_graph_add,
+        build_knn_graph,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    d = str(tmp_path / "gidx")
+    build_knn_graph(corpus, d, n_neighbors=4, n_entries=8)
+    before = spark.read.parquet(f"{d}/graph").count()
+    edges = ann_graph_add(spark, d, batch, corpus, beam=6, hops=2)
+    n_new = batch.count()
+    got = edges.collect()
+    assert len(got) == n_new * 4
+    # every appended edge points from a NEW id into the OLD corpus
+    old_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    new_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert all(r["src"] in new_ids and r["dst"] in old_ids for r in got)
+    after = spark.read.parquet(f"{d}/graph").count()
+    assert after == before + n_new * 4
