@@ -708,3 +708,82 @@ def distribution_drift(
         F.when(F.col("qp") > 0, d * d / F.col("qp")).alias("chi2_term"),
         (F.abs(d) / F.lit(2.0)).alias("tv_term"),
     )
+
+
+# ===========================================================================
+# Portable HLL registers: persistable, mergeable, cross-engine-exact
+# ===========================================================================
+
+#: registers (power of two so reg/rest split is bit arithmetic)
+HLL_M = 256
+#: bits left in the 60-bit hash after the register index
+HLL_REST_BITS = 52
+#: Flajolet et al. 2007 bias constant for m >= 128, frozen as a Python
+#: float so both engines embed the identical literal
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_registers(df: DataFrame, key_col: str,
+                  group_cols: Sequence[str] = ()) -> DataFrame:
+    """PORTABLE HyperLogLog registers — unlike the engine-native
+    DataSketches binary (hll_sketch_agg), this register table is plain
+    integers: (group..., reg INT, max_rho INT), so it PERSISTS as
+    parquet, MERGES across shards/days with one groupBy-MAX, and
+    hash-gates against a DuckDB restatement. The construction is the
+    textbook HLL (Flajolet et al. 2007, public method) on the repo's
+    cross-engine hash60: register = low 8 hash bits, rho = leading
+    zeros of the remaining 52 bits + 1 (computed EXACTLY via the
+    binary-string length — both engines' ``bin()`` agree — never a
+    float log2). NULL keys are ignored, matching countDistinct.
+
+    At 100 TB this is the incremental-distinct pattern: per-partition
+    register tables are built once at ingest (a groupBy over ~m rows
+    of state per group), and any window of them merges WITHOUT
+    rescanning history."""
+    h = F.expr(
+        f"CAST(conv(substr(md5(CAST(CAST({key_col} AS STRING) AS BINARY)),"
+        f" 1, 15), 16, 10) AS BIGINT)")
+    reg = (h % F.lit(HLL_M)).cast("int")
+    rest = F.expr(f"(CAST(conv(substr(md5(CAST(CAST({key_col} AS STRING)"
+                  f" AS BINARY)), 1, 15), 16, 10) AS BIGINT)) div {HLL_M}")
+    rho = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+        F.lit(HLL_REST_BITS + 1) - F.length(F.expr(
+            f"bin((CAST(conv(substr(md5(CAST(CAST({key_col} AS STRING)"
+            f" AS BINARY)), 1, 15), 16, 10) AS BIGINT)) div {HLL_M})"))
+    ).cast("int")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: Sequence[str] = ()) -> DataFrame:
+    """Estimate from (merged) register tables, EXACT until the last
+    float ops: the harmonic sum accumulates integer numerators over
+    the common denominator 2^53 (``2^(53-rho)`` per register, zeros
+    contributing 2^53) — order-independent BIGINT addition, so the
+    estimate is bit-identical across engines/partitionings. Low-range
+    linear counting (E <= 2.5m with empty registers) applies the
+    standard correction. Returns (group..., est_distinct DOUBLE)."""
+    two53 = 1 << (HLL_REST_BITS + 1)
+    # shiftleft's amount parameter is int-only in the Column API —
+    # the SQL form takes a column amount
+    inv = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {HLL_REST_BITS + 1} - max_rho)")
+    per = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__nz"),
+        F.sum(inv).alias("__sum_inv"),
+    )
+    zeros = F.lit(HLL_M) - F.col("__nz")
+    z_total = (zeros.cast("long") * F.lit(two53) + F.col("__sum_inv"))
+    e_raw = (F.lit(HLL_ALPHA) * F.lit(HLL_M) * F.lit(HLL_M)
+             * F.lit(float(two53)) / z_total.cast("double"))
+    est = F.when(
+        (e_raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M))
+                                    / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return per.select(*group_cols, est.alias("est_distinct"))

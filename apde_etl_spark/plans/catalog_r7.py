@@ -1057,3 +1057,147 @@ def ann_graph_add_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("vec_id").cast("long").alias("nbr_id_sum"))
         .select(F.col("query_id").alias("vec_id"), "n_nbrs", "nbr_id_sum")
     )
+
+
+# ===========================================================================
+# Portable HLL registers: persisted per-day sketches, merged from storage
+# ===========================================================================
+
+from apde_etl_spark.operators.profile import HLL_ALPHA, HLL_M  # noqa: E402
+
+_HLL_CACHE: dict = {}
+
+_SQL_H60_USER = ("CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),"
+                 " 1, 15)) AS BIGINT)")
+
+_HLL_REG_CTES = f"""
+ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events
+       WHERE user_id IS NOT NULL),
+hh AS (SELECT day, {_SQL_H60_USER} AS h FROM ev),
+r AS (
+  SELECT day, CAST(h % {HLL_M} AS INTEGER) AS reg,
+         CAST(CASE WHEN h // {HLL_M} = 0 THEN 53
+                   ELSE 53 - length(bin(h // {HLL_M})) END AS INTEGER) AS rho
+  FROM hh
+),
+regs AS (
+  SELECT day, reg, CAST(max(rho) AS INTEGER) AS max_rho
+  FROM r GROUP BY 1, 2
+)"""
+
+
+def _ensure_hll_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build per-day register tables ONCE and persist them — the
+    sketch store the union entry merges FROM STORAGE."""
+    from apde_etl_spark.operators.profile import hll_registers
+    from apde_etl_spark.plans.catalog import load_events
+
+    if sf_dir not in _HLL_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="apde_hll_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        ev = load_events(spark, sf_dir).withColumn(
+            "day", F.to_date("ts"))
+        regs = hll_registers(ev, "user_id", ["day"])
+        regs.write.mode("overwrite").partitionBy("day").parquet(d)
+        _HLL_CACHE[sf_dir] = d
+    return _HLL_CACHE[sf_dir]
+
+
+_HLL_DAILY_SQL = f"""
+WITH {_HLL_REG_CTES}
+SELECT day, reg, max_rho FROM regs
+"""
+
+
+@register("hll_daily_user_registers", _HLL_DAILY_SQL)
+def hll_daily_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE per-day HLL register tables
+    (operators/profile.py:hll_registers): plain-integer (day, reg,
+    max_rho) rows — unlike the engine-native DataSketches binary,
+    these persist as parquet, merge with one groupBy-MAX, and
+    hash-gate exactly (register = low 8 bits of the cross-engine
+    hash60, rho via exact binary-string length, never float log2).
+    The entry reads the sketches BACK FROM THE PARTITIONED STORE, so
+    the gate covers the write->read round trip. At 100 TB: ~m rows of
+    state per day regardless of traffic — the incremental-distinct
+    ingest artifact."""
+    d = _ensure_hll_store(spark, sf_dir)
+    return spark.read.parquet(d).select(
+        F.col("day").cast("date").alias("day"), "reg", "max_rho")
+
+
+_HLL_UNION_SQL = f"""
+WITH {_HLL_REG_CTES},
+m AS (SELECT reg, max(max_rho) AS max_rho FROM regs GROUP BY 1),
+agg AS (
+  SELECT count(*) AS nz,
+         sum(CAST(1 AS BIGINT) << (53 - max_rho)) AS sum_inv
+  FROM m
+),
+est AS (
+  SELECT CASE WHEN (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                    * 9007199254740992.0
+                    / CAST(({HLL_M} - nz) * 9007199254740992 + sum_inv
+                           AS DOUBLE)) <= {2.5 * HLL_M}
+                AND ({HLL_M} - nz) > 0
+              THEN CAST({float(HLL_M)!r} AS DOUBLE)
+                   * ln(CAST({float(HLL_M)!r} AS DOUBLE)
+                        / CAST({HLL_M} - nz AS DOUBLE))
+              ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                   * 9007199254740992.0
+                   / CAST(({HLL_M} - nz) * 9007199254740992 + sum_inv
+                          AS DOUBLE) END AS e
+  FROM agg
+)
+SELECT CAST((SELECT count(DISTINCT day) FROM regs) AS BIGINT) AS n_days,
+       {_sql_round('e', 6)} AS est_distinct,
+       CAST((SELECT count(DISTINCT user_id) FROM ev) AS BIGINT)
+         AS exact_distinct,
+       {_sql_round(
+           'abs(e - (SELECT count(DISTINCT user_id) FROM ev))'
+           ' / (SELECT count(DISTINCT user_id) FROM ev)', 6)} AS rel_err
+FROM est
+"""
+
+
+@register("hll_union_from_storage", _HLL_UNION_SQL)
+def hll_union_from_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge the PERSISTED per-day sketches into one month-wide
+    distinct estimate WITHOUT rescanning events: groupBy(reg).MAX over
+    ~days*m integer rows, then the HLL estimator with the harmonic sum
+    accumulated as integer numerators over 2^53 (order-independent —
+    bit-identical across engines; only the final division and the
+    low-range ln are float, on identical integers). Emits the estimate
+    beside the exact distinct and the relative error, all hash-gated —
+    the sketch-accuracy contract is IN the gate, not a test-only
+    assertion."""
+    from apde_etl_spark.functions.core import round_half_away
+    from apde_etl_spark.operators.profile import hll_estimate
+    from apde_etl_spark.plans.catalog import load_events
+
+    d = _ensure_hll_store(spark, sf_dir)
+    regs = spark.read.parquet(d)
+    merged = regs.groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+    est = hll_estimate(merged)
+    ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    days = regs.agg(
+        F.count_distinct("day").cast("long").alias("n_days"))
+    return (
+        est.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(days))
+        .select(
+            "n_days",
+            round_half_away(F.col("est_distinct"), 6).alias("est_distinct"),
+            "exact_distinct",
+            round_half_away(
+                F.abs(F.col("est_distinct")
+                      - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"), 6,
+            ).alias("rel_err"),
+        )
+    )

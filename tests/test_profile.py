@@ -311,3 +311,44 @@ def test_quoted_column_name_profiles_cleanly(spark):
     out = {r["varname"]: r["nrow"] for r in
            missingness_profile(df, "yr", ["it's odd"]).collect()}
     assert out == {"it's odd": 1}
+
+
+# ---------------------------------------------------------------------------
+# Portable HLL registers (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_merge_equals_whole(spark):
+    """Sharded register tables merged by MAX must equal the registers
+    built over the whole set — the mergeability contract that makes
+    per-day sketches unionable from storage."""
+    from apde_etl_spark.operators.profile import hll_registers
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 3).alias("shard"))
+    whole = hll_registers(df, "id")
+    sharded = (
+        hll_registers(df, "id", ["shard"])
+        .groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+    )
+    a = {(r["reg"], r["max_rho"]) for r in whole.collect()}
+    b = {(r["reg"], r["max_rho"]) for r in sharded.collect()}
+    assert a == b
+
+
+def test_hll_estimate_accuracy_and_null_handling(spark):
+    """m=256 -> rsd ~6.5%: assert a 15% envelope at 5k distinct; NULL
+    keys are ignored like countDistinct."""
+    from apde_etl_spark.operators.profile import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(5000).select(F.col("id"))
+    est = hll_estimate(hll_registers(df, "id")).first()["est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.15
+    withnull = df.select(
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("id"))
+    est2 = hll_estimate(hll_registers(withnull, "id")).first()[
+        "est_distinct"]
+    assert abs(est2 - 2500) / 2500 < 0.15
