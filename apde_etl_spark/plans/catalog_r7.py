@@ -1201,3 +1201,108 @@ def hll_union_from_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+_HLL_STREAM_SQL = f"""
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+hh AS (SELECT {_SQL_H60_USER} AS h FROM ev),
+m AS (
+  SELECT CAST(h % {HLL_M} AS INTEGER) AS reg,
+         max(CAST(CASE WHEN h // {HLL_M} = 0 THEN 53
+                       ELSE 53 - length(bin(h // {HLL_M})) END
+                  AS INTEGER)) AS max_rho
+  FROM hh GROUP BY 1
+),
+agg AS (
+  SELECT count(*) AS nz,
+         sum(CAST(1 AS BIGINT) << (53 - max_rho)) AS sum_inv
+  FROM m
+),
+est AS (
+  SELECT CASE WHEN (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                    * 9007199254740992.0
+                    / CAST(({HLL_M} - nz) * 9007199254740992 + sum_inv
+                           AS DOUBLE)) <= {2.5 * HLL_M}
+                AND ({HLL_M} - nz) > 0
+              THEN CAST({float(HLL_M)!r} AS DOUBLE)
+                   * ln(CAST({float(HLL_M)!r} AS DOUBLE)
+                        / CAST({HLL_M} - nz AS DOUBLE))
+              ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                   * 9007199254740992.0
+                   / CAST(({HLL_M} - nz) * 9007199254740992 + sum_inv
+                          AS DOUBLE) END AS e
+  FROM agg
+)
+SELECT {_sql_round('e', 6)} AS est_distinct,
+       CAST((SELECT count(DISTINCT user_id) FROM ev) AS BIGINT)
+         AS exact_distinct,
+       {_sql_round(
+           'abs(e - (SELECT count(DISTINCT user_id) FROM ev))'
+           ' / (SELECT count(DISTINCT user_id) FROM ev)', 6)} AS rel_err
+FROM est
+"""
+
+
+def _fold_hll_state(batch_df: DataFrame,
+                    existing: DataFrame | None) -> DataFrame:
+    """Fold one micro-batch into the global register state: sketch the
+    batch, MAX-merge with the current registers. Associative and
+    replay-safe by construction (max is idempotent), so micro-batch
+    boundaries cannot change the state."""
+    from apde_etl_spark.operators.profile import hll_registers
+
+    regs = hll_registers(batch_df, "user_id")
+    if existing is None:
+        return regs
+    return (
+        existing.unionByName(regs)
+        .groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+@register("stream_hll_distinct", _HLL_STREAM_SQL)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-count sketch: events arrive in micro-batches,
+    each folds its portable HLL registers into the persisted state
+    under the shared idempotent foreachBatch runner (max-merge — the
+    one fold that is associative, commutative AND idempotent, so
+    at-least-once replays and any micro-batch slicing land on the
+    identical register table). The oracle computes the same estimator
+    over all events in one pass — stream-batch convergence is
+    hash-proven, like stream_cdc_apply. This is the production
+    real-time 'distinct users today' counter: ~m integer rows of
+    state, merged into the daily store without rescans."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from apde_etl_spark.functions.core import round_half_away
+    from apde_etl_spark.operators.profile import hll_estimate
+    from apde_etl_spark.plans.catalog import load_events, normalize_ts
+    from apde_etl_spark.plans.catalog_r2 import run_idempotent_upsert
+
+    load_events(spark, sf_dir)  # sets the nanos conf if needed
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    src = normalize_ts(src)
+    workdir = tempfile.mkdtemp(prefix="stream_hll_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    target = run_idempotent_upsert(src, workdir, _fold_hll_state)
+    state = spark.read.parquet(target)
+    est = hll_estimate(state)
+    ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        round_half_away(F.col("est_distinct"), 6).alias("est_distinct"),
+        "exact_distinct",
+        round_half_away(
+            F.abs(F.col("est_distinct")
+                  - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"), 6,
+        ).alias("rel_err"),
+    )
