@@ -496,5 +496,10 @@ def ann_graph_add(
         F.col(id_col).alias("dst"),
         F.col("rank").cast("int").alias("rank"),
     )
+    # MATERIALIZE before the append: the lazy plan reads
+    # {index_dir}/graph, which the write below mutates — an
+    # unmaterialized return would re-run the whole beam search against
+    # the already-mutated adjacency on the caller's first action
+    edges = edges.localCheckpoint(eager=True)
     edges.write.mode("append").parquet(f"{index_dir}/graph")
     return edges

@@ -74,20 +74,25 @@ def editdist_neardup_pairs(
     Pipeline: (1) distinct values with multiplicities (the verify runs
     over vocabulary² per block, never rows²); (2) blocking key = first
     whitespace token — but any block whose DISTINCT-name count exceeds
-    ``block_cap`` extends its key with the first character of the
-    SECOND token, splitting a stopword-like hot block (the skew case:
-    one shared first word would otherwise make that block quadratic in
-    the vocabulary — 50k names = 2.5e9 pairs) into bounded sub-blocks;
-    (3) length-difference prefilter; (4) thresholded banded-DP
+    ``block_cap`` extends its key with a LONGER PREFIX of the second
+    token, iteratively (prefix lengths 1, 2, 3): a stopword-like hot
+    block (one shared first word = quadratic in the vocabulary — 50k
+    names = 2.5e9 pairs) splits level by level until every sub-block
+    is under the cap or the three levels are exhausted; (3)
+    length-difference prefilter; (4) thresholded banded-DP
     ``levenshtein(a, b, k)`` that early-exits past ``max_dist``.
 
-    The sub-split is the standard blocking approximation: pairs whose
-    second tokens start with different characters are not compared —
-    the same recall trade every blocker (LSH bands, linkage keys)
+    The split is the standard blocking approximation: pairs whose
+    second tokens diverge within the extended prefix are not compared
+    — the same recall trade every blocker (LSH bands, linkage keys)
     makes, and it only engages past the cap, so small blocks are
     exhaustive and the output is bit-identical to the unguarded run on
-    fixtures under the cap. Block sizes come from one vocabulary-sized
-    aggregate that rides a broadcast back onto the names.
+    fixtures under the cap. A block still hot after level 3 shares
+    first token AND a 3-char second-token prefix — its members are
+    genuinely near-identical, so the quadratic there is the true
+    candidate set, not skew (the documented residual). Block sizes
+    come from vocabulary-sized aggregates riding broadcasts back onto
+    the names.
 
     Returns (name_a, name_b, edit_dist, n_pairs) with
     ``n_pairs = cnt_a * cnt_b`` (id-pair multiplicity — the consumer
@@ -100,22 +105,26 @@ def editdist_neardup_pairs(
             F.col(name_col).alias("__name"))
         .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
     )
-    sizes = names.groupBy("__tok1").agg(
-        F.count(F.lit(1)).cast("long").alias("__blk_n"))
-    keyed = (
-        names.join(F.broadcast(sizes), "__tok1")
-        .select(
-            F.when(
-                F.col("__blk_n") > block_cap,
-                F.concat(
-                    F.col("__tok1"), F.lit("|"),
-                    F.substring(
-                        F.split_part(F.col("__name"), F.lit(" "), F.lit(2)),
-                        1, 1)),
-            ).otherwise(F.col("__tok1")).alias("__blk"),
-            "__name", "__cnt",
+    keyed = names.select(
+        F.col("__tok1").alias("__blk"), "__name", "__cnt")
+    for level in range(1, 4):
+        sizes = keyed.groupBy("__blk").agg(
+            F.count(F.lit(1)).cast("long").alias("__blk_n"))
+        keyed = (
+            keyed.join(F.broadcast(sizes), "__blk")
+            .select(
+                F.when(
+                    F.col("__blk_n") > block_cap,
+                    F.concat(
+                        F.col("__blk"), F.lit("|"),
+                        F.substring(
+                            F.split_part(F.col("__name"), F.lit(" "),
+                                         F.lit(2)),
+                            level, 1)),
+                ).otherwise(F.col("__blk")).alias("__blk"),
+                "__name", "__cnt",
+            )
         )
-    )
     a = keyed.select("__blk", F.col("__name").alias("name_a"),
                      F.col("__cnt").alias("__ca"))
     b = keyed.select("__blk", F.col("__name").alias("name_b"),

@@ -740,20 +740,23 @@ def hll_registers(df: DataFrame, key_col: str,
     register tables are built once at ingest (a groupBy over ~m rows
     of state per group), and any window of them merges WITHOUT
     rescanning history."""
-    h = F.expr(
-        f"CAST(conv(substr(md5(CAST(CAST({key_col} AS STRING) AS BINARY)),"
-        f" 1, 15), 16, 10) AS BIGINT)")
-    reg = (h % F.lit(HLL_M)).cast("int")
-    rest = F.expr(f"(CAST(conv(substr(md5(CAST(CAST({key_col} AS STRING)"
-                  f" AS BINARY)), 1, 15), 16, 10) AS BIGINT)) div {HLL_M}")
+    from apde_etl_spark.operators.similarity import hash60
+
+    hashed = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols,
+                hash60(F.col(key_col).cast("string")).alias("__h"))
+    )
+    rest = F.expr(f"__h div {HLL_M}")
     rho = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
-        F.lit(HLL_REST_BITS + 1) - F.length(F.expr(
-            f"bin((CAST(conv(substr(md5(CAST(CAST({key_col} AS STRING)"
-            f" AS BINARY)), 1, 15), 16, 10) AS BIGINT)) div {HLL_M})"))
+        F.lit(HLL_REST_BITS + 1)
+        - F.length(F.expr(f"bin(__h div {HLL_M})"))
     ).cast("int")
     return (
-        df.filter(F.col(key_col).isNotNull())
-        .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        hashed
+        .select(*group_cols,
+                (F.col("__h") % F.lit(HLL_M)).cast("int").alias("reg"),
+                rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("max_rho"))
     )

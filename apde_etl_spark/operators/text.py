@@ -804,3 +804,32 @@ def langid_nb_score(
             .alias("nb_score"),
         )
     )
+
+
+def langid_ngram_scores_multiplicity(
+    df: DataFrame, profiles: dict[str, list[str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Profile heuristic with OCCURRENCE counts (not distinct-gram
+    hits): per language, total occurrences of its profile trigrams in
+    the text; first-max-wins over lexicographic language order. Used by
+    langid_method_accuracy so the Spark arm and the SQL arm count the
+    same statistic; lives beside langid_ngram_scores (the distinct-hit
+    variant) so both heuristics share a home."""
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= 3 THEN "
+        f"transform(sequence(1, length({text_col}) - 2),"
+        f" i -> substr({text_col}, i, 3)) ELSE array() END")
+    out = df.select("doc_id", "lang", F.explode(grams).alias("gram"))
+    langs = sorted(profiles)
+    agg = [
+        F.sum(F.when(F.col("gram").isin(profiles[la]), 1).otherwise(0))
+        .alias(f"__h_{la}")
+        for la in langs
+    ]
+    per_doc = out.groupBy("doc_id", "lang").agg(*agg)
+    best = F.greatest(*[F.col(f"__h_{la}") for la in langs])
+    pred = F.lit(langs[-1])
+    for la in reversed(langs[:-1]):
+        pred = F.when(F.col(f"__h_{la}") == best, F.lit(la)).otherwise(pred)
+    return per_doc.select("doc_id", "lang", pred.alias("predicted_lang"))

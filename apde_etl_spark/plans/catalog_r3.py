@@ -414,24 +414,35 @@ def _sql_pq_book_ctes(p: str, src: str, m: int, sub: int, k_codes: int) -> str:
     hash60-ordered seeds) over ``{src}(vec_id, x)`` and encoding the
     same rows: emits ``{p}codes(vec_id, cs)`` and the nested book
     literal ``{p}bl(books)``. Mirrors
-    similarity.train_pq_codebooks(exact_mean=True) + pq_encode_col."""
+    similarity.train_pq_codebooks(exact_mean=True) + pq_encode_col —
+    INCLUDING its hash-strided training-sample cap (train_sample_max =
+    65536): seeds and Lloyd means come from the strided sample
+    (stride = ceil(n/65536), a no-op at gate sizes where stride = 1),
+    while the ENCODE pass covers every row."""
     from apde_etl_spark.operators.similarity import sql_exact_mean
 
-    def argmin(bk: str) -> str:
+    def argmin(subs: str, bk: str) -> str:
         return f"""
     SELECT vec_id, sub_id, code FROM (
       SELECT s.vec_id, s.sub_id, b.code,
              row_number() OVER (PARTITION BY s.vec_id, s.sub_id
                ORDER BY {_sql_sql2('s.sv', 'b.c')} ASC, b.code ASC) AS rk
-      FROM {p}sub s JOIN {bk} b USING (sub_id)) z WHERE rk = 1"""
+      FROM {subs} s JOIN {bk} b USING (sub_id)) z WHERE rk = 1"""
 
     return f"""
-{p}seed AS (
+{p}tsrc AS (
+  SELECT * FROM {src}
+  WHERE ({_SQL_H60_ID}) % (
+    SELECT CAST(ceil(count(*) * 1.0 / 65536) AS BIGINT) FROM {src}) = 0
+), {p}seed AS (
   SELECT row_number() OVER (ORDER BY {_SQL_H60_ID}, vec_id) - 1 AS code, x
-  FROM {src} QUALIFY code < {k_codes}
+  FROM {p}tsrc QUALIFY code < {k_codes}
 ), {p}bk0 AS (
   SELECT sub_id, code, x[sub_id*{sub}+1 : sub_id*{sub}+{sub}] AS c
   FROM {p}seed, range(0, {m}) t(sub_id)
+), {p}tsub AS (
+  SELECT vec_id, sub_id, x[sub_id*{sub}+1 : sub_id*{sub}+{sub}] AS sv
+  FROM {p}tsrc, range(0, {m}) t(sub_id)
 ), {p}sub AS (
   SELECT vec_id, sub_id, x[sub_id*{sub}+1 : sub_id*{sub}+{sub}] AS sv
   FROM {src}, range(0, {m}) t(sub_id)
@@ -442,8 +453,8 @@ def _sql_pq_book_ctes(p: str, src: str, m: int, sub: int, k_codes: int) -> str:
     FROM (
       SELECT a0.sub_id, a0.code, a0.vec_id, unnest(s.sv) AS val,
              generate_subscripts(s.sv, 1) AS pos
-      FROM ({argmin(f'{p}bk0')}) a0
-      JOIN {p}sub s ON s.vec_id = a0.vec_id AND s.sub_id = a0.sub_id
+      FROM ({argmin(f'{p}tsub', f'{p}bk0')}) a0
+      JOIN {p}tsub s ON s.vec_id = a0.vec_id AND s.sub_id = a0.sub_id
     ) a GROUP BY a.sub_id, a.code, pos
   ) dims GROUP BY sub_id, code
 ), {p}bk AS (
@@ -451,7 +462,7 @@ def _sql_pq_book_ctes(p: str, src: str, m: int, sub: int, k_codes: int) -> str:
   FROM {p}bk0 s LEFT JOIN {p}mv t USING (sub_id, code)
 ), {p}codes AS (
   SELECT vec_id, list(code ORDER BY sub_id) AS cs
-  FROM ({argmin(f'{p}bk')}) enc GROUP BY vec_id
+  FROM ({argmin(f'{p}sub', f'{p}bk')}) enc GROUP BY vec_id
 ), {p}bl AS (
   SELECT list(bk ORDER BY sub_id) AS books
   FROM (SELECT sub_id, list(c ORDER BY code) AS bk

@@ -152,24 +152,32 @@ def basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EDIT_MAX_DIST = 4
 _EDIT_BLOCK_CAP = 2000
 
+def _edit_split_levels_sql() -> str:
+    """The 3-level iterative hot-block split (dedup.py
+    editdist_neardup_pairs): level k extends still-hot keys with char
+    k of the second token."""
+    ctes = ["k0 AS (SELECT tok1 AS blk, p_name, cnt FROM names)"]
+    for lv in (1, 2, 3):
+        ctes.append(
+            f"s{lv} AS (SELECT blk, count(*) AS n FROM k{lv - 1} GROUP BY 1)")
+        ctes.append(
+            f"k{lv} AS (SELECT CASE WHEN n > {_EDIT_BLOCK_CAP} "
+            f"THEN blk || '|' || substr(split_part(p_name, ' ', 2), {lv}, 1) "
+            f"ELSE blk END AS blk, p_name, cnt "
+            f"FROM k{lv - 1} JOIN s{lv} USING (blk))")
+    return ", ".join(ctes)
+
+
 _EDIT_SQL = f"""
 WITH names AS (
   SELECT split_part(p_name, ' ', 1) AS tok1, p_name,
          CAST(count(*) AS BIGINT) AS cnt
   FROM part GROUP BY 1, 2
-), sizes AS (
-  SELECT tok1, count(*) AS blk_n FROM names GROUP BY 1
-), keyed AS (
-  SELECT CASE WHEN blk_n > {_EDIT_BLOCK_CAP}
-              THEN tok1 || '|' || substr(split_part(p_name, ' ', 2), 1, 1)
-              ELSE tok1 END AS blk,
-         p_name, cnt
-  FROM names JOIN sizes USING (tok1)
-)
+), {_edit_split_levels_sql()}
 SELECT a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
        a.cnt * b.cnt AS n_pairs
-FROM keyed a JOIN keyed b
+FROM k3 a JOIN k3 b
   ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= {_EDIT_MAX_DIST}
 """

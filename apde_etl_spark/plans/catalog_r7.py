@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from apde_etl_spark.operators.cache import tracked_persist
 from apde_etl_spark.plans.catalog import _sql_round, load, register
 
 _REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
@@ -106,7 +107,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the eligible set feeds BOTH the min aggregate and the final join —
     # persist so lineitem scans once (it is tiny by construction: the
     # part/region filters prune before it materializes)
-    eligible = eligible.persist()
+    eligible = tracked_persist(eligible, scope="r7")
     mins = eligible.groupBy(
         F.col("ps_partkey").alias("m_partkey")
     ).agg(F.min("ps_supplycost").alias("min_cost"))
@@ -203,7 +204,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the view once: both the max aggregate and the final
     # join read it (same single-scan discipline as corr_matrix)
-    rev = rev.persist()
+    rev = tracked_persist(rev, scope="r7")
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -286,21 +287,33 @@ _G_QUERY_PRED = "vec_id % 97 = 0"
 _GRAPH_CACHE: dict = {}
 
 
-def _ensure_graph_index(spark: SparkSession, sf_dir: str) -> str:
-    from apde_etl_spark.operators.ann_index import build_knn_graph
-
-    if sf_dir not in _GRAPH_CACHE:
+def _cached_workdir(cache: dict, key, prefix: str, build) -> str:
+    """Build-once/cache/atexit-clean recipe shared by every per-process
+    artifact store in this module (graph indexes, versioned tables,
+    sketch stores) — the pattern catalog_r6._ensure_index established,
+    including the temp-dir leak fix, maintained in ONE place.
+    ``build(workdir)`` populates the directory on first use."""
+    if key not in cache:
         import atexit
         import shutil
         import tempfile
 
-        d = tempfile.mkdtemp(prefix="apde_anngraph_")
+        d = tempfile.mkdtemp(prefix=prefix)
         atexit.register(shutil.rmtree, d, ignore_errors=True)
+        build(d)
+        cache[key] = d
+    return cache[key]
+
+
+def _ensure_graph_index(spark: SparkSession, sf_dir: str) -> str:
+    from apde_etl_spark.operators.ann_index import build_knn_graph
+
+    def build(d: str) -> None:
         emb = load(spark, sf_dir, "embeddings")
         build_knn_graph(emb, d, n_neighbors=_G_M, n_entries=_G_ENTRIES,
                         n_long_links=_G_LONG)
-        _GRAPH_CACHE[sf_dir] = d
-    return _GRAPH_CACHE[sf_dir]
+
+    return _cached_workdir(_GRAPH_CACHE, sf_dir, "apde_anngraph_", build)
 
 
 def _sql_g_cos(av: str, an: str, bv: str, bn: str) -> str:
@@ -465,11 +478,13 @@ def ann_recall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ann_graph_search(
         spark, d, queries, emb, k=_G_K, beam=_G_BEAM, hops=_G_HOPS
     ).select(F.col("query_id").alias("id_a"), F.col("vec_id").alias("id_b"))
-    truth = (
-        exact_topk_pairs(emb, "vec_id", "embedding", k=_G_K)
-        .filter(F.expr(_G_QUERY_PRED.replace("vec_id", "id_a")))
-        .persist()
-    )
+    # ground-truth ONLY the query sample against the full corpus —
+    # computing truth for every vector and discarding 96/97 of it
+    # would be ~97x the matmul work at the harness cap
+    truth = tracked_persist(exact_topk_pairs(
+        emb, "vec_id", "embedding", k=_G_K,
+        query_filter=F.expr(_G_QUERY_PRED),
+    ), scope="r7")
     ex_n = truth.agg(F.count(F.lit(1)).alias("n_exact"))
     h = approx.join(truth, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).alias("hits"))
@@ -504,58 +519,56 @@ def _ensure_versioned(spark: SparkSession, sf_dir: str) -> tuple:
     deletes) — and a fragmented orders table compacted into v=2.
     Everything derives deterministically from the base tables, so the
     SQL oracles can restate the final states from the views alone."""
-    if sf_dir in _VERSIONED_CACHE:
-        return _VERSIONED_CACHE[sf_dir]
-    import atexit
-    import shutil
-    import tempfile
-
     from apde_etl_spark.sources.lifecycle import (
         compact_table,
         merge_into_versioned,
+        read_version,
         versioned_write,
     )
 
-    root = tempfile.mkdtemp(prefix="apde_versioned_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    cust_dir, ord_dir = f"{root}/customers", f"{root}/orders"
+    stats: dict = {}
 
-    cust = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", "c_mktsegment")
-    versioned_write(cust, cust_dir)
-    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
-        "c_custkey",
-        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
-        "c_mktsegment",
-    ).unionByName(
-        cust.filter(F.col("c_custkey") % 500 == 0).select(
-            (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
-            F.lit(0.0).alias("c_acctbal"),
-            F.lit("NEW").alias("c_mktsegment"),
+    def build(root: str) -> None:
+        cust_dir, ord_dir = f"{root}/customers", f"{root}/orders"
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment")
+        versioned_write(cust, cust_dir)
+        updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+            "c_mktsegment",
+        ).unionByName(
+            cust.filter(F.col("c_custkey") % 500 == 0).select(
+                (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+            )
         )
-    )
-    deletes = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
-    merge_into_versioned(
-        spark, cust_dir, updates, "c_custkey",
-        ["c_acctbal", "c_mktsegment"], deletes=deletes)
+        deletes = cust.filter(F.col("c_custkey") % 97 == 0) \
+            .select("c_custkey")
+        merge_into_versioned(
+            spark, cust_dir, updates, "c_custkey",
+            ["c_acctbal", "c_mktsegment"], deletes=deletes)
+        # v=3: SCHEMA EVOLUTION — the loyalty-tier column arrives;
+        # earlier versions read it as NULL through the mergeSchema union
+        v2 = read_version(spark, cust_dir, 2)
+        versioned_write(
+            v2.withColumn(
+                "loyalty_tier",
+                F.when(F.col("c_acctbal") > 5000, "gold").otherwise("std")),
+            cust_dir)
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice")
+        versioned_write(orders, ord_dir, n_files=_COMPACT_FRAGMENTS)
+        _, before, after = compact_table(spark, ord_dir, _COMPACT_TARGET)
+        stats["compact"] = (before, after)
 
-    # v=3: SCHEMA EVOLUTION — the loyalty-tier column arrives; earlier
-    # versions read it as NULL through the mergeSchema union
-    from apde_etl_spark.sources.lifecycle import read_version
-
-    v2 = read_version(spark, cust_dir, 2)
-    versioned_write(
-        v2.withColumn(
-            "loyalty_tier",
-            F.when(F.col("c_acctbal") > 5000, "gold").otherwise("std")),
-        cust_dir)
-
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice")
-    versioned_write(orders, ord_dir, n_files=_COMPACT_FRAGMENTS)
-    _, before, after = compact_table(spark, ord_dir, _COMPACT_TARGET)
-    _VERSIONED_CACHE[sf_dir] = (cust_dir, ord_dir, (before, after))
-    return _VERSIONED_CACHE[sf_dir]
+    root = _cached_workdir(_VERSIONED_CACHE, sf_dir, "apde_versioned_",
+                           build)
+    if stats:  # first build this process: attach the compact stats
+        _VERSIONED_CACHE[(sf_dir, "stats")] = stats["compact"]
+    return (f"{root}/customers", f"{root}/orders",
+            _VERSIONED_CACHE[(sf_dir, "stats")])
 
 
 _MERGE_V2_SQL = """
@@ -798,7 +811,7 @@ def langid_nb_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole trained model hash-gates."""
     from apde_etl_spark.operators.text import langid_nb_score
 
-    fx = _lid_fixture(spark, sf_dir).persist()
+    fx = tracked_persist(_lid_fixture(spark, sf_dir), scope="r7")
     train = fx.filter(F.col("doc_id") % 5 != 0)
     test = fx.filter(F.col("doc_id") % 5 == 0)
     return langid_nb_score(train, test)
@@ -875,7 +888,7 @@ def langid_method_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         langid_nb_score,
     )
 
-    fx = _lid_fixture(spark, sf_dir).persist()
+    fx = tracked_persist(_lid_fixture(spark, sf_dir), scope="r7")
     train = fx.filter(F.col("doc_id") % 5 != 0)
     test = fx.filter(F.col("doc_id") % 5 == 0)
 
@@ -893,6 +906,10 @@ def langid_method_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     # multiplicity-counting heuristic (mirrors the oracle's hx arm):
     # hits = occurrences of profile trigrams, first-max-wins
+    from apde_etl_spark.operators.text import (
+        langid_ngram_scores_multiplicity,
+    )
+
     hx = langid_ngram_scores_multiplicity(test, profiles)
     hx_row = hx.agg(
         F.lit("ngram_profile_heuristic").alias("method"),
@@ -919,32 +936,6 @@ def langid_method_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def langid_ngram_scores_multiplicity(
-    df: DataFrame, profiles: dict[str, list[str]],
-    text_col: str = "text",
-) -> DataFrame:
-    """Profile heuristic with OCCURRENCE counts (not distinct-gram
-    hits): per language, total occurrences of its profile trigrams in
-    the text; first-max-wins over lexicographic language order. Used
-    by the accuracy entry so the Spark arm and the SQL arm count the
-    same statistic."""
-    grams = F.expr(
-        f"CASE WHEN length({text_col}) >= 3 THEN "
-        f"transform(sequence(1, length({text_col}) - 2),"
-        f" i -> substr({text_col}, i, 3)) ELSE array() END")
-    out = df.select("doc_id", "lang", F.explode(grams).alias("gram"))
-    langs = sorted(profiles)
-    agg = [
-        F.sum(F.when(F.col("gram").isin(profiles[la]), 1).otherwise(0))
-        .alias(f"__h_{la}")
-        for la in langs
-    ]
-    per_doc = out.groupBy("doc_id", "lang").agg(*agg)
-    best = F.greatest(*[F.col(f"__h_{la}") for la in langs])
-    pred = F.lit(langs[-1])
-    for la in reversed(langs[:-1]):
-        pred = F.when(F.col(f"__h_{la}") == best, F.lit(la)).otherwise(pred)
-    return per_doc.select("doc_id", "lang", pred.alias("predicted_lang"))
 
 
 _SCHEMA_EVO_SQL = f"""
@@ -1019,25 +1010,16 @@ def ann_graph_add_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern applied to the graph family). At 100 TB this is the
     nightly vector-ingest job: batch x frozen-graph walk, bounded per
     vector by beam * degree * hops."""
-    import atexit
-    import shutil
-    import tempfile
+    from apde_etl_spark.operators.ann_index import build_knn_graph
 
-    from apde_etl_spark.operators.ann_index import (
-        ann_graph_add,
-        build_knn_graph,
-    )
-
-    key = (sf_dir, "sub")
-    if key not in _GRAPH_CACHE:
-        d = tempfile.mkdtemp(prefix="apde_anngraph_sub_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    def build(d: str) -> None:
         emb95 = load(spark, sf_dir, "embeddings").filter(
             F.expr(_G_SUB_WHERE))
         build_knn_graph(emb95, d, n_neighbors=_G_M, n_entries=_G_ENTRIES,
                         n_long_links=_G_LONG)
-        _GRAPH_CACHE[key] = d
-    d = _GRAPH_CACHE[key]
+
+    d = _cached_workdir(_GRAPH_CACHE, (sf_dir, "sub"),
+                        "apde_anngraph_sub_", build)
     emb = load(spark, sf_dir, "embeddings")
     corpus95 = emb.filter(F.expr(_G_SUB_WHERE))
     batch = emb.filter(F.expr(_G_BATCH_PRED))
@@ -1092,19 +1074,12 @@ def _ensure_hll_store(spark: SparkSession, sf_dir: str) -> str:
     from apde_etl_spark.operators.profile import hll_registers
     from apde_etl_spark.plans.catalog import load_events
 
-    if sf_dir not in _HLL_CACHE:
-        import atexit
-        import shutil
-        import tempfile
-
-        d = tempfile.mkdtemp(prefix="apde_hll_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        ev = load_events(spark, sf_dir).withColumn(
-            "day", F.to_date("ts"))
+    def build(d: str) -> None:
+        ev = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
         regs = hll_registers(ev, "user_id", ["day"])
         regs.write.mode("overwrite").partitionBy("day").parquet(d)
-        _HLL_CACHE[sf_dir] = d
-    return _HLL_CACHE[sf_dir]
+
+    return _cached_workdir(_HLL_CACHE, sf_dir, "apde_hll_", build)
 
 
 _HLL_DAILY_SQL = f"""
@@ -1130,29 +1105,37 @@ def hll_daily_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("date").alias("day"), "reg", "max_rho")
 
 
-_HLL_UNION_SQL = f"""
-WITH {_HLL_REG_CTES},
-m AS (SELECT reg, max(max_rho) AS max_rho FROM regs GROUP BY 1),
+def _sql_hll_est_ctes(reg_src: str) -> str:
+    """The estimator CTE chain over a register relation
+    ``{reg_src}(reg, max_rho)`` — ONE restatement of
+    profile.hll_estimate shared by the union-from-storage and
+    streaming oracles: integer-numerator harmonic sum (2^(53-rho)
+    over the 2^53 denominator), then the alpha*m^2 formula with
+    low-range linear counting. Ends at ``est(e)``."""
+    e_raw = (f"CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}"
+             f" * 9007199254740992.0"
+             f" / CAST(({HLL_M} - nz) * 9007199254740992 + sum_inv"
+             f" AS DOUBLE)")
+    return f"""
+m AS (SELECT reg, max(max_rho) AS max_rho FROM {reg_src} GROUP BY 1),
 agg AS (
   SELECT count(*) AS nz,
          sum(CAST(1 AS BIGINT) << (53 - max_rho)) AS sum_inv
   FROM m
 ),
 est AS (
-  SELECT CASE WHEN (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
-                    * 9007199254740992.0
-                    / CAST(({HLL_M} - nz) * 9007199254740992 + sum_inv
-                           AS DOUBLE)) <= {2.5 * HLL_M}
+  SELECT CASE WHEN ({e_raw}) <= {2.5 * HLL_M}
                 AND ({HLL_M} - nz) > 0
               THEN CAST({float(HLL_M)!r} AS DOUBLE)
                    * ln(CAST({float(HLL_M)!r} AS DOUBLE)
                         / CAST({HLL_M} - nz AS DOUBLE))
-              ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
-                   * 9007199254740992.0
-                   / CAST(({HLL_M} - nz) * 9007199254740992 + sum_inv
-                          AS DOUBLE) END AS e
+              ELSE {e_raw} END AS e
   FROM agg
-)
+)"""
+
+
+_HLL_UNION_SQL = f"""
+WITH {_HLL_REG_CTES},{_sql_hll_est_ctes('regs')}
 SELECT CAST((SELECT count(DISTINCT day) FROM regs) AS BIGINT) AS n_days,
        {_sql_round('e', 6)} AS est_distinct,
        CAST((SELECT count(DISTINCT user_id) FROM ev) AS BIGINT)
@@ -1206,33 +1189,13 @@ def hll_union_from_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_STREAM_SQL = f"""
 WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
 hh AS (SELECT {_SQL_H60_USER} AS h FROM ev),
-m AS (
+r2 AS (
   SELECT CAST(h % {HLL_M} AS INTEGER) AS reg,
-         max(CAST(CASE WHEN h // {HLL_M} = 0 THEN 53
-                       ELSE 53 - length(bin(h // {HLL_M})) END
-                  AS INTEGER)) AS max_rho
-  FROM hh GROUP BY 1
-),
-agg AS (
-  SELECT count(*) AS nz,
-         sum(CAST(1 AS BIGINT) << (53 - max_rho)) AS sum_inv
-  FROM m
-),
-est AS (
-  SELECT CASE WHEN (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
-                    * 9007199254740992.0
-                    / CAST(({HLL_M} - nz) * 9007199254740992 + sum_inv
-                           AS DOUBLE)) <= {2.5 * HLL_M}
-                AND ({HLL_M} - nz) > 0
-              THEN CAST({float(HLL_M)!r} AS DOUBLE)
-                   * ln(CAST({float(HLL_M)!r} AS DOUBLE)
-                        / CAST({HLL_M} - nz AS DOUBLE))
-              ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
-                   * 9007199254740992.0
-                   / CAST(({HLL_M} - nz) * 9007199254740992 + sum_inv
-                          AS DOUBLE) END AS e
-  FROM agg
-)
+         CAST(CASE WHEN h // {HLL_M} = 0 THEN 53
+                   ELSE 53 - length(bin(h // {HLL_M})) END
+              AS INTEGER) AS max_rho
+  FROM hh
+),{_sql_hll_est_ctes('r2')}
 SELECT {_sql_round('e', 6)} AS est_distinct,
        CAST((SELECT count(DISTINCT user_id) FROM ev) AS BIGINT)
          AS exact_distinct,

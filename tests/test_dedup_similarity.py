@@ -668,20 +668,26 @@ def test_editdist_hot_block_guard(spark):
     token's first char (bounded sub-blocks), stay output-identical
     when every block is under the cap, and never compare across
     sub-blocks once it engages."""
-    # 60 names share first token; cap 20 forces the split
+    # 60 names share first token; cap 20 forces the split. Second
+    # tokens spread over 6 first-chars (10 names each), so ONE split
+    # level brings every sub-block under the cap — deeper levels must
+    # not engage (they only fire while a sub-block stays hot).
+    letters = "abcdef"
     hot = spark.range(60).select(
-        F.concat(F.lit("shared "),
-                 F.conv(F.col("id").cast("string"), 10, 36),
-                 F.lit(" tail")).alias("name"))
+        F.concat(
+            F.lit("shared "),
+            F.element_at(
+                F.split(F.lit(" ".join(letters)), " "),
+                (F.col("id") % 6 + 1).cast("int")),
+            F.col("id").cast("string"),
+            F.lit(" tail")).alias("name"))
     guarded = D.editdist_neardup_pairs(hot, "name", block_cap=20)
     unguarded = D.editdist_neardup_pairs(hot, "name", block_cap=10**9)
     g = {(r["name_a"], r["name_b"]) for r in guarded.collect()}
     u = {(r["name_a"], r["name_b"]) for r in unguarded.collect()}
     # guard only DROPS cross-sub-block pairs, never invents any
     assert g <= u
-    # within a sub-block (same first char of token 2) pairs survive:
-    # single-digit ids 1..9 share second-token first char per digit,
-    # so at least the (shared 1x, shared 1?) style pairs exist
+    # pairs within a sub-block (same second-token first char) survive
     assert len(g) > 0
     sub = {(a, b) for a, b in u
            if a.split(" ")[1][0] == b.split(" ")[1][0]}

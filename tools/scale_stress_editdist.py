@@ -53,25 +53,28 @@ def main() -> None:
     n_pairs = out.count()
     wall = time.perf_counter() - t0
 
-    # realized block sizes AFTER the guard split (same keying logic)
+    # realized block sizes AFTER the guard split (same 3-level keying
+    # logic as editdist_neardup_pairs)
     keyed = (
         names.groupBy(
-            F.split_part(F.col("name"), F.lit(" "), F.lit(1)).alias("t1"),
+            F.split_part(F.col("name"), F.lit(" "), F.lit(1)).alias("blk"),
             "name").count()
     )
-    sizes = keyed.groupBy("t1").agg(F.count(F.lit(1)).alias("n"))
-    split = (
-        keyed.join(sizes, "t1")
-        .select(
-            F.when(
-                F.col("n") > cap,
-                F.concat(F.col("t1"), F.lit("|"),
-                         F.substring(F.split_part(F.col("name"), F.lit(" "),
-                                                  F.lit(2)), 1, 1)))
-            .otherwise(F.col("t1")).alias("blk"))
-        .groupBy("blk").count()
-    )
-    max_blk = split.agg(F.max("count")).first()[0]
+    for level in range(1, 4):
+        sizes = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+        keyed = (
+            keyed.join(sizes, "blk")
+            .select(
+                F.when(
+                    F.col("n") > cap,
+                    F.concat(F.col("blk"), F.lit("|"),
+                             F.substring(
+                                 F.split_part(F.col("name"), F.lit(" "),
+                                              F.lit(2)), level, 1)))
+                .otherwise(F.col("blk")).alias("blk"),
+                "name", "count")
+        )
+    max_blk = keyed.groupBy("blk").count().agg(F.max("count")).first()[0]
 
     # correctness: under the cap the guard is a no-op — identical output
     small = spark.range(200).select(
