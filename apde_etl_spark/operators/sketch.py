@@ -1,0 +1,188 @@
+"""Mergeable frequency / quantile sketches with portable integer state.
+
+The same design contract as :mod:`profile`'s portable HLL registers:
+sketch state is PLAIN INTEGERS (no engine-native binary blobs), so it
+persists as parquet, merges across shards/days with one associative
+groupBy, and hash-gates against a DuckDB restatement of the identical
+arithmetic. Two families:
+
+- **Count-Min sketch** (Cormode & Muthukrishnan 2005, public method):
+  ``depth`` independent hash rows of ``width`` counters; point-frequency
+  estimate = min over rows of the hashed counter. Counters are exact
+  BIGINT sums, so registers merge with SUM and the estimate is
+  deterministic. The one-sided error guarantee (estimate >= true count,
+  over by at most eps*N with probability 1-delta) is checked in-gate by
+  emitting estimate and exact side by side.
+
+- **Log-binned histogram** (the HdrHistogram/DDSketch family reduced to
+  its deterministic core): bin id = bit length of the value scaled to
+  integer ticks, i.e. power-of-two relative-error buckets. Counts are
+  exact BIGINTs per bin; quantile queries return the EXACT BOUNDS of the
+  bin containing the target rank — a guaranteed enclosure, not a point
+  estimate, so the result hash-gates without any float quantile
+  interpolation.
+
+Reference parity note: the reference engine profiles frequencies and
+quantiles exactly per batch (qa_load_file_snapshot.R:61-108's row-count
+and distribution checks); these sketches are the 100 TB continuation —
+per-partition state built once at ingest, any window answered by
+merging ~KB of integers instead of rescanning history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators.similarity import hash60
+
+#: Count-Min geometry. width is a power of two (the modulo is cheap) and
+#: small enough that a full sketch is depth*width = 1024 BIGINTs — ~8 KB
+#: of state per group regardless of key cardinality.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(key: Column, row_id: Column | int) -> Column:
+    """Row-j bucket of a key: hash60 of the row-salted key, reduced mod
+    width. The salt is a string prefix (``j:``) so the DuckDB twin is
+    the same md5 over the same bytes."""
+    r = F.lit(row_id) if isinstance(row_id, int) else row_id
+    return (
+        hash60(F.concat(r.cast("string"), F.lit(":"), key.cast("string")))
+        % F.lit(CMS_WIDTH)
+    ).cast("int")
+
+
+def cms_registers(df: DataFrame, key_col: str,
+                  group_cols: Sequence[str] = ()) -> DataFrame:
+    """Build Count-Min registers: (group..., row_id, bucket, cnt).
+
+    One explode to depth rows per input row, then an exact groupBy SUM —
+    partial aggregation absorbs hot keys map-side, and the result is at
+    most depth*width rows per group no matter how many distinct keys
+    passed through (the whole point at 100 TB: frequency state that does
+    NOT grow with key cardinality). NULL keys are ignored. Merging
+    shards/days is ``groupBy(row_id, bucket).sum(cnt)`` — associative
+    and exact."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1)))
+    keyed = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, F.col(key_col).alias("__k"),
+                rows.alias("row_id"))
+    )
+    return (
+        keyed.select(*group_cols, "row_id",
+                     _cms_bucket(F.col("__k"), F.col("row_id"))
+                     .alias("bucket"))
+        .groupBy(*group_cols, "row_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(registers: DataFrame, keys: DataFrame,
+                 key_col: str) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from (merged) registers:
+    join each key's depth (row, bucket) probes against the register
+    table and take MIN(cnt) — missing registers count as 0. The keys
+    frame is the small side by construction (a probe set), so it
+    broadcasts; the register table is <= depth*width rows and would
+    broadcast too, but keeping it the build side lets the same code
+    serve per-group register tables that are wider than one sketch.
+    Returns (key, est_cnt)."""
+    probes = keys.select(
+        F.col(key_col).alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1)))
+        .alias("row_id"),
+    )
+    probes = probes.select(
+        "__k", "row_id",
+        _cms_bucket(F.col("__k"), F.col("row_id")).alias("bucket"))
+    return (
+        F.broadcast(probes)
+        .join(registers, ["row_id", "bucket"], "left")
+        .groupBy(F.col("__k").alias(key_col))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
+             .alias("est_cnt"))
+    )
+
+
+def sql_cms_bucket(key_expr: str, row_expr: str) -> str:
+    """DuckDB twin of :func:`_cms_bucket` (same md5-prefix hash60)."""
+    salted = f"CAST({row_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
+    h = f"CAST(concat('0x', substr(md5({salted}), 1, 15)) AS BIGINT)"
+    return f"CAST({h} % {CMS_WIDTH} AS INTEGER)"
+
+
+# ===========================================================================
+# Log-binned histogram: deterministic quantile enclosures
+# ===========================================================================
+
+#: values are scaled to integer ticks before binning so the bin edges are
+#: exact decimals; 1000 ticks = 3 decimal digits preserved near zero
+QHIST_TICKS = 1000
+
+
+def qhist_registers(df: DataFrame, value_col: str,
+                    group_cols: Sequence[str] = ()) -> DataFrame:
+    """(group..., bin, cnt) — exact counts per power-of-two bin: 0 for
+    v < 1 tick, else bit length of the tick count (bin b holds ticks
+    in [2^(b-1), 2^b)). The bit length comes from the binary-string
+    length — the same exact-integer trick as HLL's rho, agreed by both
+    engines' ``bin()`` — never a float log2. Merging is SUM; NULL and
+    negative values are excluded (the sketch serves latency/size-style
+    non-negative metrics)."""
+    v = F.col(value_col)
+    ticks = F.floor(v.cast("double") * QHIST_TICKS).cast("long")
+    t = (
+        df.filter(v.isNotNull() & (v >= 0))
+        .select(*group_cols, ticks.alias("__ticks"))
+    )
+    b = (
+        F.when(F.col("__ticks") <= 0, F.lit(0))
+        .otherwise(F.length(F.expr("bin(__ticks)")))
+        .cast("int")
+    )
+    return (
+        t.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def qhist_quantile_bounds(registers: DataFrame, q_num: int,
+                          q_den: int) -> DataFrame:
+    """Exact enclosure of the q-quantile from (merged) bins: the target
+    rank is ceil(q*n) computed in INTEGER arithmetic ((n*q_num +
+    q_den - 1) div q_den), the running cumulative count locates its
+    bin, and the returned bounds are that bin's exact INTEGER tick
+    edges — lo_ticks = 2^(b-1), hi_ticks = 2^b (bin 0 is [0, 1)) —
+    so the guarantee ``lo_ticks <= exact_ticks < hi_ticks`` hash-gates
+    with no float arithmetic anywhere. One window over <= 64 bin rows
+    (post-aggregation state, the documented tiny-window class).
+    Returns (n, rank, bin, lo_ticks, hi_ticks)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = registers.agg(F.sum("cnt").alias("__n"))
+    cum = (
+        registers.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "cnt", "__n",
+            F.sum("cnt").over(w).alias("__cum"),
+        )
+    )
+    rank = F.expr(f"(__n * {q_num} + {q_den} - 1) div {q_den}")
+    hit = (
+        cum.filter(F.col("__cum") >= rank)
+        .orderBy("bin").limit(1)
+    )
+    lo = F.when(F.col("bin") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bin - 1)"))
+    hi = F.expr("shiftleft(CAST(1 AS BIGINT), bin)")
+    return hit.select(
+        F.col("__n").alias("n"), rank.cast("long").alias("rank"), "bin",
+        lo.alias("lo_ticks"), hi.alias("hi_ticks"),
+    )
