@@ -186,3 +186,95 @@ def qhist_quantile_bounds(registers: DataFrame, q_num: int,
         F.col("__n").alias("n"), rank.cast("long").alias("rank"), "bin",
         lo.alias("lo_ticks"), hi.alias("hi_ticks"),
     )
+
+
+# ===========================================================================
+# KMV (k-minimum-values) distinct sketch: set algebra over sketches
+# ===========================================================================
+
+#: sketch size. Small enough that a saturated sketch is 64 BIGINTs
+#: (~0.5 KB) per group, large enough for ~12% standard error on
+#: distinct estimates (1/sqrt(k-2)); chosen so the SATURATED estimator
+#: path (not just the exact small-set path) is exercised at the gate's
+#: own scale factors.
+KMV_K = 64
+
+#: hash60 values live in [0, 2^60)
+KMV_SPACE = 1 << 60
+
+
+def kmv_sketch(df: DataFrame, key_col: str,
+               group_cols: Sequence[str] = (), k: int = KMV_K) -> DataFrame:
+    """Build per-group KMV sketches: (group..., rnk, hval) — the k
+    SMALLEST DISTINCT hash60 values of the key (Bar-Yossef et al. 2002
+    / Beyer et al. 2007, public method). Unlike HLL registers (union
+    only), KMV sketches support INTERSECTION estimates, because the
+    k-min set is a uniform sample of the hashed key space.
+
+    Scale shape: distinct-then-rank. The rank filter is a
+    ``row_number() <= k`` predicate that Spark's WindowGroupLimit
+    rewrite turns into a per-partition top-k (no full per-group
+    materialization); merging sketches later never rescans this input
+    — it unions <= groups*k integer rows. NULL keys are ignored,
+    matching countDistinct."""
+    from pyspark.sql import Window
+
+    from apde_etl_spark.operators.similarity import hash60
+
+    hashed = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols,
+                hash60(F.col(key_col).cast("string")).alias("hval"))
+        .distinct()
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("hval")
+    return (
+        hashed.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge per-group sketches into ONE sketch: distinct hvals across
+    all groups, re-ranked, k smallest kept. Input is <= groups*k rows
+    (post-aggregation sketch state, the documented tiny-window class),
+    so the global window is a few KB, never the raw data."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hval")
+    return (
+        sketches.select("hval").distinct()
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate from ONE merged sketch -> 1 row
+    (n_in_sketch, kth_min, est_distinct). Saturated: est = floor(
+    (k-1) * 2^60 / kth_min) — INTEGER arithmetic end to end. The
+    numerator exceeds int64, so both engines do the division in their
+    exact wide-integer type: Spark's integral ``div`` over
+    DECIMAL(38,0) (never the rounding fractional ``/``), DuckDB's
+    HUGEINT ``//`` — bit-identical floors. Unsaturated (< k distinct
+    values seen): the sketch IS the set, estimate = exact count."""
+    num = (k - 1) * KMV_SPACE
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+        F.max(F.when(F.col("rnk") == k, F.col("hval"))).alias("kth_min"),
+    )
+    est = F.when(
+        F.col("n_in_sketch") < k, F.col("n_in_sketch")
+    ).otherwise(F.expr(
+        f"CAST(CAST({num} AS DECIMAL(38,0))"
+        f" div CAST(kth_min AS DECIMAL(38,0)) AS BIGINT)"))
+    return agg.select("n_in_sketch", "kth_min",
+                      est.cast("long").alias("est_distinct"))
+
+
+def sql_kmv_estimate(k: int = KMV_K) -> str:
+    """DuckDB twin of the :func:`kmv_estimate` arithmetic, as an
+    expression over columns (n_in_sketch, kth_min)."""
+    num = (k - 1) * KMV_SPACE
+    return (f"CAST(CASE WHEN n_in_sketch < {k} THEN n_in_sketch "
+            f"ELSE CAST({num} AS HUGEINT) // kth_min END AS BIGINT)")

@@ -1,0 +1,448 @@
+"""Round-7 catalog, part 3: KMV distinct sketches with set algebra,
+and decimal-exact time-series diagnostics.
+
+- **KMV (k-minimum-values) sketches**: the third mergeable-sketch
+  family beside the HLL registers (catalog_r7, union-only) and the
+  Count-Min store (catalog_r7b, frequencies). KMV's k-min set is a
+  uniform sample of the hashed key space, so merged sketches answer
+  UNION **and INTERSECTION / Jaccard** questions — the cross-day
+  cohort-overlap class no HLL can serve. Per-day sketches are
+  persisted to a parquet store and every estimate entry reads ONLY
+  the store (<= days*k integer rows), never the raw events.
+  Estimates are exact wide-integer arithmetic (Spark DECIMAL ``div``
+  / DuckDB HUGEINT ``//``), so they hash-gate bit-for-bit.
+- **Time-series diagnostics** over daily order revenue / event
+  values: CUSUM changepoint localization with the cumulative sums
+  kept exact by scaling (n*prefix - t*total, never a dividing mean),
+  day-of-week seasonal indices from DECIMAL sums, and the OLS trend
+  line fitted from exact integer/decimal moments (the corr_matrix
+  pattern applied to regression).
+
+Reference parity: the reference QAs loads by comparing counts and
+distributions across time windows (qa_load_file_snapshot.R:61-108,
+qa_sql_load.R's row-count drift checks); these entries are the
+at-scale continuations — overlap/drift/trend answered from merged
+sketch state or single-pass exact moments instead of rescans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apde_etl_spark.operators.sketch import (
+    KMV_K,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+    sql_kmv_estimate,
+)
+from apde_etl_spark.plans.catalog import (
+    _sql_round,
+    load,
+    load_events,
+    register,
+)
+from apde_etl_spark.plans.catalog_r7 import _cached_workdir
+
+_SQL_H60_USER = ("CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),"
+                 " 1, 15)) AS BIGINT)")
+
+_KMV_CACHE: dict = {}
+
+
+def _ensure_kmv_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build per-day KMV sketch tables ONCE and persist them
+    partitioned by day — the distinct-sketch store the estimate
+    entries merge FROM STORAGE."""
+
+    def build(d: str) -> None:
+        ev = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+        sk = kmv_sketch(ev, "user_id", ["day"])
+        sk.write.mode("overwrite").partitionBy("day").parquet(d)
+
+    return _cached_workdir(_KMV_CACHE, sf_dir, "apde_kmv_", build)
+
+
+#: shared oracle CTE: per-day k-min sketches of distinct user hashes.
+_KMV_REG_CTES = f"""
+ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events
+       WHERE user_id IS NOT NULL),
+hh AS (SELECT DISTINCT day, {_SQL_H60_USER} AS hval FROM ev),
+rk AS (SELECT day, hval,
+              CAST(row_number() OVER (PARTITION BY day ORDER BY hval)
+                   AS INTEGER) AS rnk
+       FROM hh),
+sk AS (SELECT day, rnk, hval FROM rk WHERE rnk <= {KMV_K})"""
+
+
+_KMV_DAILY_SQL = f"""
+WITH {_KMV_REG_CTES}
+SELECT day, rnk, hval FROM sk
+"""
+
+
+@register("kmv_daily_user_sketch", _KMV_DAILY_SQL)
+def kmv_daily_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE per-day KMV sketches (operators/sketch.py:kmv_sketch):
+    plain-integer (day, rnk, hval) rows — the k smallest distinct
+    hash60 values per day. The rank predicate compiles to Spark's
+    WindowGroupLimit per-partition top-k, so no day's distinct set is
+    ever fully materialized; the persisted state is <= k rows per day
+    regardless of traffic. Read BACK from the partitioned store so
+    the gate covers the write->read round trip."""
+    d = _ensure_kmv_store(spark, sf_dir)
+    return spark.read.parquet(d).select(
+        F.col("day").cast("date").alias("day"), "rnk", "hval")
+
+
+_KMV_UNION_SQL = f"""
+WITH {_KMV_REG_CTES},
+u AS (SELECT DISTINCT hval FROM sk),
+ur AS (SELECT hval,
+              CAST(row_number() OVER (ORDER BY hval) AS INTEGER) AS rnk
+       FROM u),
+m AS (SELECT hval, rnk FROM ur WHERE rnk <= {KMV_K}),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_in_sketch,
+             max(CASE WHEN rnk = {KMV_K} THEN hval END) AS kth_min
+      FROM m)
+SELECT CAST((SELECT count(DISTINCT day) FROM sk) AS BIGINT) AS n_days,
+       n_in_sketch, kth_min,
+       {sql_kmv_estimate()} AS est_distinct,
+       CAST((SELECT count(DISTINCT user_id) FROM ev) AS BIGINT)
+         AS exact_distinct
+FROM a
+"""
+
+
+@register("kmv_union_from_storage", _KMV_UNION_SQL)
+def kmv_union_from_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge the PERSISTED per-day KMV sketches into one month-wide
+    distinct estimate WITHOUT rescanning events: the k smallest
+    distinct hvals across <= days*k stored rows form a valid sketch
+    of the union (k-min of a union = k-min of the k-mins), then the
+    (k-1)*2^60/kth_min estimator in exact wide-integer division.
+    Emits the estimate beside the exact distinct so the accuracy
+    contract is IN the gate."""
+    d = _ensure_kmv_store(spark, sf_dir)
+    sk = spark.read.parquet(d)
+    est = kmv_estimate(kmv_merge(sk))
+    ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    days = sk.agg(F.count_distinct("day").cast("long").alias("n_days"))
+    return (
+        est.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(days))
+        .select("n_days", "n_in_sketch", "kth_min", "est_distinct",
+                "exact_distinct")
+    )
+
+
+_KMV_INTERSECT_SQL = f"""
+WITH {_KMV_REG_CTES},
+pa AS (SELECT DISTINCT hval FROM sk WHERE dayofmonth(day) % 2 = 0),
+pb AS (SELECT DISTINCT hval FROM sk WHERE dayofmonth(day) % 2 = 1),
+ska AS (SELECT hval FROM
+        (SELECT hval, row_number() OVER (ORDER BY hval) AS r FROM pa)
+        WHERE r <= {KMV_K}),
+skb AS (SELECT hval FROM
+        (SELECT hval, row_number() OVER (ORDER BY hval) AS r FROM pb)
+        WHERE r <= {KMV_K}),
+u AS (SELECT DISTINCT hval FROM (SELECT hval FROM ska
+                                 UNION ALL SELECT hval FROM skb)),
+m AS (SELECT hval, CAST(row_number() OVER (ORDER BY hval) AS INTEGER) AS rnk
+      FROM u QUALIFY rnk <= {KMV_K}),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_in_sketch,
+             max(CASE WHEN rnk = {KMV_K} THEN hval END) AS kth_min,
+             CAST(sum(CASE WHEN hval IN (SELECT hval FROM ska)
+                            AND hval IN (SELECT hval FROM skb)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS matches
+      FROM m),
+e AS (SELECT n_in_sketch, kth_min, matches,
+             {sql_kmv_estimate()} AS est_union
+      FROM a),
+x AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+        SELECT user_id FROM ev WHERE dayofmonth(day) % 2 = 0
+        INTERSECT
+        SELECT user_id FROM ev WHERE dayofmonth(day) % 2 = 1))
+SELECT matches, n_in_sketch AS union_n, kth_min, est_union,
+       CAST(matches * est_union // n_in_sketch AS BIGINT)
+         AS est_intersection,
+       CAST(matches * 1000000 // n_in_sketch AS BIGINT) AS jaccard_ppm,
+       exact_intersection
+FROM e, x
+"""
+
+
+@register("kmv_cohort_intersection", _KMV_INTERSECT_SQL)
+def kmv_cohort_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-overlap estimate from SKETCHES ALONE — the operation HLL
+    registers cannot do. Cohort A = users active on even days of
+    month, cohort B = odd days. Each cohort's sketch merges from the
+    per-day store; the union sketch's members present in BOTH cohort
+    sketches give rho = matches/k, est_intersection = matches *
+    est_union div k — all exact integer arithmetic, gated beside the
+    exact INTERSECT count. At 100 TB the same three sketch merges
+    answer any day-range overlap from KBs of state."""
+    d = _ensure_kmv_store(spark, sf_dir)
+    sk = spark.read.parquet(d).withColumn(
+        "par", (F.dayofmonth("day") % 2).cast("int"))
+    ska = kmv_merge(sk.filter(F.col("par") == 0)).select("hval")
+    skb = kmv_merge(sk.filter(F.col("par") == 1)).select("hval")
+    u = kmv_merge(ska.unionAll(skb))
+    est_u = kmv_estimate(u)
+    marked = (
+        u.join(F.broadcast(ska.withColumn("in_a", F.lit(1))), "hval", "left")
+        .join(F.broadcast(skb.withColumn("in_b", F.lit(1))), "hval", "left")
+    )
+    matches = marked.agg(
+        F.sum(F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(),
+                     1).otherwise(0)).cast("long").alias("matches"))
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", (F.dayofmonth(F.to_date("ts")) % 2).alias("par"))
+    )
+    exact = (
+        ev.filter(F.col("par") == 0).select("user_id").distinct()
+        .intersect(ev.filter(F.col("par") == 1).select("user_id").distinct())
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return (
+        matches.crossJoin(F.broadcast(est_u)).crossJoin(F.broadcast(exact))
+        .select(
+            "matches",
+            F.col("n_in_sketch").alias("union_n"),
+            "kth_min",
+            F.col("est_distinct").alias("est_union"),
+            F.expr("CAST((matches * est_distinct) div n_in_sketch AS BIGINT)")
+            .alias("est_intersection"),
+            F.expr("CAST((matches * 1000000) div n_in_sketch AS BIGINT)")
+            .alias("jaccard_ppm"),
+            "exact_intersection",
+        )
+    )
+
+
+# ===========================================================================
+# Time-series diagnostics: CUSUM changepoint, DOW seasonality, OLS trend
+# ===========================================================================
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))
+           AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rev) AS DECIMAL(38,6)) AS total FROM daily),
+cum AS (
+  SELECT day, rev,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(sum(rev) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DECIMAL(38,6)) AS prefix
+  FROM daily
+),
+s AS (
+  SELECT day, t, rev,
+         CAST(n * prefix - t * total AS DECIMAL(38,6)) AS s_scaled
+  FROM cum, tot
+),
+mx AS (SELECT max(abs(s_scaled)) AS peak FROM s)
+SELECT day, t, rev, s_scaled,
+       CAST(abs(s_scaled) = (SELECT peak FROM mx) AS BOOLEAN)
+         AS is_changepoint
+FROM s
+ORDER BY day
+LIMIT 100
+"""
+
+
+@register("cusum_changepoint_daily", _CUSUM_SQL)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization over daily order revenue (Page
+    1954, public method). The classical statistic S_t = sum(x_i -
+    mean) needs a dividing mean; scaling by n keeps it EXACT:
+    s_scaled_t = n*prefix_t - t*total (DECIMAL(38,6) throughout), and
+    argmax|s_scaled| = argmax|S| since n > 0. One aggregate + one
+    ordered window over the DAILY rollup (days rows, not orders rows
+    — the window input is post-aggregation state). Flags the max-|S|
+    day as the changepoint; first 100 days emitted for the gate."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+             .cast("decimal(38,6)").alias("rev"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("decimal(38,6)").alias("total"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day", "rev", "n", "total",
+            F.row_number().over(Window.orderBy("day")).cast("long")
+            .alias("t"),
+            F.sum("rev").over(w).cast("decimal(38,6)").alias("prefix"),
+        )
+    )
+    s = cum.select(
+        "day", "t", "rev",
+        (F.col("n") * F.col("prefix") - F.col("t") * F.col("total"))
+        .cast("decimal(38,6)").alias("s_scaled"),
+    )
+    peak = s.agg(F.max(F.abs(F.col("s_scaled"))).alias("peak"))
+    return (
+        s.crossJoin(F.broadcast(peak))
+        .select("day", "t", "rev", "s_scaled",
+                (F.abs(F.col("s_scaled")) == F.col("peak"))
+                .alias("is_changepoint"))
+        .orderBy("day").limit(100)
+    )
+
+
+_DOW_SQL = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(38,6)) AS v
+  FROM events WHERE value IS NOT NULL
+),
+-- ISO day number 1=Mon..7=Sun, identical across engines
+dw AS (SELECT isodow(day) AS dow, v FROM ev),
+per AS (SELECT CAST(dow AS INTEGER) AS dow,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS DECIMAL(38,6)) AS sum_v
+        FROM dw GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
+               CAST(sum(sum_v) AS DECIMAL(38,6)) AS sum_all FROM per)
+SELECT dow, n, sum_v,
+       {_sql_round('(CAST(sum_v AS DOUBLE) / n)'
+                   ' / (CAST(sum_all AS DOUBLE) / n_all)', 6)}
+         AS seasonal_index
+FROM per, tot
+ORDER BY dow
+"""
+
+
+@register("dow_seasonality_events", _DOW_SQL)
+def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices for event values: per-DOW mean
+    over the global mean. Sums are exact DECIMAL (so the only floats
+    are two divisions over identical integers/decimals, then one
+    rounded ratio — the repo's standard float-boundary discipline).
+    Day numbering is ISO (Mon=1..Sun=7) via dayofweek-shift on the
+    Spark side and isodow in DuckDB — the one cross-engine DOW
+    convention that agrees. Single map-side-combine aggregate over
+    events; 7-row output."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(F.to_date("ts").alias("day"),
+                F.col("value").cast("decimal(38,6)").alias("v"))
+    )
+    # Spark dayofweek: 1=Sun..7=Sat -> ISO 1=Mon..7=Sun
+    iso = ((F.dayofweek("day") + 5) % 7 + 1).cast("int")
+    per = (
+        ev.select(iso.alias("dow"), "v")
+        .groupBy("dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("v").cast("decimal(38,6)").alias("sum_v"))
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("n_all"),
+                  F.sum("sum_v").cast("decimal(38,6)").alias("sum_all"))
+    from apde_etl_spark.functions.core import round_half_away
+
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "dow", "n", "sum_v",
+            round_half_away(
+                (F.col("sum_v").cast("double") / F.col("n"))
+                / (F.col("sum_all").cast("double") / F.col("n_all")), 6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+_TREND_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))
+           AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, rev
+  FROM daily
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS DECIMAL(38,6)) AS sx,
+         CAST(sum(rev) AS DECIMAL(38,6)) AS sy,
+         CAST(sum(t * t) AS DECIMAL(38,6)) AS sxx,
+         CAST(sum(t * rev) AS DECIMAL(38,6)) AS sxy
+  FROM idx
+)
+SELECT n, sx, sy, sxx, sxy,
+       {_sql_round('(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)'
+                   ' * CAST(sy AS DOUBLE))'
+                   ' / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)'
+                   ' * CAST(sx AS DOUBLE))', 6)} AS slope_per_day,
+       {_sql_round('(CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)'
+                   ' - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+                   ' / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)'
+                   ' * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n', 6)}
+         AS intercept
+FROM m
+"""
+
+
+@register("trend_daily_revenue_ols", _TREND_SQL)
+def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend line over daily revenue — the corr_matrix pattern
+    (exact DECIMAL moments in ONE aggregate, float only at the final
+    closed-form division) applied to regression. Emits the exact
+    moment sums (n, sx, sy, sxx, sxy) BESIDE the rounded slope and
+    intercept, so the gate pins the distributed part exactly and the
+    scalar algebra at 6 dp. Day index t comes from a row_number over
+    the daily rollup (days rows — tiny-window class)."""
+    from pyspark.sql import Window
+
+    from apde_etl_spark.functions.core import round_half_away
+
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+             .cast("decimal(38,6)").alias("rev"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        "rev")
+    m = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("decimal(38,6)").alias("sx"),
+        F.sum("rev").cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("decimal(38,6)").alias("sxx"),
+        F.sum(F.col("t") * F.col("rev")).cast("decimal(38,6)").alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (F.col("n") * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    )
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n")
+    )
+    return m.select(
+        "n", "sx", "sy", "sxx", "sxy",
+        round_half_away(slope, 6).alias("slope_per_day"),
+        round_half_away(intercept, 6).alias("intercept"),
+    )

@@ -174,3 +174,73 @@ def test_pmi_ratio_matches_hand_count(spark):
     assert (c_ab, c_a, c_b, n) == (5, 5, 5, 12)
     assert abs(c_ab * n / (c_a * c_b) - 2.4) < 1e-12
     assert R._PMI_MIN_COUNT >= 1  # entry is registered and importable
+
+
+# ===========================================================================
+# KMV sketches
+# ===========================================================================
+
+
+def _keys(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "k string")
+
+
+def test_kmv_unsaturated_sketch_is_exact(spark):
+    df = _keys(spark, [f"u{i}" for i in range(10)] * 3)  # dups collapse
+    sk = S.kmv_sketch(df, "k", k=64)
+    est = S.kmv_estimate(sk, k=64).collect()[0]
+    assert est["n_in_sketch"] == 10
+    assert est["kth_min"] is None  # never saturated
+    assert est["est_distinct"] == 10  # exact on the small-set path
+
+
+def test_kmv_saturated_estimate_within_error(spark):
+    n = 2000
+    df = _keys(spark, [f"user-{i}" for i in range(n)])
+    sk = S.kmv_sketch(df, "k", k=64)
+    est = S.kmv_estimate(sk, k=64).collect()[0]
+    assert est["n_in_sketch"] == 64
+    # standard error ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma
+    assert abs(est["est_distinct"] - n) < n * 0.51
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    a = _keys(spark, [f"a{i}" for i in range(100)])
+    b = _keys(spark, [f"b{i}" for i in range(100)] + ["a0", "a1"])
+    merged = S.kmv_merge(
+        S.kmv_sketch(a, "k", k=32).unionByName(S.kmv_sketch(b, "k", k=32)),
+        k=32)
+    whole = S.kmv_sketch(a.unionByName(b), "k", k=32)
+    ml = sorted(r["hval"] for r in merged.collect())
+    wl = sorted(r["hval"] for r in whole.collect())
+    assert ml == wl  # k-min of the k-mins == k-min of the union
+
+
+def test_kmv_intersection_estimator_tracks_overlap(spark):
+    # A = 0..599, B = 300..899 -> |A ∩ B| = 300, |A ∪ B| = 900
+    a = _keys(spark, [f"u{i}" for i in range(600)])
+    b = _keys(spark, [f"u{i}" for i in range(300, 900)])
+    k = 64
+    ska = S.kmv_merge(S.kmv_sketch(a, "k", k=k), k=k).select("hval")
+    skb = S.kmv_merge(S.kmv_sketch(b, "k", k=k), k=k).select("hval")
+    u = S.kmv_merge(ska.unionAll(skb), k=k)
+    est_u = S.kmv_estimate(u, k=k).collect()[0]["est_distinct"]
+    a_set = {r["hval"] for r in ska.collect()}
+    b_set = {r["hval"] for r in skb.collect()}
+    matches = sum(1 for r in u.collect()
+                  if r["hval"] in a_set and r["hval"] in b_set)
+    est_inter = matches * est_u // k
+    assert abs(est_u - 900) < 900 * 0.51
+    assert abs(est_inter - 300) < 300  # rho-based: wide but centered
+    assert 0 < matches < k  # partial overlap visible in the sketch
+
+
+def test_kmv_estimate_spark_division_matches_python(spark):
+    """The Spark DECIMAL div path must floor exactly like Python's //
+    (and DuckDB's HUGEINT //)."""
+    n = 5000
+    df = _keys(spark, [f"x{i}" for i in range(n)])
+    sk = S.kmv_sketch(df, "k", k=64)
+    row = S.kmv_estimate(sk, k=64).collect()[0]
+    expect = (63 * S.KMV_SPACE) // row["kth_min"]
+    assert row["est_distinct"] == expect

