@@ -446,3 +446,165 @@ def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_away(slope, 6).alias("slope_per_day"),
         round_half_away(intercept, 6).alias("intercept"),
     )
+
+
+# ===========================================================================
+# Differentially-private count release: geometric mechanism, exact CDF
+# ===========================================================================
+
+#: 60-bit uniform space (matches hash60)
+_DP_T = 1 << 60
+
+#: seed prefix — production would rotate this per release; the gate
+#: pins one so the mechanism is reproducible cross-engine.
+_DP_SEED = "dpseed:1:"
+
+
+def _dp_noise_exprs(h: str) -> str:
+    """Two-sided geometric noise with alpha = 1/2 (epsilon = ln 2),
+    inverse-CDF sampled from a 60-bit uniform ``h`` in EXACT integer
+    arithmetic — shared text for Spark and DuckDB (identical syntax):
+    the CDF thresholds floor(T/(3*2^(k-1))) reduce to a bit-length,
+    so noise = -bitlen(T div 3(h+1)) on the low tail, +bitlen(T div
+    3(T-h)) on the high tail, 0 in the middle third. No float log
+    anywhere; P(0)=1/3, P(+-k)=(1/3)*2^-k exactly."""
+    qn = f"(CAST({_DP_T} AS BIGINT) // (3 * ({h} + 1)))"
+    qp = f"(CAST({_DP_T} AS BIGINT) // (3 * ({_DP_T} - {h})))"
+    return (f"CAST(CASE WHEN {qn} >= 1 THEN -length(bin({qn})) "
+            f"WHEN {qp} >= 1 THEN length(bin({qp})) "
+            f"ELSE 0 END AS INTEGER)")
+
+
+_DP_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+),
+hh AS (
+  SELECT event_type, n_exact,
+         CAST(concat('0x', substr(md5('{_DP_SEED}' || event_type), 1, 15))
+              AS BIGINT) AS h
+  FROM c
+)
+SELECT event_type, n_exact,
+       {_dp_noise_exprs('h')} AS noise,
+       CAST(n_exact + {_dp_noise_exprs('h')} AS BIGINT) AS n_noisy
+FROM hh
+ORDER BY event_type
+"""
+
+
+@register("dp_geometric_event_counts", _DP_SQL)
+def dp_geometric_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release via the GEOMETRIC MECHANISM
+    (Ghosh-Roughgarden-Sundararajan 2009, public method; the discrete
+    analogue of Laplace, epsilon = ln 2 for unit-sensitivity counts).
+    The noise is inverse-CDF sampled from a SEEDED 60-bit uniform
+    (hash60 of seed||key) in exact integer arithmetic — the CDF
+    thresholds collapse to bit-lengths, the repo's established
+    no-float-log trick — so the release is reproducible and
+    hash-gates bit-for-bit. ``n_exact`` is emitted ONLY for the gate's
+    accuracy contract; a production release drops it and rotates the
+    seed per publication. Scale shape: one map-side-combine count per
+    key, noise is a per-row expression — no extra shuffle."""
+    from apde_etl_spark.operators.similarity import hash60
+
+    c = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    hh = c.withColumn(
+        "h", hash60(F.concat(F.lit(_DP_SEED), F.col("event_type"))))
+    # Spark's integer division is `div`; keep one text with // -> div
+    noise_sql = _dp_noise_exprs("h").replace("//", "div")
+    return (
+        hh.select(
+            "event_type", "n_exact",
+            F.expr(noise_sql).alias("noise"),
+            (F.col("n_exact") + F.expr(noise_sql)).cast("long")
+            .alias("n_noisy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
+# Walk-forward forecast backtest: naive vs seasonal-naive
+# ===========================================================================
+
+_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))
+           AS rev
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT day, rev,
+         lag(rev, 1) OVER (ORDER BY day) AS f_naive,
+         lag(rev, 7) OVER (ORDER BY day) AS f_seasonal
+  FROM daily
+),
+errs AS (
+  SELECT 'naive' AS model,
+         CAST(count(*) AS BIGINT) AS n_scored,
+         CAST(sum(abs(rev - f_naive)) AS DECIMAL(38,6)) AS sum_abs_err
+  FROM lagged WHERE f_naive IS NOT NULL
+  UNION ALL
+  SELECT 'seasonal_naive' AS model,
+         CAST(count(*) AS BIGINT) AS n_scored,
+         CAST(sum(abs(rev - f_seasonal)) AS DECIMAL(38,6)) AS sum_abs_err
+  FROM lagged WHERE f_seasonal IS NOT NULL
+)
+SELECT model, n_scored, sum_abs_err,
+       CAST(sum_abs_err / n_scored AS DECIMAL(38,6)) AS mae
+FROM errs
+ORDER BY model
+"""
+
+
+@register("backtest_seasonal_naive", _BACKTEST_SQL)
+def backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the two standard forecasting baselines
+    over daily revenue: naive (predict yesterday) and seasonal-naive
+    (predict the value 7 days back). Every error is honest walk-forward
+    (the forecast uses only prior days, via lag over the day-ordered
+    rollup), the absolute-error sums are exact DECIMAL, and MAE is a
+    DECIMAL division both engines compute identically at scale 6. The
+    window input is the daily rollup (days rows, post-aggregation) —
+    the documented tiny-window class. A real model slots into the same
+    harness: replace the lag column with its prediction column."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+             .cast("decimal(38,6)").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day", "rev",
+        F.lag("rev", 1).over(w).alias("f_naive"),
+        F.lag("rev", 7).over(w).alias("f_seasonal"),
+    )
+
+    def arm(model: str, fcol: str) -> DataFrame:
+        return (
+            lagged.filter(F.col(fcol).isNotNull())
+            .agg(
+                F.lit(model).alias("model"),
+                F.count(F.lit(1)).cast("long").alias("n_scored"),
+                F.sum(F.abs(F.col("rev") - F.col(fcol)))
+                .cast("decimal(38,6)").alias("sum_abs_err"),
+            )
+        )
+
+    errs = arm("naive", "f_naive").unionByName(
+        arm("seasonal_naive", "f_seasonal"))
+    return errs.select(
+        "model", "n_scored", "sum_abs_err",
+        (F.col("sum_abs_err") / F.col("n_scored")).cast("decimal(38,6)")
+        .alias("mae"),
+    ).orderBy("model")

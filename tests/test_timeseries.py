@@ -92,3 +92,54 @@ def test_kmv_store_entries_consistent(spark, sf_dir):
     assert u["est_distinct"] > 0
     if u["n_in_sketch"] < C.KMV_K:
         assert u["est_distinct"] == u["n_in_sketch"]
+
+
+def test_dp_noise_pmf_and_edges(spark):
+    """The geometric mechanism's exact inverse-CDF: P(0)=1/3,
+    P(+-1)=1/6, symmetric, and the extreme uniforms map to the
+    deepest tails."""
+    T = 1 << 60
+
+    def noise(h):
+        qn = T // (3 * (h + 1))
+        if qn >= 1:
+            return -qn.bit_length()
+        qp = T // (3 * (T - h))
+        if qp >= 1:
+            return qp.bit_length()
+        return 0
+
+    assert noise(0) == -59 and noise(T - 1) == 59
+    assert noise(T // 3 - 1) == -1 and noise(T // 3) == 0
+    assert noise(T - T // 3 - 1) == 0 and noise(T - T // 3) == 1
+    # spot-check the Spark expression against the Python reference on
+    # a spread of uniforms
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.plans.catalog_r7c import _dp_noise_exprs
+
+    hs = [0, 1, T // 7, T // 3, T // 2, 2 * T // 3, T - 2, T - 1]
+    df = spark.createDataFrame([(h,) for h in hs], "h long")
+    got = [r["n"] for r in
+           df.select(F.expr(_dp_noise_exprs("h").replace("//", "div"))
+                     .alias("n")).collect()]
+    assert got == [noise(h) for h in hs]
+
+
+def test_dp_release_changes_some_counts(spark, sf_dir):
+    from apde_etl_spark.plans.catalog_r7c import dp_geometric_event_counts
+
+    rows = dp_geometric_event_counts(spark, sf_dir).collect()
+    assert all(r["n_noisy"] == r["n_exact"] + r["noise"] for r in rows)
+    assert all(abs(r["noise"]) <= 60 for r in rows)
+
+
+def test_backtest_mae_nonnegative_and_counts(spark, sf_dir):
+    from apde_etl_spark.plans.catalog_r7c import backtest_seasonal_naive
+
+    rows = {r["model"]: r for r in
+            backtest_seasonal_naive(spark, sf_dir).collect()}
+    assert set(rows) == {"naive", "seasonal_naive"}
+    assert rows["naive"]["n_scored"] == rows["seasonal_naive"]["n_scored"] + 6
+    for r in rows.values():
+        assert r["mae"] >= 0

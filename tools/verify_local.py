@@ -75,9 +75,12 @@ def main() -> int:
     for name in unknown:
         failures.append((name, "no such query in the registry"))
         print(f"FAIL {name}: no such query in the registry")
+    import time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
@@ -92,6 +95,7 @@ def main() -> int:
                             "spark_rows": len(srows)}
             print(f"PASS {name}: rows-only check, {len(srows)} rows (no oracle)")
             continue
+        t_spark = time.monotonic() - t0
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
@@ -117,9 +121,14 @@ def main() -> int:
                             "spark_rows": len(srows), "oracle_rows": len(orows)}
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
+            t_oracle = time.monotonic() - t0 - t_spark
             record[name] = {"status": "pass", "mode": "hash_oracle",
-                            "spark_rows": len(srows), "hash": sh[:16]}
-            print(f"PASS {name}: {len(srows)} rows hash={sh[:12]}")
+                            "spark_rows": len(srows), "hash": sh[:16],
+                            "spark_s": round(t_spark, 2),
+                            "oracle_s": round(t_oracle, 2)}
+            print(f"PASS {name}: {len(srows)} rows hash={sh[:12]}"
+                  f" spark={t_spark:.1f}s oracle={t_oracle:.1f}s",
+                  flush=True)
         release_scope(None)   # free operator-internal caches per entry
 
     import json
