@@ -608,3 +608,76 @@ def backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_abs_err") / F.col("n_scored")).cast("decimal(38,6)")
         .alias("mae"),
     ).orderBy("model")
+
+
+# ===========================================================================
+# Streaming KMV distinct: foreachBatch min-merge of k-min sets
+# ===========================================================================
+
+
+def _fold_kmv_state(batch_df: DataFrame,
+                    existing: DataFrame | None) -> DataFrame:
+    """Fold one micro-batch into the global KMV state: sketch the
+    batch, keep the k smallest distinct hvals of the union. Min-merge
+    is associative, commutative AND idempotent, so at-least-once
+    replays and any micro-batch slicing land on the identical k-min
+    set."""
+    sk = kmv_sketch(batch_df, "user_id")
+    if existing is None:
+        return sk
+    return kmv_merge(existing.unionByName(sk).select("hval"))
+
+
+_KMV_STREAM_SQL = f"""
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+hh AS (SELECT DISTINCT {_SQL_H60_USER} AS hval FROM ev),
+rk AS (SELECT hval,
+              CAST(row_number() OVER (ORDER BY hval) AS INTEGER) AS rnk
+       FROM hh),
+m AS (SELECT hval, rnk FROM rk WHERE rnk <= {KMV_K}),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_in_sketch,
+             max(CASE WHEN rnk = {KMV_K} THEN hval END) AS kth_min
+      FROM m)
+SELECT n_in_sketch, kth_min,
+       {sql_kmv_estimate()} AS est_distinct,
+       CAST((SELECT count(DISTINCT user_id) FROM ev) AS BIGINT)
+         AS exact_distinct
+FROM a
+"""
+
+
+@register("stream_kmv_distinct", _KMV_STREAM_SQL)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KMV distinct sketch — completes the streaming-twin
+    triad (HLL max-merge, CMS sum-fold, KMV min-merge): each
+    micro-batch's k-min set folds into the persisted state under the
+    shared idempotent foreachBatch runner. The oracle sketches all
+    events in one pass — stream-batch convergence is hash-proven
+    because the k smallest distinct hashes of a multiset are invariant
+    to how the stream was sliced. Unlike the HLL twin this state also
+    serves INTERSECTIONS against any other stored sketch."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from apde_etl_spark.plans.catalog import normalize_ts
+    from apde_etl_spark.plans.catalog_r2 import run_idempotent_upsert
+
+    load_events(spark, sf_dir)  # sets the nanos conf if needed
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    src = normalize_ts(src)
+    workdir = tempfile.mkdtemp(prefix="stream_kmv_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    target = run_idempotent_upsert(src, workdir, _fold_kmv_state)
+    state = spark.read.parquet(target)
+    est = kmv_estimate(kmv_merge(state.select("hval")))
+    ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_in_sketch", "kth_min", "est_distinct", "exact_distinct")

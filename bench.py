@@ -102,6 +102,16 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q16_supplier_cnt",
+    # round 7b/c: mergeable sketch stores, retrieval from frozen graph
+    # index, time-series diagnostics, DP release
+    "hll_union_from_storage",
+    "cms_heavy_hitters_from_storage",
+    "kmv_cohort_intersection",
+    "ann_graph_topk",
+    "bm25_phrase_topk",
+    "cusum_changepoint_daily",
+    "dp_geometric_event_counts",
+    "mv_incremental_refresh",
 ]
 
 

@@ -244,3 +244,19 @@ def test_kmv_estimate_spark_division_matches_python(spark):
     row = S.kmv_estimate(sk, k=64).collect()[0]
     expect = (63 * S.KMV_SPACE) // row["kth_min"]
     assert row["est_distinct"] == expect
+
+
+def test_kmv_stream_fold_is_slicing_invariant(spark):
+    """min-merge fold: folding two batches == sketching the whole
+    stream, for any slicing."""
+    from apde_etl_spark.plans.catalog_r7c import _fold_kmv_state
+
+    a = spark.createDataFrame(
+        [(f"u{i}",) for i in range(120)], "user_id string")
+    b = spark.createDataFrame(
+        [(f"u{i}",) for i in range(60, 200)], "user_id string")
+    folded = _fold_kmv_state(b, _fold_kmv_state(a, None))
+    whole = S.kmv_sketch(a.unionByName(b), "user_id")
+    fl = sorted(r["hval"] for r in folded.collect())
+    wl = sorted(r["hval"] for r in whole.collect())
+    assert fl == wl

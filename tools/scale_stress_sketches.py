@@ -1,0 +1,152 @@
+"""Scale stress for the mergeable-sketch stores (HLL, Count-Min, KMV):
+synthesize an event stream orders of magnitude past the testdata
+(default 20M events / ~200k distinct users over 30 days), build each
+per-day sketch store, persist it, and answer the store-merge questions
+— proving the 100 TB claim that sketch STATE stays bounded (days*m /
+days*depth*width / days*k integer rows) while accuracy holds:
+
+- HLL:  per-day registers -> merged 30-day distinct estimate
+- CMS:  per-day registers -> merged heavy-hitter point estimates
+- KMV:  per-day k-min sketches -> merged union AND even/odd-day
+        cohort intersection estimates
+
+The stream is generated IN PLACE with Spark expressions (no driver row
+loop); per-row hashes drive user assignment with a quadratic fold so
+hot users exist. Exact ground truths are computed once for the error
+columns.
+
+Usage: python tools/scale_stress_sketches.py [n_events]
+Prints one JSON line; paste the numbers into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators import sketch as S
+    from apde_etl_spark.operators.profile import hll_estimate, hll_registers
+    from apde_etl_spark.session import get_spark
+
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    spark = get_spark("scale-stress-sketches")
+    t: dict[str, float] = {}
+
+    n_users = max(1000, n_events // 100)
+    # 30% of traffic on 8 hot users (the CMS probe set), the rest
+    # uniform over ~n_users ids — realistic cardinality for the
+    # distinct sketches AND a heavy-hitter head for the frequency one
+    base = (
+        spark.range(n_events)
+        .withColumn("h2", F.abs(F.xxhash64(F.col("id"), F.lit(7))))
+        .withColumn("user_id",
+                    F.when(F.col("h2") % 10 < 3, F.col("h2") % 8)
+                    .otherwise(F.col("h2") % n_users))
+        .withColumn("day", F.to_date(F.timestamp_seconds(
+            F.lit(1704067200)
+            + (F.abs(F.xxhash64(F.col("id"))) % (30 * 24 * 3600)))))
+        .select("day", "user_id")
+    )
+
+    t0 = time.monotonic()
+    exact_distinct = base.select("user_id").distinct().count()
+    t["exact_distinct_scan_s"] = round(time.monotonic() - t0, 1)
+
+    root = tempfile.mkdtemp(prefix="apde_stress_sk_")
+    try:
+        # ------------------------------------------------ HLL store
+        t0 = time.monotonic()
+        hll_registers(base, "user_id", ["day"]).write.mode(
+            "overwrite").partitionBy("day").parquet(f"{root}/hll")
+        t["hll_build_s"] = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        regs = spark.read.parquet(f"{root}/hll")
+        hll_rows = regs.count()
+        merged = regs.groupBy("reg").agg(
+            F.max("max_rho").alias("max_rho"))
+        est = hll_estimate(merged).collect()[0]["est_distinct"]
+        t["hll_merge_query_s"] = round(time.monotonic() - t0, 1)
+        t["hll_state_rows"] = hll_rows
+        t["hll_rel_err"] = round(abs(est - exact_distinct)
+                                 / exact_distinct, 4)
+
+        # ------------------------------------------------ CMS store
+        t0 = time.monotonic()
+        S.cms_registers(base, "user_id", ["day"]).write.mode(
+            "overwrite").partitionBy("day").parquet(f"{root}/cms")
+        t["cms_build_s"] = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        regs = spark.read.parquet(f"{root}/cms")
+        cms_rows = regs.count()
+        merged = regs.groupBy("row_id", "bucket").agg(
+            F.sum("cnt").cast("long").alias("cnt"))
+        # probe the 8 hottest users (exact top by construction: low ids)
+        probes = spark.range(8).select(F.col("id").alias("user_id"))
+        ests = {r["user_id"]: r["est_cnt"] for r in
+                S.cms_estimate(merged, probes, "user_id").collect()}
+        exact = {r["user_id"]: r["n"] for r in
+                 base.filter(F.col("user_id") < 8)
+                 .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        overs = [ests[u] - exact.get(u, 0) for u in ests]
+        t["cms_merge_query_s"] = round(time.monotonic() - t0, 1)
+        t["cms_state_rows"] = cms_rows
+        t["cms_one_sided_ok"] = all(o >= 0 for o in overs)
+        t["cms_max_overcount"] = max(overs)
+
+        # ------------------------------------------------ KMV store
+        t0 = time.monotonic()
+        S.kmv_sketch(base, "user_id", ["day"]).write.mode(
+            "overwrite").partitionBy("day").parquet(f"{root}/kmv")
+        t["kmv_build_s"] = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        sk = spark.read.parquet(f"{root}/kmv")
+        kmv_rows = sk.count()
+        est_u = S.kmv_estimate(S.kmv_merge(sk)).collect()[0]["est_distinct"]
+        t["kmv_merge_query_s"] = round(time.monotonic() - t0, 1)
+        t["kmv_state_rows"] = kmv_rows
+        t["kmv_rel_err"] = round(abs(est_u - exact_distinct)
+                                 / exact_distinct, 4)
+
+        t0 = time.monotonic()
+        par = sk.withColumn("par", (F.dayofmonth("day") % 2).cast("int"))
+        ska = S.kmv_merge(par.filter(F.col("par") == 0)).select("hval")
+        skb = S.kmv_merge(par.filter(F.col("par") == 1)).select("hval")
+        u = S.kmv_merge(ska.unionAll(skb))
+        est_union = S.kmv_estimate(u).collect()[0]["est_distinct"]
+        a_set = {r["hval"] for r in ska.collect()}
+        b_set = {r["hval"] for r in skb.collect()}
+        matches = sum(1 for r in u.collect()
+                      if r["hval"] in a_set and r["hval"] in b_set)
+        est_inter = matches * est_union // S.KMV_K
+        ev = base.withColumn("par", (F.dayofmonth("day") % 2))
+        exact_inter = (
+            ev.filter("par = 0").select("user_id").distinct()
+            .intersect(ev.filter("par = 1").select("user_id").distinct())
+            .count()
+        )
+        t["kmv_intersection_query_s"] = round(time.monotonic() - t0, 1)
+        t["kmv_inter_est"] = est_inter
+        t["kmv_inter_exact"] = exact_inter
+        t["kmv_inter_rel_err"] = round(
+            abs(est_inter - exact_inter) / max(1, exact_inter), 4)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    out = {"n_events": n_events, "n_users_nominal": n_users,
+           "exact_distinct": exact_distinct, **t}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
