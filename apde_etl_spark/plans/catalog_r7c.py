@@ -681,3 +681,99 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("long").alias("exact_distinct"))
     return est.crossJoin(F.broadcast(exact)).select(
         "n_in_sketch", "kth_min", "est_distinct", "exact_distinct")
+
+
+_KMV_ROLLING_SQL = f"""
+WITH {_KMV_REG_CTES},
+spine AS (SELECT DISTINCT day FROM sk),
+win AS (
+  SELECT s.day AS day, k.hval AS hval
+  FROM spine s JOIN sk k
+    ON k.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+),
+du AS (SELECT DISTINCT day, hval FROM win),
+rk2 AS (SELECT day, hval,
+              CAST(row_number() OVER (PARTITION BY day ORDER BY hval)
+                   AS INTEGER) AS rnk
+       FROM du),
+m2 AS (SELECT day, hval, rnk FROM rk2 WHERE rnk <= {KMV_K}),
+a AS (SELECT day,
+             CAST(count(*) AS BIGINT) AS n_in_sketch,
+             max(CASE WHEN rnk = {KMV_K} THEN hval END) AS kth_min
+      FROM m2 GROUP BY day),
+x AS (
+  SELECT s.day AS day,
+         CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_distinct_7d
+  FROM spine s JOIN ev e
+    ON e.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+  GROUP BY 1
+)
+SELECT a.day, n_in_sketch, kth_min,
+       {sql_kmv_estimate()} AS est_distinct_7d,
+       exact_distinct_7d
+FROM a JOIN x ON a.day = x.day
+ORDER BY a.day
+"""
+
+
+@register("kmv_rolling7_distinct", _KMV_ROLLING_SQL)
+def kmv_rolling7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users PER DAY, served ENTIRELY from the
+    per-day sketch store: a range join of the day spine against <=
+    days*k stored integer rows, one per-day re-rank, one estimate per
+    day — the sliding-distinct query that needs a full rescan per
+    window without sketches (distinct does not decompose over
+    overlapping windows; HLL registers would union but never subtract
+    — KMV's re-rank gives any window from the same state). The exact
+    per-window distinct rides beside the estimate for the gate's
+    accuracy contract; at 100 TB one would sample-audit instead."""
+    from pyspark.sql import Window
+
+    d = _ensure_kmv_store(spark, sf_dir)
+    sk = spark.read.parquet(d).select(
+        F.col("day").cast("date").alias("day"), "hval")
+    spine = sk.select("day").distinct()
+    win = (
+        spine.alias("s")
+        .join(sk.alias("k"),
+              F.col("k.day").between(F.date_sub(F.col("s.day"), 6),
+                                     F.col("s.day")))
+        .select(F.col("s.day").alias("day"), "hval")
+        .distinct()
+    )
+    w = Window.partitionBy("day").orderBy("hval")
+    m = (
+        win.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= KMV_K)
+    )
+    num = (KMV_K - 1) * (1 << 60)
+    a = m.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+        F.max(F.when(F.col("rnk") == KMV_K, F.col("hval")))
+        .alias("kth_min"),
+    )
+    est = F.when(F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch")) \
+        .otherwise(F.expr(
+            f"CAST(CAST({num} AS DECIMAL(38,0))"
+            f" div CAST(kth_min AS DECIMAL(38,0)) AS BIGINT)"))
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+    )
+    x = (
+        spine.alias("s")
+        .join(ev.alias("e"),
+              F.col("e.day").between(F.date_sub(F.col("s.day"), 6),
+                                     F.col("s.day")))
+        .groupBy(F.col("s.day").alias("day"))
+        .agg(F.count_distinct("user_id").cast("long")
+             .alias("exact_distinct_7d"))
+    )
+    return (
+        a.join(x, "day")
+        .select("day", "n_in_sketch", "kth_min",
+                est.cast("long").alias("est_distinct_7d"),
+                "exact_distinct_7d")
+        .orderBy("day")
+    )
