@@ -142,6 +142,19 @@ def load_events(spark: SparkSession, sf_dir: str,
     return ensure_min_parallelism(ev, path) if rebalance else ev
 
 
+def materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
+    """Add DuckDB ``AS MATERIALIZED`` to the named CTEs. DuckDB inlines
+    CTE bodies into every reference site, so an expensive CTE referenced
+    N times (recall truth sets, blocked-pair features) is computed N
+    times; the hint pins one evaluation. Values are unchanged (row
+    ORDER may differ — the gate hash is order-insensitive); measured
+    up to 40x on the EM-weights oracle."""
+    import re as _re
+
+    pat = r"\b(" + "|".join(names) + r") AS \("
+    return _re.sub(pat, r"\1 AS MATERIALIZED (", sql)
+
+
 def _sql_round(expr: str, digits: int) -> str:
     """DuckDB-side half-away rounding, same formula as
     :func:`round_half_away` so doubles match bit-for-bit."""

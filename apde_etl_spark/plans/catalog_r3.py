@@ -160,6 +160,10 @@ FROM hits, n_exact
 """
 
 
+_ANN_RECALL_MAT = ("exact", "e", "eb", "cent", "hits")
+
+
+
 # exact ground truth moved to operators/similarity.py (round 7: the
 # graph-index builder needs it too, and operators must not import
 # plans) — re-exported here for the entries and tests that use it.
@@ -169,7 +173,9 @@ from apde_etl_spark.operators.similarity import (  # noqa: E402
 )
 
 
-@register("ann_recall_at_k", _sql_ann_recall())
+@register("ann_recall_at_k", __import__(
+    "apde_etl_spark.plans.catalog", fromlist=["materialize_ctes"],
+).materialize_ctes(_sql_ann_recall(), _ANN_RECALL_MAT))
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of the bucketed ANN paths against the exact top-5: plain
     hyperplane LSH, multi-probe LSH (±1-bit neighbor buckets of the
@@ -595,7 +601,9 @@ def _sql_pq_recall() -> str:
         books=_sql_pq_book_ctes("fc", "fcsrc", m, sub, k_codes),
         adc=_sql_adc("q.u", "cd.cs", "bl.books", m, sub),
     )
-    return f"""
+    from apde_etl_spark.plans.catalog import materialize_ctes
+
+    return materialize_ctes(f"""
 WITH uraw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), craw AS ({_sql_clustered_corpus()}
@@ -629,7 +637,8 @@ hits AS (
 SELECT method, CAST(hits AS BIGINT) AS hits, CAST(n_exact AS BIGINT) AS n_exact,
        {_sql_round('CAST(hits AS DOUBLE) / n_exact', 6)} AS recall_at_k
 FROM hits
-"""
+""", ("ce", "ue", "uexact", "cexact", "wures1", "wcres1", "wccent",
+      "wucent"))
 
 
 @register("ann_recall_pq", _sql_pq_recall())

@@ -389,7 +389,7 @@ def _em_weights_sql() -> str:
                 f"FROM em WHERE iter = {_EM_ITERS}"
             )
     return (
-        f"WITH RECURSIVE feats AS ({_FEATURES_SQL}),{_em_sql_cte()}\n"
+        f"WITH RECURSIVE feats AS MATERIALIZED ({_FEATURES_SQL}),{_em_sql_cte()}\n"
         + "\nUNION ALL ".join(arms)
     )
 
@@ -442,7 +442,7 @@ def _em_decisions_sql() -> str:
         for field, t, lc in zip(_EM_FIELDS, _EM_TAGS, _EM_LEVELS)
     )
     return f"""
-WITH RECURSIVE feats AS ({_FEATURES_SQL}),{_em_sql_cte()},
+WITH RECURSIVE feats AS MATERIALIZED ({_FEATURES_SQL}),{_em_sql_cte()},
 decided AS (
   SELECT CASE WHEN pm >= 9 * pu THEN 'match'
               WHEN pm >= pu THEN 'possible'

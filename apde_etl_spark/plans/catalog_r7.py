@@ -401,6 +401,10 @@ SELECT query_id, CAST(rnk AS INTEGER) AS rank, cid AS vec_id,
        {_sql_round('cos', 6)} AS cosine_sim
 FROM fin WHERE rnk <= {_G_K}
 """
+_GRAPH_TOPK_SQL = __import__(
+    "apde_etl_spark.plans.catalog", fromlist=["materialize_ctes"],
+).materialize_ctes(_GRAPH_TOPK_SQL, ("q", "e", "rk", "graph"))
+
 
 
 @register("ann_graph_topk", _GRAPH_TOPK_SQL)
@@ -460,6 +464,11 @@ SELECT 'graph_m{_G_M}_b{_G_BEAM}_h{_G_HOPS}' AS method,
            ' AS DOUBLE) / (SELECT count(*) FROM exact_q)', 6)}
        AS recall_at_k
 """
+_GRAPH_RECALL_SQL = __import__(
+    "apde_etl_spark.plans.catalog", fromlist=["materialize_ctes"],
+).materialize_ctes(_GRAPH_RECALL_SQL, ("q", "exact_q", "e", "gtop", "rk",
+                                       "graph"))
+
 
 
 @register("ann_recall_graph", _GRAPH_RECALL_SQL)
@@ -995,6 +1004,10 @@ SELECT query_id AS vec_id,
        CAST(sum(cid) AS BIGINT) AS nbr_id_sum
 FROM nbrs GROUP BY query_id
 """
+_GRAPH_ADD_SQL = __import__(
+    "apde_etl_spark.plans.catalog", fromlist=["materialize_ctes"],
+).materialize_ctes(_GRAPH_ADD_SQL, ("rk", "e", "q", "graph"))
+
 
 
 @register("ann_graph_add_incremental", _GRAPH_ADD_SQL)
