@@ -777,3 +777,109 @@ def kmv_rolling7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "exact_distinct_7d")
         .orderBy("day")
     )
+
+
+# ===========================================================================
+# Vocabulary-shift detection: corpus drift between two crawls
+# ===========================================================================
+
+_VSHIFT_TOPN = 15
+#: integer scale for the odds-ratio score (12 decimal digits)
+_VSHIFT_SCALE = 10 ** 12
+
+
+_VSHIFT_SQL = f"""
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN doc_id * 2 < (SELECT max(doc_id) + min(doc_id)
+                                 FROM documents)
+              THEN 'a' ELSE 'b' END AS half,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+tok AS (SELECT half, unnest(toks) AS term FROM split),
+cnt AS (SELECT term,
+               CAST(COALESCE(SUM(CASE WHEN half = 'a' THEN 1 END), 0)
+                    AS HUGEINT) AS c_a,
+               CAST(COALESCE(SUM(CASE WHEN half = 'b' THEN 1 END), 0)
+                    AS HUGEINT) AS c_b
+        FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(c_a) AS HUGEINT) AS n_a,
+               CAST(sum(c_b) AS HUGEINT) AS n_b,
+               CAST(count(*) AS HUGEINT) AS v
+        FROM cnt),
+scored AS (
+  SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+         CAST(((c_b + 1) * (n_a + v) * {_VSHIFT_SCALE})
+              // ((c_a + 1) * (n_b + v)) AS BIGINT) AS rise_score
+  FROM cnt, tot
+),
+rising AS (
+  SELECT 'rising' AS direction, term, c_a, c_b, rise_score FROM scored
+  ORDER BY rise_score DESC, term LIMIT {_VSHIFT_TOPN}
+),
+falling AS (
+  SELECT 'falling' AS direction, term, c_a, c_b, rise_score FROM scored
+  ORDER BY rise_score ASC, term LIMIT {_VSHIFT_TOPN}
+)
+SELECT * FROM rising UNION ALL SELECT * FROM falling
+"""
+
+
+@register("vocab_shift_terms", _VSHIFT_SQL)
+def vocab_shift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor: the terms whose relative frequency rose /
+    fell most between two crawls (halves of the corpus by doc-id
+    midpoint — at 100 TB, two ingest periods). Score = the add-one
+    smoothed frequency-ratio odds, kept EXACT by integer scaling:
+    floor((c_b+1)(N_a+V) * 10^12 / ((c_a+1)(N_b+V))) — the same
+    monotone-surrogate trick as pmi_collocations (log-odds ordering ==
+    odds ordering), in wide-integer division (Spark DECIMAL div /
+    DuckDB HUGEINT //) so top-k and ties are bit-identical. One
+    explode + one groupBy with map-side combine; top-k via
+    TakeOrdered, never a global sort of the vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg((F.max("doc_id") + F.min("doc_id")).alias("mm"))
+    tok = (
+        docs.crossJoin(F.broadcast(mid))
+        .select(
+            F.when(F.col("doc_id") * 2 < F.col("mm"), F.lit("a"))
+            .otherwise(F.lit("b")).alias("half"),
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+    )
+    cnt = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).cast("long")
+        .alias("c_b"),
+    )
+    tot = cnt.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    scored = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "term", "c_a", "c_b",
+            F.expr(
+                f"CAST((CAST(c_b + 1 AS DECIMAL(38,0))"
+                f" * CAST(n_a + v AS DECIMAL(38,0))"
+                f" * CAST({_VSHIFT_SCALE} AS DECIMAL(38,0)))"
+                f" div (CAST(c_a + 1 AS DECIMAL(38,0))"
+                f" * CAST(n_b + v AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("rise_score"),
+        )
+    )
+    rising = (
+        scored.orderBy(F.desc("rise_score"), "term").limit(_VSHIFT_TOPN)
+        .select(F.lit("rising").alias("direction"), "term", "c_a", "c_b",
+                "rise_score")
+    )
+    falling = (
+        scored.orderBy(F.asc("rise_score"), "term").limit(_VSHIFT_TOPN)
+        .select(F.lit("falling").alias("direction"), "term", "c_a", "c_b",
+                "rise_score")
+    )
+    return rising.unionByName(falling)
