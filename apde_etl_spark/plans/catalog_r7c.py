@@ -883,3 +883,104 @@ def vocab_shift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rise_score")
     )
     return rising.unionByName(falling)
+
+
+# ===========================================================================
+# Direct standardization: the epidemiology rate-adjustment classic
+# ===========================================================================
+
+#: per-stratum rates are floor-scaled to 10^9 (per-billion) integers
+_DSR_SCALE = 10 ** 9
+
+
+_DSR_SQL = f"""
+WITH pop AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_pop
+  FROM customer GROUP BY 1, 2
+),
+ev AS (
+  SELECT c.c_nationkey, c.c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+strata AS (
+  SELECT p.c_nationkey, p.c_mktsegment, p.n_pop,
+         COALESCE(e.n_events, 0) AS n_events,
+         CAST((COALESCE(e.n_events, 0) * {_DSR_SCALE}) // p.n_pop
+              AS BIGINT) AS rate_e9
+  FROM pop p LEFT JOIN ev e
+    ON p.c_nationkey = e.c_nationkey
+   AND p.c_mktsegment = e.c_mktsegment
+),
+std AS (
+  SELECT c_mktsegment, CAST(sum(n_pop) AS BIGINT) AS w
+  FROM pop GROUP BY 1
+),
+dsr AS (
+  SELECT s.c_nationkey,
+         CAST(sum(s.n_events) AS BIGINT) AS n_events,
+         CAST(sum(s.n_pop) AS BIGINT) AS n_pop,
+         CAST(sum(s.rate_e9 * d.w) // sum(d.w) AS BIGINT) AS dsr_e9,
+         CAST((sum(s.n_events) * {_DSR_SCALE}) // sum(s.n_pop)
+              AS BIGINT) AS crude_e9
+  FROM strata s JOIN std d ON s.c_mktsegment = d.c_mktsegment
+  GROUP BY 1
+)
+SELECT c_nationkey, n_events, n_pop, crude_e9, dsr_e9
+FROM dsr ORDER BY c_nationkey
+"""
+
+
+@register("standardized_order_rate", _DSR_SQL)
+def standardized_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTLY STANDARDIZED RATES — the reference's home discipline
+    (APDE publishes age-adjusted rates; qa_load_final's
+    proportion-by-group checks are the QA face of the same
+    stratified-rate machinery). Order rates per nation adjusted to
+    the GLOBAL market-segment mix, so nations with different customer
+    compositions compare fairly: DSR_n = sum_s(rate_ns * W_s) /
+    sum_s(W_s) with rate_ns floor-scaled to per-billion integers —
+    exact integer arithmetic end to end (weights and counts are
+    BIGINTs; weighted sums stay under 2^63), so crude vs adjusted
+    hash-gate bit-for-bit. Scale shape: one fact-dim broadcast join,
+    two map-side-combine aggregates, a 125-row strata frame — the
+    standard-population table broadcasts at any scale."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    pop = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"))
+    ev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey",
+                                    "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    strata = (
+        pop.join(ev, ["c_nationkey", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey", "c_mktsegment", "n_pop",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .withColumn(
+            "rate_e9",
+            F.expr(f"CAST((n_events * {_DSR_SCALE}) div n_pop AS BIGINT)"))
+    )
+    std = pop.groupBy("c_mktsegment").agg(
+        F.sum("n_pop").cast("long").alias("w"))
+    dsr = (
+        strata.join(F.broadcast(std), "c_mktsegment")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_pop").cast("long").alias("n_pop"),
+            F.expr("CAST(sum(rate_e9 * w) div sum(w) AS BIGINT)")
+            .alias("dsr_e9"),
+            F.expr(f"CAST((sum(n_events) * {_DSR_SCALE})"
+                   f" div sum(n_pop) AS BIGINT)").alias("crude_e9"),
+        )
+    )
+    return dsr.select("c_nationkey", "n_events", "n_pop", "crude_e9",
+                      "dsr_e9").orderBy("c_nationkey")

@@ -67,6 +67,15 @@ def main() -> int:
 
     from apde_etl_spark.operators.cache import release_scope
 
+    # untimed JVM/codegen warm-up (the bench.py protocol): without it
+    # the first ~10 entries absorb 60-90s of JIT compilation and the
+    # recorded per-entry timings misattribute it to those queries
+    from pyspark.sql import functions as _F
+
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    warm.count()
+    warm.groupBy("l_returnflag").agg(_F.sum("l_quantity")).collect()
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
