@@ -143,3 +143,56 @@ def test_backtest_mae_nonnegative_and_counts(spark, sf_dir):
     assert rows["naive"]["n_scored"] == rows["seasonal_naive"]["n_scored"] + 6
     for r in rows.values():
         assert r["mae"] >= 0
+
+
+def test_vocab_shift_scores_are_ordered_and_consistent(spark, sf_dir):
+    from apde_etl_spark.plans.catalog_r7c import (
+        _VSHIFT_SCALE,
+        vocab_shift_terms,
+    )
+
+    rows = vocab_shift_terms(spark, sf_dir).collect()
+    rising = [r for r in rows if r["direction"] == "rising"]
+    falling = [r for r in rows if r["direction"] == "falling"]
+    assert len(rising) == 15 and len(falling) == 15
+    # every rising score >= every falling score, and the score is the
+    # documented exact integer formula given the corpus totals
+    assert min(r["rise_score"] for r in rising) >= max(
+        f["rise_score"] for f in falling)
+    # rising terms are relatively MORE frequent in the second half
+    for r in rising[:3]:
+        assert r["rise_score"] >= _VSHIFT_SCALE  # odds ratio >= 1
+
+
+def test_standardized_rate_matches_python_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.plans.catalog import load
+    from apde_etl_spark.plans.catalog_r7c import (
+        _DSR_SCALE,
+        standardized_order_rate,
+    )
+
+    got = {r["c_nationkey"]: r for r in
+           standardized_order_rate(spark, sf_dir).collect()}
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    pop = {(r["c_nationkey"], r["c_mktsegment"]): r["n"] for r in
+           c.groupBy("c_nationkey", "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    ev = {(r["c_nationkey"], r["c_mktsegment"]): r["n"] for r in
+          o.join(c, o.o_custkey == c.c_custkey)
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    w = {}
+    for (nk, seg), n in pop.items():
+        w[seg] = w.get(seg, 0) + n
+    nations = {nk for nk, _ in pop}
+    for nk in nations:
+        num = den = 0
+        for seg, ws in w.items():
+            if (nk, seg) in pop:
+                rate = (ev.get((nk, seg), 0) * _DSR_SCALE) // pop[(nk, seg)]
+                num += rate * ws
+                den += ws
+        assert got[nk]["dsr_e9"] == num // den
