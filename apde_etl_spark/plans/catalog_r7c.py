@@ -558,7 +558,8 @@ errs AS (
   FROM lagged WHERE f_seasonal IS NOT NULL
 )
 SELECT model, n_scored, sum_abs_err,
-       CAST(sum_abs_err / n_scored AS DECIMAL(38,6)) AS mae
+       CAST(CAST(sum_abs_err * 1000000 AS HUGEINT) // n_scored AS BIGINT)
+         AS mae_e6
 FROM errs
 ORDER BY model
 """
@@ -603,10 +604,14 @@ def backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     errs = arm("naive", "f_naive").unionByName(
         arm("seasonal_naive", "f_seasonal"))
+    # MAE as exact integer micros: DECIMAL(38,6)*10^6 is integral, the
+    # floor division matches DuckDB's HUGEINT // bit-for-bit (a
+    # fractional decimal division would round at engine-specific
+    # scales)
     return errs.select(
         "model", "n_scored", "sum_abs_err",
-        (F.col("sum_abs_err") / F.col("n_scored")).cast("decimal(38,6)")
-        .alias("mae"),
+        F.expr("CAST(CAST(sum_abs_err * 1000000 AS DECIMAL(38,0))"
+               " div n_scored AS BIGINT)").alias("mae_e6"),
     ).orderBy("model")
 
 

@@ -142,7 +142,7 @@ def test_backtest_mae_nonnegative_and_counts(spark, sf_dir):
     assert set(rows) == {"naive", "seasonal_naive"}
     assert rows["naive"]["n_scored"] == rows["seasonal_naive"]["n_scored"] + 6
     for r in rows.values():
-        assert r["mae"] >= 0
+        assert r["mae_e6"] >= 0
 
 
 def test_vocab_shift_scores_are_ordered_and_consistent(spark, sf_dir):
