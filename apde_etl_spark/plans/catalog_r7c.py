@@ -273,10 +273,15 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load(spark, sf_dir, "orders")
-    daily = (
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    # days-sized rollup read by tot, the prefix window, and the peak
+    # aggregate — persist so orders scans once (plan audit: 4 scans)
+    daily = tracked_persist(
         o.groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-             .cast("decimal(38,6)").alias("rev"))
+             .cast("decimal(38,6)").alias("rev")),
+        scope="timeseries",
     )
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -853,11 +858,19 @@ def vocab_shift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
         )
     )
-    cnt = tok.groupBy("term").agg(
-        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).cast("long")
-        .alias("c_a"),
-        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).cast("long")
-        .alias("c_b"),
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    # persist the vocabulary-sized counts: tot, the scored frame, and
+    # BOTH top-k arms read cnt — without the persist each consumer
+    # re-runs the corpus explode+groupBy (plan audit showed 8 scans)
+    cnt = tracked_persist(
+        tok.groupBy("term").agg(
+            F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).cast("long")
+            .alias("c_a"),
+            F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).cast("long")
+            .alias("c_b"),
+        ),
+        scope="vocabshift",
     )
     tot = cnt.agg(
         F.sum("c_a").cast("long").alias("n_a"),
@@ -952,10 +965,17 @@ def standardized_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gate bit-for-bit. Scale shape: one fact-dim broadcast join,
     two map-side-combine aggregates, a 125-row strata frame — the
     standard-population table broadcasts at any scale."""
+    from apde_etl_spark.operators.cache import tracked_persist
+
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    pop = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pop"))
+    # 125-row strata census read by the strata join AND the standard
+    # population — persist so customer scans once for both
+    pop = tracked_persist(
+        c.groupBy("c_nationkey", "c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pop")),
+        scope="timeseries",
+    )
     ev = (
         o.join(F.broadcast(c.select("c_custkey", "c_nationkey",
                                     "c_mktsegment")),
