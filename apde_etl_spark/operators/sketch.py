@@ -258,18 +258,25 @@ def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
     DECIMAL(38,0) (never the rounding fractional ``/``), DuckDB's
     HUGEINT ``//`` — bit-identical floors. Unsaturated (< k distinct
     values seen): the sketch IS the set, estimate = exact count."""
-    num = (k - 1) * KMV_SPACE
     agg = sketch.agg(
         F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
         F.max(F.when(F.col("rnk") == k, F.col("hval"))).alias("kth_min"),
     )
-    est = F.when(
+    return agg.select("n_in_sketch", "kth_min",
+                      kmv_estimate_expr(k).alias("est_distinct"))
+
+
+def kmv_estimate_expr(k: int = KMV_K) -> Column:
+    """The estimator as a Column over (n_in_sketch, kth_min) — the ONE
+    place the (k-1)*2^60/kth arithmetic lives on the Spark side, so
+    grouped consumers (per-window estimates) share it with
+    :func:`kmv_estimate`."""
+    num = (k - 1) * KMV_SPACE
+    return F.when(
         F.col("n_in_sketch") < k, F.col("n_in_sketch")
     ).otherwise(F.expr(
         f"CAST(CAST({num} AS DECIMAL(38,0))"
-        f" div CAST(kth_min AS DECIMAL(38,0)) AS BIGINT)"))
-    return agg.select("n_in_sketch", "kth_min",
-                      est.cast("long").alias("est_distinct"))
+        f" div CAST(kth_min AS DECIMAL(38,0)) AS BIGINT)")).cast("long")
 
 
 def sql_kmv_estimate(k: int = KMV_K) -> str:

@@ -148,11 +148,18 @@ def materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
     N times (recall truth sets, blocked-pair features) is computed N
     times; the hint pins one evaluation. Values are unchanged (row
     ORDER may differ — the gate hash is order-insensitive); measured
-    up to 40x on the EM-weights oracle."""
+    up to 40x on the EM-weights oracle. Raises if any name fails to
+    match, so a CTE rename can never silently revert its speedup."""
     import re as _re
 
-    pat = r"\b(" + "|".join(names) + r") AS \("
-    return _re.sub(pat, r"\1 AS MATERIALIZED (", sql)
+    pat = r"\b(" + "|".join(_re.escape(n) for n in names) + r") AS \("
+    out, _ = _re.subn(pat, r"\1 AS MATERIALIZED (", sql)
+    missing = [n for n in names
+               if not _re.search(r"\b" + _re.escape(n)
+                                 + r" AS MATERIALIZED \(", out)]
+    if missing:
+        raise ValueError(f"materialize_ctes: no CTE matched {missing}")
+    return out
 
 
 def _sql_round(expr: str, digits: int) -> str:

@@ -15,7 +15,12 @@ from pyspark.sql.window import Window
 
 from apde_etl_spark.functions.core import round_half_away
 from apde_etl_spark.operators import similarity as SIM
-from apde_etl_spark.plans.catalog import _sql_round, load, register
+from apde_etl_spark.plans.catalog import (
+    _sql_round,
+    load,
+    materialize_ctes,
+    register,
+)
 
 # ===========================================================================
 # ANN recall@k — exact top-k baseline vs LSH / multi-probe LSH / IVF
@@ -173,9 +178,8 @@ from apde_etl_spark.operators.similarity import (  # noqa: E402
 )
 
 
-@register("ann_recall_at_k", __import__(
-    "apde_etl_spark.plans.catalog", fromlist=["materialize_ctes"],
-).materialize_ctes(_sql_ann_recall(), _ANN_RECALL_MAT))
+@register("ann_recall_at_k",
+          materialize_ctes(_sql_ann_recall(), _ANN_RECALL_MAT))
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of the bucketed ANN paths against the exact top-5: plain
     hyperplane LSH, multi-probe LSH (±1-bit neighbor buckets of the
@@ -601,8 +605,6 @@ def _sql_pq_recall() -> str:
         books=_sql_pq_book_ctes("fc", "fcsrc", m, sub, k_codes),
         adc=_sql_adc("q.u", "cd.cs", "bl.books", m, sub),
     )
-    from apde_etl_spark.plans.catalog import materialize_ctes
-
     return materialize_ctes(f"""
 WITH uraw AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

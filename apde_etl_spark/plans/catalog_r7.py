@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apde_etl_spark.operators.cache import tracked_persist
-from apde_etl_spark.plans.catalog import _sql_round, load, register
+from apde_etl_spark.plans.catalog import (
+    _sql_round,
+    load,
+    materialize_ctes,
+    register,
+)
 
 _REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
 
@@ -401,9 +406,8 @@ SELECT query_id, CAST(rnk AS INTEGER) AS rank, cid AS vec_id,
        {_sql_round('cos', 6)} AS cosine_sim
 FROM fin WHERE rnk <= {_G_K}
 """
-_GRAPH_TOPK_SQL = __import__(
-    "apde_etl_spark.plans.catalog", fromlist=["materialize_ctes"],
-).materialize_ctes(_GRAPH_TOPK_SQL, ("q", "e", "rk", "graph"))
+_GRAPH_TOPK_SQL = materialize_ctes(
+    _GRAPH_TOPK_SQL, ("q", "e", "rk", "graph"))
 
 
 
@@ -464,10 +468,8 @@ SELECT 'graph_m{_G_M}_b{_G_BEAM}_h{_G_HOPS}' AS method,
            ' AS DOUBLE) / (SELECT count(*) FROM exact_q)', 6)}
        AS recall_at_k
 """
-_GRAPH_RECALL_SQL = __import__(
-    "apde_etl_spark.plans.catalog", fromlist=["materialize_ctes"],
-).materialize_ctes(_GRAPH_RECALL_SQL, ("q", "exact_q", "e", "gtop", "rk",
-                                       "graph"))
+_GRAPH_RECALL_SQL = materialize_ctes(
+    _GRAPH_RECALL_SQL, ("q", "exact_q", "e", "gtop", "rk", "graph"))
 
 
 
@@ -1004,9 +1006,8 @@ SELECT query_id AS vec_id,
        CAST(sum(cid) AS BIGINT) AS nbr_id_sum
 FROM nbrs GROUP BY query_id
 """
-_GRAPH_ADD_SQL = __import__(
-    "apde_etl_spark.plans.catalog", fromlist=["materialize_ctes"],
-).materialize_ctes(_GRAPH_ADD_SQL, ("rk", "e", "q", "graph"))
+_GRAPH_ADD_SQL = materialize_ctes(
+    _GRAPH_ADD_SQL, ("rk", "e", "q", "graph"))
 
 
 

@@ -43,10 +43,10 @@ from apde_etl_spark.plans.catalog import (
     load_events,
     register,
 )
-from apde_etl_spark.plans.catalog_r7 import _cached_workdir
-
-_SQL_H60_USER = ("CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),"
-                 " 1, 15)) AS BIGINT)")
+from apde_etl_spark.plans.catalog_r7 import (
+    _SQL_H60_USER,
+    _cached_workdir,
+)
 
 _KMV_CACHE: dict = {}
 
@@ -589,11 +589,18 @@ def backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
              .cast("decimal(38,6)").alias("rev"))
     )
+    from apde_etl_spark.operators.cache import tracked_persist
+
     w = Window.orderBy("day")
-    lagged = daily.select(
-        "day", "rev",
-        F.lag("rev", 1).over(w).alias("f_naive"),
-        F.lag("rev", 7).over(w).alias("f_seasonal"),
+    # two arms (naive, seasonal) consume the lagged rollup — persist so
+    # orders scans and the window run once
+    lagged = tracked_persist(
+        daily.select(
+            "day", "rev",
+            F.lag("rev", 1).over(w).alias("f_naive"),
+            F.lag("rev", 7).over(w).alias("f_seasonal"),
+        ),
+        scope="timeseries",
     )
 
     def arm(model: str, fcol: str) -> DataFrame:
@@ -756,16 +763,14 @@ def kmv_rolling7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         win.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= KMV_K)
     )
-    num = (KMV_K - 1) * (1 << 60)
+    from apde_etl_spark.operators.sketch import kmv_estimate_expr
+
     a = m.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
         F.max(F.when(F.col("rnk") == KMV_K, F.col("hval")))
         .alias("kth_min"),
     )
-    est = F.when(F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch")) \
-        .otherwise(F.expr(
-            f"CAST(CAST({num} AS DECIMAL(38,0))"
-            f" div CAST(kth_min AS DECIMAL(38,0)) AS BIGINT)"))
+    est = kmv_estimate_expr()
     ev = (
         load_events(spark, sf_dir)
         .filter(F.col("user_id").isNotNull())
@@ -783,7 +788,7 @@ def kmv_rolling7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(x, "day")
         .select("day", "n_in_sketch", "kth_min",
-                est.cast("long").alias("est_distinct_7d"),
+                est.alias("est_distinct_7d"),
                 "exact_distinct_7d")
         .orderBy("day")
     )

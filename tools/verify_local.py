@@ -111,8 +111,15 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
+            # record the failure so a subset re-run can never leave a
+            # stale 'pass' for this entry in CORRECTNESS_local.json
+            record[name] = {"status": "fail", "err": f"oracle: {e}",
+                            "spark_rows": len(srows)}
             print(f"FAIL {name}: oracle error: {e}")
             continue
+        # stamp BEFORE the Python-side hashing: oracle_s is the DuckDB
+        # wall used to pick materialize_ctes targets, not hash cost
+        t_oracle = time.monotonic() - t0 - t_spark
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
@@ -130,7 +137,6 @@ def main() -> int:
                             "spark_rows": len(srows), "oracle_rows": len(orows)}
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
-            t_oracle = time.monotonic() - t0 - t_spark
             record[name] = {"status": "pass", "mode": "hash_oracle",
                             "spark_rows": len(srows), "hash": sh[:16],
                             "spark_s": round(t_spark, 2),
