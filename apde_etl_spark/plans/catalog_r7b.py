@@ -687,3 +687,78 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mv1.select(
         *key, "cnt", F.col("total_dec").cast("double").alias("total"))
+
+
+_QH_ROLLING_SQL = f"""
+WITH {_QH_REG_CTES},
+spine AS (SELECT DISTINCT day FROM regs),
+win AS (SELECT s.day AS day, r.bin, r.cnt
+        FROM spine s JOIN regs r
+          ON r.day BETWEEN s.day - INTERVAL 6 DAY AND s.day),
+m2 AS (SELECT day, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+       FROM win GROUP BY 1, 2),
+tot2 AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n FROM m2 GROUP BY 1),
+rk2 AS (SELECT day, n, (n * 99 + 99) // 100 AS rank FROM tot2),
+cum2 AS (SELECT day, bin,
+                sum(cnt) OVER (PARTITION BY day ORDER BY bin) AS cum
+         FROM m2),
+hit2 AS (SELECT c.day, min(c.bin) AS bin
+         FROM cum2 c JOIN rk2 k ON c.day = k.day
+         WHERE c.cum >= k.rank GROUP BY 1)
+SELECT k.day, k.n, CAST(k.rank AS BIGINT) AS rank, h.bin,
+       CAST(CASE WHEN h.bin = 0 THEN 0
+                 ELSE (CAST(1 AS BIGINT) << (h.bin - 1)) END
+            AS BIGINT) AS lo_ticks,
+       CAST((CAST(1 AS BIGINT) << h.bin) AS BIGINT) AS hi_ticks
+FROM rk2 k JOIN hit2 h ON k.day = h.day
+ORDER BY k.day
+"""
+
+
+@register("qhist_rolling7_p99", _QH_ROLLING_SQL)
+def qhist_rolling7_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day p99 ENCLOSURE per day, served entirely from the
+    per-day histogram store — the quantile counterpart of
+    kmv_rolling7_distinct, completing 'any window from the store'
+    across all three sketch families (distinct, frequency, quantile).
+    A range join of the day spine against <= days*64 stored bin rows,
+    one SUM-merge per window, the integer rank rule, and the exact
+    power-of-two tick bounds — no float interpolation, no rescan of
+    events. At 100 TB this is the SLO dashboard query: a month of p99
+    curves from KBs of state."""
+    from pyspark.sql import Window
+
+    d = _ensure_qhist_store(spark, sf_dir)
+    regs = spark.read.parquet(d).select(
+        F.col("day").cast("date").alias("day"), "bin", "cnt")
+    spine = regs.select("day").distinct()
+    win = (
+        spine.alias("s")
+        .join(regs.alias("r"),
+              F.col("r.day").between(F.date_sub(F.col("s.day"), 6),
+                                     F.col("s.day")))
+        .select(F.col("s.day").alias("day"), "bin", "cnt")
+    )
+    m = win.groupBy("day", "bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+    tot = m.groupBy("day").agg(F.sum("cnt").cast("long").alias("n"))
+    rk = tot.select(
+        "day", "n",
+        F.expr("(n * 99 + 99) div 100").cast("long").alias("rank"))
+    w = Window.partitionBy("day").orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = m.select("day", "bin", F.sum("cnt").over(w).alias("cum"))
+    hit = (
+        cum.join(rk.select("day", "rank"), "day")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("day").agg(F.min("bin").cast("int").alias("bin"))
+    )
+    lo = F.when(F.col("bin") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bin - 1)"))
+    return (
+        rk.join(hit, "day")
+        .select("day", "n", "rank", "bin",
+                lo.alias("lo_ticks"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), bin)")
+                .alias("hi_ticks"))
+        .orderBy("day")
+    )
