@@ -600,3 +600,30 @@ def test_ann_graph_serve_plan_reads_frozen_artifacts(spark, sf_dir, qs):
     plan = _plan(qs["ann_graph_topk"](spark, sf_dir))
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_uses_window_group_limit(spark, sf_dir, qs):
+    """The k-min rank filter must compile to Spark's per-partition
+    top-k (Partial + Final WindowGroupLimit), not a full per-group
+    sort-and-filter — the docstring's 100 TB claim, plan-asserted."""
+    from apde_etl_spark.operators.sketch import kmv_sketch
+
+    df = spark.createDataFrame([(f"u{i}", i % 5) for i in range(100)],
+                               "k string, g int")
+    plan = _plan(kmv_sketch(df, "k", ["g"]))
+    assert plan.count("WindowGroupLimit") >= 2  # Partial and Final
+
+
+def test_vocab_shift_consumers_read_the_cached_counts(spark, sf_dir, qs):
+    """tot, scored, and both top-k arms all read the persisted
+    vocabulary counts: every consumer branch must be an
+    InMemoryTableScan (the FileScans remaining in the plan string are
+    the cached relation's embedded BUILD plan, which runs once)."""
+    plan = _plan(qs["vocab_shift_terms"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_standardized_rate_broadcasts_standard_population(spark, sf_dir, qs):
+    plan = _plan(qs["standardized_order_rate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
