@@ -285,3 +285,71 @@ def sql_kmv_estimate(k: int = KMV_K) -> str:
     num = (k - 1) * KMV_SPACE
     return (f"CAST(CASE WHEN n_in_sketch < {k} THEN n_in_sketch "
             f"ELSE CAST({num} AS HUGEINT) // kth_min END AS BIGINT)")
+
+
+# ===========================================================================
+# Bloom filter: portable set-membership bits
+# ===========================================================================
+
+#: filter geometry: m bits, k salted hashes. Small enough that a full
+#: filter is <= 4096 integer rows per group; at the gate's sf0.1 the
+#: inserts exceed m so the measured false-positive rate is non-trivial
+#: (the accuracy contract is IN the gate, not assumed).
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def bloom_bits(df: DataFrame, key_col: str,
+               group_cols: Sequence[str] = ()) -> DataFrame:
+    """Build Bloom registers: (group..., pos) — the DISTINCT set bit
+    positions (Bloom 1970, public method). Position j of a key =
+    hash60("j:" || key) mod m, the same salt scheme as the Count-Min
+    rows so the DuckDB twin is the same md5 bytes. State is plain
+    integers: persists as parquet, merges across shards/days with
+    DISTINCT (bitwise OR), membership = all k positions present.
+    NULL keys are ignored."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1)))
+    keyed = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, F.col(key_col).alias("__k"),
+                rows.alias("__j"))
+    )
+    pos = (
+        hash60(F.concat(F.col("__j").cast("string"), F.lit(":"),
+                        F.col("__k").cast("string")))
+        % F.lit(BLOOM_M)
+    ).cast("int")
+    return keyed.select(*group_cols, pos.alias("pos")).distinct()
+
+
+def bloom_contains(bits: DataFrame, keys: DataFrame,
+                   key_col: str) -> DataFrame:
+    """Membership probes against (merged) bits: a key is flagged
+    member iff ALL k of its positions are set. The probe frame is
+    small by construction and broadcasts; the bit table is <= m rows.
+    Returns (key, is_member). No false negatives, by construction."""
+    probes = keys.select(
+        F.col(key_col).alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("__j"),
+    )
+    pos = (
+        hash60(F.concat(F.col("__j").cast("string"), F.lit(":"),
+                        F.col("__k").cast("string")))
+        % F.lit(BLOOM_M)
+    ).cast("int")
+    probes = probes.select("__k", pos.alias("pos"))
+    hit = F.broadcast(probes).join(
+        bits.withColumn("__set", F.lit(1)), "pos", "left")
+    return (
+        hit.groupBy(F.col("__k").alias(key_col))
+        .agg((F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__set"),
+                                                    F.lit(0))))
+             .alias("is_member"))
+    )
+
+
+def sql_bloom_pos(key_expr: str, j_expr: str) -> str:
+    """DuckDB twin of the Bloom position hash."""
+    salted = f"CAST({j_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
+    h = f"CAST(concat('0x', substr(md5({salted}), 1, 15)) AS BIGINT)"
+    return f"CAST({h} % {BLOOM_M} AS INTEGER)"

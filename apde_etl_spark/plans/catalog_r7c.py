@@ -1014,3 +1014,123 @@ def standardized_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dsr.select("c_nationkey", "n_events", "n_pop", "crude_e9",
                       "dsr_e9").orderBy("c_nationkey")
+
+
+# ===========================================================================
+# Bloom filter store: portable set-membership bits, FPR measured in-gate
+# ===========================================================================
+
+_BLOOM_CACHE: dict = {}
+
+
+def _ensure_bloom_store(spark: SparkSession, sf_dir: str) -> str:
+    from apde_etl_spark.operators.sketch import bloom_bits
+
+    def build(d: str) -> None:
+        ev = load_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+        bits = bloom_bits(ev, "user_id", ["day"])
+        bits.write.mode("overwrite").partitionBy("day").parquet(d)
+
+    return _cached_workdir(_BLOOM_CACHE, sf_dir, "apde_bloom_", build)
+
+
+def _sql_bloom_ctes() -> str:
+    from apde_etl_spark.operators.sketch import BLOOM_K, sql_bloom_pos
+
+    return f"""
+ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events
+       WHERE user_id IS NOT NULL),
+x AS (SELECT day, user_id, CAST(t.j AS INTEGER) AS j
+      FROM ev, range(0, {BLOOM_K}) t(j)),
+bits AS (SELECT DISTINCT day, {sql_bloom_pos('user_id', 'j')} AS pos
+         FROM x)"""
+
+
+_BLOOM_DAILY_SQL = f"""
+WITH {_sql_bloom_ctes()}
+SELECT day, pos FROM bits
+"""
+
+
+@register("bloom_daily_user_bits", _BLOOM_DAILY_SQL)
+def bloom_daily_user_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE per-day Bloom filters (operators/sketch.py:bloom_bits)
+    — the fourth mergeable-sketch family, completing the quartet:
+    distinct (HLL/KMV), frequency (CMS), quantile (qhist), and now
+    MEMBERSHIP. State is the distinct set-bit positions as plain
+    integer rows (<= m per day regardless of traffic); days merge
+    with DISTINCT (bitwise OR). The 100 TB artifact: 'did user X
+    appear in this day range?' answered from KBs of state — the join
+    pruning / ingest-dedup pre-check that never rescans history.
+    Read back from the partitioned store."""
+    d = _ensure_bloom_store(spark, sf_dir)
+    return spark.read.parquet(d).select(
+        F.col("day").cast("date").alias("day"), "pos")
+
+
+def _bloom_member_sql() -> str:
+    from apde_etl_spark.operators.sketch import BLOOM_K, sql_bloom_pos
+
+    return f"""
+WITH {_sql_bloom_ctes()},
+m AS (SELECT DISTINCT pos FROM bits),
+dom AS (SELECT CAST(unnest(range(0,
+            (SELECT 2 * (max(user_id) + 1) FROM ev))) AS BIGINT)
+          AS probe_key),
+pr AS (SELECT probe_key, CAST(t.j AS INTEGER) AS j
+       FROM dom, range(0, {BLOOM_K}) t(j)),
+pp AS (SELECT probe_key, {sql_bloom_pos('probe_key', 'j')} AS pos FROM pr),
+mem AS (SELECT probe_key,
+               CAST(count(*) AS BIGINT) AS k_total,
+               CAST(sum(CASE WHEN pos IN (SELECT pos FROM m)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k_set
+        FROM pp GROUP BY 1),
+truth AS (SELECT DISTINCT user_id FROM ev),
+j2 AS (SELECT probe_key, (k_set = k_total) AS flagged,
+              probe_key IN (SELECT user_id FROM truth) AS present
+       FROM mem)
+SELECT CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_present,
+       CAST(sum(CASE WHEN flagged AND NOT present THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       CAST(sum(CASE WHEN NOT flagged AND present THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_negative
+FROM j2
+"""
+
+
+@register("bloom_membership_from_storage", _bloom_member_sql())
+def bloom_membership_from_storage(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Probe the MERGED Bloom bits (distinct positions across the
+    per-day store — bitwise OR) with a candidate domain twice the
+    size of the true key space, so half the probes are absent:
+    flagged/present/false-positive counts come out as integers, and
+    the no-false-negative guarantee is a hash-gated column that must
+    be 0 — the filter contract proven in the gate, at a fill factor
+    that makes false positives actually occur at the bench scale."""
+    from apde_etl_spark.operators.sketch import bloom_contains
+
+    d = _ensure_bloom_store(spark, sf_dir)
+    bits = spark.read.parquet(d).select("pos").distinct()
+    ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    mx = ev.agg((2 * (F.max("user_id") + 1)).alias("n")).collect()[0]["n"]
+    dom = spark.range(int(mx)).select(F.col("id").alias("probe_key"))
+    mem = bloom_contains(bits, dom, "probe_key")
+    truth = ev.select("user_id").distinct().withColumn("__p", F.lit(1))
+    j = mem.join(F.broadcast(truth),
+                 mem.probe_key == truth.user_id, "left")
+    flagged = F.col("is_member")
+    present = F.col("__p").isNotNull()
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(flagged.cast("int")).cast("long").alias("n_flagged"),
+        F.sum(present.cast("int")).cast("long").alias("n_present"),
+        F.sum((flagged & ~present).cast("int")).cast("long")
+        .alias("n_false_positive"),
+        F.sum((~flagged & present).cast("int")).cast("long")
+        .alias("n_false_negative"),
+    )

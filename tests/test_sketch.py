@@ -260,3 +260,21 @@ def test_kmv_stream_fold_is_slicing_invariant(spark):
     fl = sorted(r["hval"] for r in folded.collect())
     wl = sorted(r["hval"] for r in whole.collect())
     assert fl == wl
+
+
+def test_bloom_no_false_negatives_and_merge_is_or(spark):
+    a = _keys(spark, [f"u{i}" for i in range(50)])
+    b = _keys(spark, [f"u{i}" for i in range(40, 90)])
+    bits = S.bloom_bits(a, "k").unionByName(S.bloom_bits(b, "k")).distinct()
+    whole = S.bloom_bits(a.unionByName(b), "k")
+    assert sorted(r["pos"] for r in bits.collect()) == \
+        sorted(r["pos"] for r in whole.collect())  # OR-merge == rebuild
+    probes = _keys(spark, [f"u{i}" for i in range(90)]
+                   + [f"absent{i}" for i in range(30)])
+    got = {r["k"]: r["is_member"]
+           for r in S.bloom_contains(whole, probes, "k").collect()}
+    for i in range(90):
+        assert got[f"u{i}"]  # no false negatives, ever
+    # false positives possible but bounded far below all-absent
+    fps = sum(1 for i in range(30) if got[f"absent{i}"])
+    assert fps < 30
