@@ -1134,3 +1134,138 @@ def bloom_membership_from_storage(spark: SparkSession,
         F.sum((~flagged & present).cast("int")).cast("long")
         .alias("n_false_negative"),
     )
+
+
+# ===========================================================================
+# Time-bounded funnel + hash-randomized A/B conversion test
+# ===========================================================================
+
+#: each step must follow the previous within this window
+_FUNNEL_WINDOW_H = 48
+
+
+_TB_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts FROM events WHERE user_id IS NOT NULL
+),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'view' AND e.ts >= s1.t1
+         AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+         AND e.ts <= s2.t2 + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+       GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_within,
+       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_within,
+       CAST((SELECT count(*) FROM s3) * 1000000
+            // (SELECT count(*) FROM s1) AS BIGINT) AS conv_ppm
+"""
+
+
+@register("funnel_time_bounded", _TB_FUNNEL_SQL)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel where each step must occur WITHIN 48h of the
+    previous step's first occurrence — the product-analytics semantics
+    (attribution windows), vs funnel_signup_view_purchase's unbounded
+    ordering. Each stage is a min-timestamp aggregate joined to the
+    previous stage's qualifiers (all shuffles on user_id, reused
+    across stages); conversion emitted as exact ppm integer division.
+    At 100 TB: three user-keyed aggregates, no window over raw
+    events."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
+    s1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter((F.col("ts") >= F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") >= F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_view_within"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_within"))
+    return (
+        n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+        .select(
+            "n_signup", "n_view_within", "n_purchase_within",
+            F.expr("CAST((n_purchase_within * 1000000) div n_signup"
+                   " AS BIGINT)").alias("conv_ppm"),
+        )
+    )
+
+
+_AB_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type FROM events WHERE user_id IS NOT NULL
+),
+assign AS (
+  SELECT DISTINCT user_id,
+         CAST(user_id % 2 AS INTEGER) AS variant
+  FROM ev
+),
+conv AS (
+  SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'
+),
+arms AS (
+  SELECT a.variant,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_converted
+  FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+  GROUP BY 1
+)
+SELECT variant, n_users, n_converted,
+       CAST(n_converted * 1000000 // n_users AS BIGINT) AS conv_ppm
+FROM arms ORDER BY variant
+"""
+
+
+@register("abtest_conversion_arms", _AB_SQL)
+def abtest_conversion_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically assigned to two
+    arms (id parity — production uses a salted hash, same shape),
+    per-arm user and converter counts from ONE distinct-user frame
+    left-joined to the converter set, conversion as exact ppm. The
+    z-statistic is a driver-side scalar over these four integers — the
+    distributed part (the counts) is what hash-gates; any stats
+    library can consume the arms table. At 100 TB: two user-keyed
+    aggregates, assignment is a projection."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+    )
+    assign = ev.select("user_id").distinct().withColumn(
+        "variant", (F.col("user_id") % 2).cast("int"))
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id").distinct().withColumn("__c", F.lit(1)))
+    return (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+             F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long")
+             .alias("n_converted"))
+        .select("variant", "n_users", "n_converted",
+                F.expr("CAST((n_converted * 1000000) div n_users"
+                       " AS BIGINT)").alias("conv_ppm"))
+        .orderBy("variant")
+    )
