@@ -45,15 +45,21 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
-def _cms_bucket(key: Column, row_id: Column | int) -> Column:
-    """Row-j bucket of a key: hash60 of the row-salted key, reduced mod
-    width. The salt is a string prefix (``j:``) so the DuckDB twin is
-    the same md5 over the same bytes."""
-    r = F.lit(row_id) if isinstance(row_id, int) else row_id
+def _salted_pos(key: Column, j: Column | int, m: int) -> Column:
+    """hash60 of the j-salted key, reduced mod m. The salt is a string
+    prefix (``j:``) so the DuckDB twin is the same md5 over the same
+    bytes. ONE home for the formula — Count-Min buckets and Bloom
+    positions both use it (and :func:`sql_salted_pos` is its SQL
+    twin), so a salt-scheme change cannot silently diverge."""
+    r = F.lit(j) if isinstance(j, int) else j
     return (
         hash60(F.concat(r.cast("string"), F.lit(":"), key.cast("string")))
-        % F.lit(CMS_WIDTH)
+        % F.lit(m)
     ).cast("int")
+
+
+def _cms_bucket(key: Column, row_id: Column | int) -> Column:
+    return _salted_pos(key, row_id, CMS_WIDTH)
 
 
 def cms_registers(df: DataFrame, key_col: str,
@@ -109,11 +115,16 @@ def cms_estimate(registers: DataFrame, keys: DataFrame,
     )
 
 
+def sql_salted_pos(key_expr: str, j_expr: str, m: int) -> str:
+    """DuckDB twin of :func:`_salted_pos`."""
+    salted = f"CAST({j_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
+    h = f"CAST(concat('0x', substr(md5({salted}), 1, 15)) AS BIGINT)"
+    return f"CAST({h} % {m} AS INTEGER)"
+
+
 def sql_cms_bucket(key_expr: str, row_expr: str) -> str:
     """DuckDB twin of :func:`_cms_bucket` (same md5-prefix hash60)."""
-    salted = f"CAST({row_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
-    h = f"CAST(concat('0x', substr(md5({salted}), 1, 15)) AS BIGINT)"
-    return f"CAST({h} % {CMS_WIDTH} AS INTEGER)"
+    return sql_salted_pos(key_expr, row_expr, CMS_WIDTH)
 
 
 # ===========================================================================
@@ -140,9 +151,13 @@ def qhist_registers(df: DataFrame, value_col: str,
         df.filter(v.isNotNull() & (v >= 0))
         .select(*group_cols, ticks.alias("__ticks"))
     )
+    # cap at bin 62: values past 2^61 ticks land in the top bucket so
+    # the bound expressions shiftleft(1, bin) never exceed int64 (the
+    # DuckDB twin would raise Out of Range at bin 63; Spark would wrap
+    # negative — capping keeps both engines exact and identical)
     b = (
         F.when(F.col("__ticks") <= 0, F.lit(0))
-        .otherwise(F.length(F.expr("bin(__ticks)")))
+        .otherwise(F.least(F.length(F.expr("bin(__ticks)")), F.lit(62)))
         .cast("int")
     )
     return (
@@ -314,11 +329,7 @@ def bloom_bits(df: DataFrame, key_col: str,
         .select(*group_cols, F.col(key_col).alias("__k"),
                 rows.alias("__j"))
     )
-    pos = (
-        hash60(F.concat(F.col("__j").cast("string"), F.lit(":"),
-                        F.col("__k").cast("string")))
-        % F.lit(BLOOM_M)
-    ).cast("int")
+    pos = _salted_pos(F.col("__k"), F.col("__j"), BLOOM_M)
     return keyed.select(*group_cols, pos.alias("pos")).distinct()
 
 
@@ -332,14 +343,14 @@ def bloom_contains(bits: DataFrame, keys: DataFrame,
         F.col(key_col).alias("__k"),
         F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("__j"),
     )
-    pos = (
-        hash60(F.concat(F.col("__j").cast("string"), F.lit(":"),
-                        F.col("__k").cast("string")))
-        % F.lit(BLOOM_M)
-    ).cast("int")
-    probes = probes.select("__k", pos.alias("pos"))
-    hit = F.broadcast(probes).join(
-        bits.withColumn("__set", F.lit(1)), "pos", "left")
+    probes = probes.select(
+        "__k", _salted_pos(F.col("__k"), F.col("__j"), BLOOM_M)
+        .alias("pos"))
+    # broadcast the BITS side: it is <= m rows, and a LEFT join can
+    # only build its right side (a broadcast hint on the preserved
+    # probe side would be silently dropped by JoinSelection)
+    hit = probes.join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), "pos", "left")
     return (
         hit.groupBy(F.col("__k").alias(key_col))
         .agg((F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__set"),
@@ -350,6 +361,4 @@ def bloom_contains(bits: DataFrame, keys: DataFrame,
 
 def sql_bloom_pos(key_expr: str, j_expr: str) -> str:
     """DuckDB twin of the Bloom position hash."""
-    salted = f"CAST({j_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
-    h = f"CAST(concat('0x', substr(md5({salted}), 1, 15)) AS BIGINT)"
-    return f"CAST({h} % {BLOOM_M} AS INTEGER)"
+    return sql_salted_pos(key_expr, j_expr, BLOOM_M)

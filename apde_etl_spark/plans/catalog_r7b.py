@@ -264,7 +264,7 @@ ev AS (SELECT CAST(ts AS DATE) AS day, value FROM events
 tk AS (SELECT day, CAST(floor(value * {QHIST_TICKS}) AS BIGINT) AS ticks
        FROM ev),
 bn AS (SELECT day, CAST(CASE WHEN ticks <= 0 THEN 0
-                             ELSE length(bin(ticks)) END AS INTEGER) AS bin
+                             ELSE least(length(bin(ticks)), 62) END AS INTEGER) AS bin
        FROM tk),
 regs AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS cnt
          FROM bn GROUP BY 1, 2)"""

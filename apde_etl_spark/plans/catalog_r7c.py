@@ -1075,7 +1075,8 @@ def _bloom_member_sql() -> str:
 WITH {_sql_bloom_ctes()},
 m AS (SELECT DISTINCT pos FROM bits),
 dom AS (SELECT CAST(unnest(range(0,
-            (SELECT 2 * (max(user_id) + 1) FROM ev))) AS BIGINT)
+            (SELECT least(2 * (CAST(max(user_id) AS BIGINT) + 1),
+                          1000000) FROM ev))) AS BIGINT)
           AS probe_key),
 pr AS (SELECT probe_key, CAST(t.j AS INTEGER) AS j
        FROM dom, range(0, {BLOOM_K}) t(j)),
@@ -1117,7 +1118,13 @@ def bloom_membership_from_storage(spark: SparkSession,
     d = _ensure_bloom_store(spark, sf_dir)
     bits = spark.read.parquet(d).select("pos").distinct()
     ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
-    mx = ev.agg((2 * (F.max("user_id") + 1)).alias("n")).collect()[0]["n"]
+    # LONG arithmetic (int32 ids would overflow at 2*(max+1)) and a
+    # 1M cap: the probe domain is a gate fixture sized by the dense
+    # testdata ids — production probes come from a candidate feed, not
+    # an enumeration of the id space
+    mx = ev.agg(
+        F.least(2 * (F.max("user_id").cast("long") + 1),
+                F.lit(1_000_000)).alias("n")).collect()[0]["n"]
     dom = spark.range(int(mx)).select(F.col("id").alias("probe_key"))
     mem = bloom_contains(bits, dom, "probe_key")
     truth = ev.select("user_id").distinct().withColumn("__p", F.lit(1))
