@@ -151,10 +151,13 @@ def qhist_registers(df: DataFrame, value_col: str,
         df.filter(v.isNotNull() & (v >= 0))
         .select(*group_cols, ticks.alias("__ticks"))
     )
-    # cap at bin 62: values past 2^61 ticks land in the top bucket so
-    # the bound expressions shiftleft(1, bin) never exceed int64 (the
-    # DuckDB twin would raise Out of Range at bin 63; Spark would wrap
-    # negative — capping keeps both engines exact and identical)
+    # cap at bin 62: ticks >= 2^62 (bit length 63+) land in the top
+    # bucket so the bound expressions shiftleft(1, bin) never exceed
+    # int64 (the DuckDB twin would raise Out of Range at bin 63; Spark
+    # would wrap negative — capping keeps both engines exact and
+    # identical). For capped values the top bucket's hi bound 2^62 is
+    # OPEN-ENDED — it no longer encloses the true value; see the
+    # qhist_quantile_bounds / qhist_rolling docstrings.
     b = (
         F.when(F.col("__ticks") <= 0, F.lit(0))
         .otherwise(F.least(F.length(F.expr("bin(__ticks)")), F.lit(62)))
@@ -175,8 +178,12 @@ def qhist_quantile_bounds(registers: DataFrame, q_num: int,
     bin, and the returned bounds are that bin's exact INTEGER tick
     edges — lo_ticks = 2^(b-1), hi_ticks = 2^b (bin 0 is [0, 1)) —
     so the guarantee ``lo_ticks <= exact_ticks < hi_ticks`` hash-gates
-    with no float arithmetic anywhere. One window over <= 64 bin rows
-    (post-aggregation state, the documented tiny-window class).
+    with no float arithmetic anywhere. Caveat: when the quantile lands
+    in the capped top bucket (bin 62, which absorbs ticks >= 2^62),
+    its hi bound is open-ended — ``exact_ticks < hi_ticks`` is not
+    guaranteed there (see qhist_registers' bin cap). One window over
+    <= 64 bin rows (post-aggregation state, the documented tiny-window
+    class).
     Returns (n, rank, bin, lo_ticks, hi_ticks)."""
     from pyspark.sql import Window
 

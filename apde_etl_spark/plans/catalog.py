@@ -152,8 +152,13 @@ def materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
     match, so a CTE rename can never silently revert its speedup."""
     import re as _re
 
-    pat = r"\b(" + "|".join(_re.escape(n) for n in names) + r") AS \("
-    out, _ = _re.subn(pat, r"\1 AS MATERIALIZED (", sql)
+    # Anchor to CTE *definition* sites: '<name> AS (' preceded by WITH or
+    # a comma at the CTE-list level. A bare '\b<name> AS \(' would also
+    # rewrite a named-WINDOW clause ('WINDOW w AS (...)') into invalid
+    # SQL when a short CTE name collides with a window name.
+    pat = (r"(\bWITH\s+(?:RECURSIVE\s+)?|,\s*)("
+           + "|".join(_re.escape(n) for n in names) + r") AS \(")
+    out, _ = _re.subn(pat, r"\1\2 AS MATERIALIZED (", sql)
     missing = [n for n in names
                if not _re.search(r"\b" + _re.escape(n)
                                  + r" AS MATERIALIZED \(", out)]

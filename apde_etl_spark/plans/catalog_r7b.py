@@ -724,8 +724,10 @@ def qhist_rolling7_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
     A range join of the day spine against <= days*64 stored bin rows,
     one SUM-merge per window, the integer rank rule, and the exact
     power-of-two tick bounds — no float interpolation, no rescan of
-    events. At 100 TB this is the SLO dashboard query: a month of p99
-    curves from KBs of state."""
+    events. The top bucket (bin 62) is open-ended: a p99 landing there
+    has a valid lo bound but its hi bound no longer encloses (see
+    qhist_registers' bin cap). At 100 TB this is the SLO dashboard
+    query: a month of p99 curves from KBs of state."""
     from pyspark.sql import Window
 
     d = _ensure_qhist_store(spark, sf_dir)

@@ -180,9 +180,11 @@ def kmv_cohort_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers cannot do. Cohort A = users active on even days of
     month, cohort B = odd days. Each cohort's sketch merges from the
     per-day store; the union sketch's members present in BOTH cohort
-    sketches give rho = matches/k, est_intersection = matches *
-    est_union div k — all exact integer arithmetic, gated beside the
-    exact INTERSECT count. At 100 TB the same three sketch merges
+    sketches give rho = matches/n_in_sketch, est_intersection =
+    matches * est_union div n_in_sketch (n_in_sketch = |union sketch|,
+    which is < k while the union sketch is unsaturated — dividing by a
+    fixed k would under-estimate there) — all exact integer
+    arithmetic, gated beside the exact INTERSECT count. At 100 TB the same three sketch merges
     answer any day-range overlap from KBs of state."""
     d = _ensure_kmv_store(spark, sf_dir)
     sk = spark.read.parquet(d).withColumn(

@@ -215,14 +215,14 @@ def main() -> None:
         "loadavg": round(loadavg_start[0], 2),
         "sf": sf,
     }
-    if full:
-        # ~180 timings would push the stdout line past the driver's
-        # bounded tail and truncate mid-JSON (seen in round 2) — the
-        # full map lives in BENCH_FULL.json; stdout carries the top-10
-        # slowest for at-a-glance reading
-        record["slowest"] = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
-    else:
-        record["queries"] = times
+    # The driver captures a bounded (~2,000-char) tail of stdout; the
+    # 77-entry headline map alone is ~2.5 KB, which truncated the final
+    # line mid-JSON in rounds 1-7 ("parsed": null in every BENCH_r0*).
+    # Keep the stdout line short: slowest-10 timings inline, the full
+    # per-query map in the sidecar named by "queries_file".
+    record["round"] = bench_round
+    record["queries"] = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    record["queries_file"] = "BENCH_FULL.json" if full else "BENCH_COLD.json"
     print(json.dumps(record))
 
 

@@ -40,6 +40,11 @@ def main() -> None:
 
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     spark = get_spark("scale-stress-sketches")
+    # day assignment below uses to_date(timestamp_seconds(...)) and
+    # dayofmonth — pin the session TZ so the recorded stress numbers
+    # reproduce on any host (getOrCreate may reuse a session whose TZ
+    # differs from get_spark's UTC default)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     t: dict[str, float] = {}
 
     n_users = max(1000, n_events // 100)
@@ -126,9 +131,13 @@ def main() -> None:
         est_union = S.kmv_estimate(u).collect()[0]["est_distinct"]
         a_set = {r["hval"] for r in ska.collect()}
         b_set = {r["hval"] for r in skb.collect()}
-        matches = sum(1 for r in u.collect()
+        u_rows = u.collect()
+        matches = sum(1 for r in u_rows
                       if r["hval"] in a_set and r["hval"] in b_set)
-        est_inter = matches * est_union // S.KMV_K
+        # divide by |union sketch|, not k: matches the gated entry
+        # (catalog_r7c kmv_cohort_intersection) and stays correct when
+        # the union sketch is unsaturated (len < k)
+        est_inter = matches * est_union // len(u_rows)
         ev = base.withColumn("par", (F.dayofmonth("day") % 2))
         exact_inter = (
             ev.filter("par = 0").select("user_id").distinct()

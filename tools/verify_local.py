@@ -70,11 +70,15 @@ def main() -> int:
     # untimed JVM/codegen warm-up (the bench.py protocol): without it
     # the first ~10 entries absorb 60-90s of JIT compilation and the
     # recorded per-entry timings misattribute it to those queries
-    from pyspark.sql import functions as _F
+    # skipped for --only subsets (timing accuracy is irrelevant there)
+    # and tolerant of dataset dirs without a lineitem table — the gate
+    # itself must not fail on the warm-up.
+    if not only and os.path.exists(f"{sf_dir}/lineitem.parquet"):
+        from pyspark.sql import functions as _F
 
-    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    warm.count()
-    warm.groupBy("l_returnflag").agg(_F.sum("l_quantity")).collect()
+        warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        warm.count()
+        warm.groupBy("l_returnflag").agg(_F.sum("l_quantity")).collect()
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
