@@ -57,7 +57,9 @@ __all__ = [
     "ann_query_prebuilt",
     "build_knn_graph",
     "ann_graph_search",
+    "ann_graph_search_layered",
     "ann_graph_add",
+    "node_levels",
 ]
 
 
@@ -275,6 +277,52 @@ def ann_query_prebuilt(
 # Graph-based ANN (NSW-class): persisted exact k-NN graph + beam search
 # ===========================================================================
 
+def node_levels(df: DataFrame, id_col: str, n_layers: int,
+                layer_factor: int) -> DataFrame:
+    """(id, lvl) — deterministic HNSW-style layer assignment: a node
+    sits on every layer up to ``lvl``, where lvl is the largest l in
+    1..n_layers with ``hash60(id) % layer_factor**l == 0`` (0
+    otherwise). hash60 is uniform, so P(lvl >= l) = layer_factor**-l —
+    the geometric level distribution of Malkov & Yashunin 2018 (public
+    method), made hash-deterministic so an external oracle can restate
+    the assignment as one CASE expression (no RNG state)."""
+    from apde_etl_spark.operators.similarity import hash60
+
+    h = hash60(F.col(id_col).cast("string"))
+    lvl = F.lit(0)
+    for l in range(1, n_layers + 1):
+        lvl = F.when(h % F.lit(layer_factor ** l) == 0, F.lit(l)) \
+            .otherwise(lvl)
+    return df.select(F.col(id_col), lvl.cast("int").alias("lvl"))
+
+
+def _ranked_knn_edges(df: DataFrame, id_col: str, vec_col: str,
+                      k: int) -> DataFrame:
+    """(src, dst, rank) — exact cosine k-NN edges over ``df`` with the
+    rank re-derived from the cosine ordering (desc, id asc) so the
+    stored adjacency is self-describing and bit-reproducible."""
+    from apde_etl_spark.operators.similarity import exact_topk_pairs
+
+    knn = exact_topk_pairs(df, id_col, vec_col, k=k)
+    e = df.select(F.col(id_col), as_double_array(vec_col).alias("__v")) \
+        .withColumn("__n", l2_norm(F.col("__v")))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+                 F.col("__n").alias("__na"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+                 F.col("__n").alias("__nb"))
+    w = Window.partitionBy("id_a").orderBy(F.desc("__cos"), F.asc("id_b"))
+    return (
+        knn.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("__va"), F.col("__vb"))
+             / (F.col("__na") * F.col("__nb"))).alias("__cos"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+                "rank")
+    )
+
+
 def build_knn_graph(
     df: DataFrame,
     index_dir: str,
@@ -283,6 +331,9 @@ def build_knn_graph(
     n_neighbors: int = 8,
     n_entries: int = 16,
     n_long_links: int = 2,
+    n_layers: int = 0,
+    layer_factor: int = 8,
+    layer_neighbors: int | None = None,
 ) -> dict:
     """Build and persist a DETERMINISTIC small-world graph ANN index —
     the navigable-graph family (NSW/HNSW class; Malkov & Yashunin
@@ -320,30 +371,11 @@ def build_knn_graph(
     sample) while serving stays a bounded frontier walk — the 'train
     once, serve many' split the IVF lifecycle established."""
     spark = df.sparkSession
-    from apde_etl_spark.operators.similarity import exact_topk_pairs
 
-    knn = exact_topk_pairs(df, id_col, vec_col, k=n_neighbors)
     # exact_topk_pairs emits per-query neighbors in rank order within
-    # each query's block; re-derive the explicit rank deterministically
-    # from the cosine ordering so the stored table is self-describing
-    e = df.select(F.col(id_col), as_double_array(vec_col).alias("__v")) \
-        .withColumn("__n", l2_norm(F.col("__v")))
-    a = e.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
-                 F.col("__n").alias("__na"))
-    b = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
-                 F.col("__n").alias("__nb"))
-    w = Window.partitionBy("id_a").orderBy(
-        F.desc("__cos"), F.asc("id_b"))
-    graph = (
-        knn.join(a, "id_a").join(b, "id_b")
-        .select(
-            "id_a", "id_b",
-            (dot(F.col("__va"), F.col("__vb"))
-             / (F.col("__na") * F.col("__nb"))).alias("__cos"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
-                "rank")
-    )
+    # each query's block; _ranked_knn_edges re-derives the explicit rank
+    # deterministically so the stored table is self-describing
+    graph = _ranked_knn_edges(df, id_col, vec_col, n_neighbors)
     if n_long_links > 0:
         # rank nodes by id (0-based), target rank = hash mix % n —
         # deterministic, uniform over the corpus, SQL-restatable
@@ -379,8 +411,42 @@ def build_knn_graph(
                 F.lit(n_neighbors).cast("int").alias("n_neighbors"))
     )
     write_analytic_table(entries, f"{index_dir}/graph_meta")
+
+    if n_layers > 0:
+        # HNSW-class hierarchy (round-8): the flat small-world graph's
+        # diameter grows ~log n past any fixed hop budget (measured:
+        # recall 0.96 at 20k manifold vectors but 0.75 at 200k with
+        # hops=12). Upper layers hold geometrically-thinned node
+        # subsets (node_levels — P(lvl>=l) = layer_factor**-l) with
+        # their own exact k-NN adjacency, so one hop at layer l covers
+        # distances at that layer's density scale and a fixed-beam
+        # descent reaches the target's neighborhood in O(log n) hops
+        # total. Persisted beside the flat artifacts:
+        #   graph_upper (layer INT, src, dst, rank)
+        #   layer_meta  (n_layers, layer_factor, layer_neighbors)
+        lm = layer_neighbors if layer_neighbors is not None else n_neighbors
+        lv = node_levels(df, id_col, n_layers, layer_factor)
+        upper = None
+        for l in range(1, n_layers + 1):
+            sub = df.join(
+                lv.filter(F.col("lvl") >= l).select(id_col), id_col)
+            # a layer with < 2 nodes has no edges — skip (the descent
+            # seeds from the top NON-EMPTY layer's node set anyway)
+            if sub.limit(2).count() < 2:
+                break
+            arm = _ranked_knn_edges(sub, id_col, vec_col, lm) \
+                .select(F.lit(l).cast("int").alias("layer"),
+                        "src", "dst", "rank")
+            upper = arm if upper is None else upper.unionByName(arm)
+        if upper is not None:
+            write_analytic_table(upper, f"{index_dir}/graph_upper")
+        meta = spark.createDataFrame(
+            [(n_layers, layer_factor, lm)],
+            "n_layers int, layer_factor int, layer_neighbors int")
+        write_analytic_table(meta, f"{index_dir}/layer_meta")
+
     return {"n_neighbors": n_neighbors, "n_entries": n_entries,
-            "n_long_links": n_long_links}
+            "n_long_links": n_long_links, "n_layers": n_layers}
 
 
 def ann_graph_search(
@@ -454,6 +520,137 @@ def ann_graph_search(
         beam_df = scored.filter(F.col("__rk") <= beam).select(
             "query_id", "__cid", "__cos")
         # bound lineage growth across hops (the PageRank/BFS discipline)
+        beam_df = beam_df.localCheckpoint(eager=False)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("__cid"))
+    return (
+        beam_df.filter(F.col("__cid") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("__cid").alias(id_col),
+                F.col("__cos").alias("cosine_raw"))
+    )
+
+
+def ann_graph_search_layered(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    beam: int = 10,
+    hops: int = 3,
+    descend_beam: int = 8,
+    hops_per_layer: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve queries from the LAYERED small-world index (HNSW-class;
+    Malkov & Yashunin 2018, public method): a fixed-hop beam DESCENT
+    through the persisted upper-layer adjacencies, then the flat
+    layer-0 walk of :func:`ann_graph_search` seeded by the descent
+    beam (plus the hash-stratified entries, which keep the clustered-
+    corpus robustness of the flat path).
+
+    Descent: the beam seeds from every TOP-layer node (geometrically
+    thinned — layer_factor**-n_layers of the corpus), then per layer
+    l = top..1 runs ``hops_per_layer`` expand-score-cut rounds over
+    layer l's edges with width ``descend_beam``. Every round is one
+    equi-join + exact-cosine window — the same deterministic, SQL-
+    restatable shape as the flat walk, so the whole search unrolls
+    hop-for-hop in the oracle. Fixed hop counts (not convergence
+    loops) bound serve cost: per query per round the frontier is
+    <= descend_beam * layer_neighbors candidate rows.
+
+    Why this lifts large-corpus recall: the flat graph needs O(
+    n**(1/d)) hops to cross the corpus (measured recall 0.75 at 200k
+    with hops=12); the descent reaches the target's layer-0
+    neighborhood in O(log n) hops, so the fixed layer-0 budget is
+    spent refining, not traveling.
+
+    Returns (query_id, rank, vec_id, cosine_raw) — ``cosine_raw``
+    unrounded, as in :func:`ann_graph_search`."""
+    graph = spark.read.parquet(f"{index_dir}/graph").select("src", "dst")
+    meta = spark.read.parquet(f"{index_dir}/graph_meta")
+    lmeta = spark.read.parquet(f"{index_dir}/layer_meta").first()
+    n_layers = int(lmeta["n_layers"])
+    layer_factor = int(lmeta["layer_factor"])
+    try:
+        upper = spark.read.parquet(f"{index_dir}/graph_upper")
+    except Exception:
+        upper = None  # every upper layer was < 2 nodes (tiny corpus)
+
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    corpus = corpus_df.select(
+        F.col(id_col).alias("__cid"), as_double_array(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("__cid"))
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(corpus, "__cid")
+            .join(q, "query_id")
+            .select(
+                "query_id", "__cid",
+                (dot(F.col("__cv"), F.col("__qv"))
+                 / (F.col("__cn") * F.col("__qn"))).alias("__cos"),
+            )
+        )
+
+    def cut(scored: DataFrame, width: int) -> DataFrame:
+        return (
+            scored.withColumn("__rk", F.row_number().over(wb))
+            .filter(F.col("__rk") <= width)
+            .select("query_id", "__cid", "__cos")
+        )
+
+    # ---- descent: top non-empty layer seeds, expand-score-cut per layer
+    lv = node_levels(corpus_df, id_col, n_layers, layer_factor)
+    # find the top layer that actually has nodes (tiny corpora may leave
+    # the highest levels empty); levels are derived by expression, so
+    # this is one small aggregate, not an extra artifact scan
+    top = (upper.agg(F.max("layer")).first()[0] or 0) \
+        if upper is not None else 0
+    if top > 0:
+        seeds = lv.filter(F.col("lvl") >= top).select(
+            F.col(id_col).alias("__cid"))
+        beam_df = cut(score(
+            q.select("query_id").crossJoin(F.broadcast(seeds))),
+            descend_beam)
+        beam_df = beam_df.localCheckpoint(eager=False)
+        for l in range(top, 0, -1):
+            edges_l = upper.filter(F.col("layer") == l).select("src", "dst")
+            for _ in range(hops_per_layer):
+                expanded = beam_df.select("query_id", "__cid").unionAll(
+                    beam_df.join(
+                        edges_l, beam_df["__cid"] == edges_l["src"]
+                    ).select("query_id", F.col("dst").alias("__cid"))
+                ).distinct()
+                beam_df = cut(score(expanded), descend_beam)
+                # bound lineage growth across rounds (the flat walk's
+                # localCheckpoint discipline)
+                beam_df = beam_df.localCheckpoint(eager=False)
+        seed0 = beam_df.select("query_id", "__cid")
+    else:
+        seed0 = None
+
+    # ---- layer 0: the flat fixed-hop walk, seeded by descent + entries
+    ent = q.select("query_id").crossJoin(
+        F.broadcast(meta.select(F.col("entry_id").alias("__cid"))))
+    beam_ids = ent if seed0 is None else seed0.unionAll(ent)
+    beam_df = beam_ids
+    for _ in range(hops):
+        expanded = beam_df.select("query_id", "__cid").unionAll(
+            beam_df.join(
+                graph, beam_df["__cid"] == graph["src"]
+            ).select("query_id", F.col("dst").alias("__cid"))
+        ).distinct()
+        beam_df = cut(score(expanded), beam)
         beam_df = beam_df.localCheckpoint(eager=False)
     wf = Window.partitionBy("query_id").orderBy(
         F.desc("__cos"), F.asc("__cid"))

@@ -1,0 +1,311 @@
+"""Round-8 catalog: hierarchical (HNSW-class) graph-ANN serving.
+
+The round-7 flat small-world graph serves with a FIXED hop budget, and
+its recall is diameter-limited: 0.96 at 20k manifold vectors but 0.75
+at 200k (BASELINE.md "Graph-ANN regime split") because the corpus
+diameter grows ~log n past the fixed hops. The round-8 index adds
+deterministic HNSW-style layers (Malkov & Yashunin 2018, public
+method): geometrically-thinned upper-layer node sets (hash-based level
+draw — ``hash60(id) % factor**l == 0``, no RNG state) each carrying
+their own exact k-NN adjacency, persisted beside the flat artifacts
+(operators/ann_index.py:build_knn_graph / ann_graph_search_layered).
+Serving descends the layers with a fixed expand-score-cut beam —
+O(log n) hops to the target's neighborhood — then runs the flat
+layer-0 walk seeded by the descent beam plus the hash-stratified
+entries.
+
+Every stage (level assignment, per-layer k-NN, descent rounds, layer-0
+hops) is deterministic and unrolled hop-for-hop in the DuckDB oracle,
+so both entries hash-gate like the flat-graph ones.
+
+Reference parity: the reference has no vector index; this is part of
+the training-data extension surface (SURVEY.md "beyond the
+reference"). Provenance for the serve/oracle shape: the flat-graph
+entries at plans/catalog_r7.py:414,476.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apde_etl_spark.plans.catalog import (
+    _sql_round,
+    load,
+    materialize_ctes,
+    register,
+)
+from apde_etl_spark.plans.catalog_r7 import _cached_workdir, _sql_g_cos
+
+# gate parameters — layer 0 matches the flat-graph entry (M=8, 2 long
+# links, 16 entries, beam 10 / 3 hops); the hierarchy is 2 layers of
+# factor-8 thinning with 4 neighbors per upper-layer node and a
+# width-8 descent beam, 2 rounds per layer
+_H_M = 8
+_H_LONG = 2
+_H_ENTRIES = 16
+_H_K = 5
+_H_BEAM = 10
+_H_HOPS = 3
+_H_LAYERS = 2
+_H_FACTOR = 8
+_H_LM = 4
+_H_DBEAM = 8
+_H_HPL = 2
+_H_QUERY_PRED = "vec_id % 97 = 0"
+
+_HNSW_CACHE: dict = {}
+
+
+def _ensure_hnsw_index(spark: SparkSession, sf_dir: str) -> str:
+    from apde_etl_spark.operators.ann_index import build_knn_graph
+
+    def build(d: str) -> None:
+        emb = load(spark, sf_dir, "embeddings")
+        build_knn_graph(
+            emb, d, n_neighbors=_H_M, n_entries=_H_ENTRIES,
+            n_long_links=_H_LONG, n_layers=_H_LAYERS,
+            layer_factor=_H_FACTOR, layer_neighbors=_H_LM)
+
+    return _cached_workdir(_HNSW_CACHE, sf_dir, "apde_hnsw_", build)
+
+
+def _hop(i_prev: str, i_new: str, graph_cte: str, width: int) -> str:
+    """One expand-score-cut round: candidates = previous beam ∪ its
+    ``graph_cte`` neighbors, exact-cosine scored, top ``width`` kept
+    (cosine desc, id asc) — the SQL twin of one loop iteration in
+    ann_graph_search_layered."""
+    return f"""
+cand{i_new} AS (
+  SELECT DISTINCT query_id, cid FROM (
+    SELECT query_id, cid FROM beam{i_prev}
+    UNION ALL
+    SELECT b.query_id, g.dst AS cid
+    FROM beam{i_prev} b JOIN {graph_cte} g ON g.src = b.cid) u
+), beam{i_new} AS (
+  SELECT query_id, cid, cos FROM (
+    SELECT c.query_id, c.cid,
+           {_sql_g_cos('ce.v', 'ce.n', 'q.qv', 'q.qn')} AS cos,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY {_sql_g_cos('ce.v', 'ce.n', 'q.qv', 'q.qn')} DESC,
+                      c.cid ASC) AS rk
+    FROM cand{i_new} c
+    JOIN e ce ON ce.vec_id = c.cid
+    JOIN q ON q.query_id = c.query_id) s
+  WHERE rk <= {width}
+)"""
+
+
+def _sql_hnsw_search_ctes() -> str:
+    """Rebuild the layered index from first principles (level CASE,
+    per-layer exact k-NN, flat graph + long links + entries) and unroll
+    the descent + layer-0 walk. Ends at ``beam{_H_HOPS}``."""
+    # level expression: largest l with hash60 % factor^l == 0
+    lvl_case = "CASE " + " ".join(
+        f"WHEN h % {_H_FACTOR ** l} = 0 THEN {l}"
+        for l in range(_H_LAYERS, 0, -1)) + " ELSE 0 END"
+    # per-layer node sets + adjacencies
+    layer_ctes = []
+    for l in range(1, _H_LAYERS + 1):
+        layer_ctes.append(f"""
+e{l} AS (SELECT e.* FROM e JOIN lvl ON lvl.vec_id = e.vec_id
+         WHERE lvl.lvl >= {l}),
+g{l} AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_sql_g_cos('a.v', 'a.n', 'b.v', 'b.n')} DESC,
+                      b.vec_id ASC) AS rn
+    FROM e{l} a JOIN e{l} b ON a.vec_id != b.vec_id) s
+  WHERE rn <= {_H_LM}
+)""")
+    # descent rounds: seed = every top-layer node, then HPL rounds per
+    # layer from the top down; beam labels d0, d1, ... keep the unroll
+    # readable
+    rounds = []
+    step = 0
+    for l in range(_H_LAYERS, 0, -1):
+        for _ in range(_H_HPL):
+            rounds.append(_hop(f"d{step}", f"d{step + 1}", f"g{l}",
+                               _H_DBEAM))
+            step += 1
+    last_d = f"d{step}"
+    # layer-0 hops seeded by descent beam + stratified entries
+    hops = [f"""
+beam0 AS (
+  SELECT query_id, cid, CAST(NULL AS DOUBLE) AS cos FROM (
+    SELECT query_id, cid FROM beam{last_d}
+    UNION
+    SELECT query_id, eid AS cid FROM q, ent) u
+)"""]
+    for i in range(1, _H_HOPS + 1):
+        hops.append(_hop(str(i - 1), str(i), "graph", _H_BEAM))
+    return f"""
+raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, y -> y*y))) AS n FROM raw),
+knn AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY {_sql_g_cos('a.v', 'a.n', 'b.v', 'b.n')} DESC,
+                    b.vec_id ASC) AS rn
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn2
+       FROM e),
+nn AS (SELECT count(*) AS n FROM e),
+longl AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM rk a CROSS JOIN nn CROSS JOIN range(1, {_H_LONG + 1}) t(r)
+  INNER JOIN rk b
+    ON b.rn2 = (a.rn2 * 2654435761 + r * 40503 + 12345) % nn.n
+   AND b.vec_id != a.vec_id
+),
+graph AS (SELECT src, dst FROM knn WHERE rn <= {_H_M}
+          UNION ALL SELECT src, dst FROM longl),
+lvl AS (
+  SELECT vec_id, {lvl_case} AS lvl FROM (
+    SELECT vec_id,
+           CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM e) z
+),{",".join(layer_ctes)},
+q AS (SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_sum(list_transform(v, y -> y*y))) AS qn
+      FROM raw WHERE {_H_QUERY_PRED}),
+ent AS (
+  SELECT vec_id AS eid FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY
+      CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+           AS BIGINT), vec_id) AS hrn
+    FROM e) s WHERE hrn <= {_H_ENTRIES}
+),
+beamd0 AS (
+  SELECT query_id, cid, cos FROM (
+    SELECT q.query_id, s.vec_id AS cid,
+           {_sql_g_cos('s.v', 's.n', 'q.qv', 'q.qn')} AS cos,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_sql_g_cos('s.v', 's.n', 'q.qv', 'q.qn')} DESC,
+                      s.vec_id ASC) AS rk
+    FROM q CROSS JOIN e{_H_LAYERS} s) t
+  WHERE rk <= {_H_DBEAM}
+),{",".join(rounds)},{",".join(hops)}"""
+
+
+_HNSW_TOPK_SQL = f"""
+WITH {_sql_hnsw_search_ctes()},
+fin AS (
+  SELECT query_id, cid, cos,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, cid ASC) AS rnk
+  FROM beam{_H_HOPS} WHERE cid != query_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, cid AS vec_id,
+       {_sql_round('cos', 6)} AS cosine_sim
+FROM fin WHERE rnk <= {_H_K}
+"""
+_HNSW_TOPK_SQL = materialize_ctes(
+    _HNSW_TOPK_SQL, ("q", "e", "rk", "graph", "lvl")
+    + tuple(f"g{l}" for l in range(1, _H_LAYERS + 1)))
+
+
+@register("ann_hnsw_topk", _HNSW_TOPK_SQL)
+def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve a query batch (every 97th vector) from the PERSISTED
+    layered graph index (operators/ann_index.py:
+    ann_graph_search_layered): width-{dbeam} descent through the
+    upper-layer adjacencies, then the flat layer-0 beam walk seeded by
+    the descent result + stratified entries. The serve plan reads ONLY
+    the frozen graph/graph_upper/graph_meta/layer_meta parquet + the
+    two input frames — zero Python stages, zero construction scans
+    (asserted in tests/test_plan_shapes.py). Oracle rebuilds levels and
+    per-layer adjacencies from first principles and unrolls the
+    identical descent + hops."""
+    from apde_etl_spark.functions.core import round_half_away
+    from apde_etl_spark.operators.ann_index import ann_graph_search_layered
+
+    d = _ensure_hnsw_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_H_QUERY_PRED))
+    out = ann_graph_search_layered(
+        spark, d, queries, emb, k=_H_K, beam=_H_BEAM, hops=_H_HOPS,
+        descend_beam=_H_DBEAM, hops_per_layer=_H_HPL)
+    return out.select(
+        "query_id", "rank", "vec_id",
+        round_half_away(F.col("cosine_raw"), 6).alias("cosine_sim"),
+    )
+
+
+_HNSW_RECALL_SQL = f"""
+WITH {_sql_hnsw_search_ctes()},
+gtop AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, cid ASC) AS rnk
+    FROM beam{_H_HOPS} WHERE cid != query_id) z
+  WHERE rnk <= {_H_K}
+),
+exact_q AS (
+  SELECT vec_id AS query_id, bid AS cid FROM (
+    SELECT a.vec_id, b.vec_id AS bid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_sql_g_cos('a.v', 'a.n', 'b.v', 'b.n')} DESC,
+                      b.vec_id ASC) AS rn
+    FROM e a JOIN e b ON a.vec_id != b.vec_id
+    WHERE a.{_H_QUERY_PRED}) t
+  WHERE rn <= {_H_K}
+)
+SELECT 'hnsw_l{_H_LAYERS}f{_H_FACTOR}_m{_H_M}_b{_H_BEAM}_h{_H_HOPS}'
+         AS method,
+       CAST((SELECT count(*) FROM gtop JOIN exact_q
+             ON gtop.query_id = exact_q.query_id
+            AND gtop.cid = exact_q.cid) AS BIGINT) AS hits,
+       CAST((SELECT count(*) FROM exact_q) AS BIGINT) AS n_exact,
+       {_sql_round(
+           'CAST((SELECT count(*) FROM gtop JOIN exact_q '
+           'ON gtop.query_id = exact_q.query_id AND gtop.cid = exact_q.cid)'
+           ' AS DOUBLE) / (SELECT count(*) FROM exact_q)', 6)}
+       AS recall_at_k
+"""
+_HNSW_RECALL_SQL = materialize_ctes(
+    _HNSW_RECALL_SQL, ("q", "exact_q", "e", "gtop", "rk", "graph", "lvl")
+    + tuple(f"g{l}" for l in range(1, _H_LAYERS + 1)))
+
+
+@register("ann_recall_hnsw", _HNSW_RECALL_SQL)
+def ann_recall_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{k} of the layered-graph search against the exact
+    top-{k} over the query sample — integer hit counts, hash-gated.
+    The layered family exists for the 100 TB regime where the flat
+    walk's fixed hop budget is diameter-starved: the 200k-vector
+    stress point (tools/scale_stress_anngraph.py --mode hier) is the
+    number this entry's knobs are tuned by."""
+    from apde_etl_spark.functions.core import round_half_away
+    from apde_etl_spark.operators.ann_index import ann_graph_search_layered
+    from apde_etl_spark.operators.cache import tracked_persist
+    from apde_etl_spark.operators.similarity import exact_topk_pairs
+
+    d = _ensure_hnsw_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_H_QUERY_PRED))
+    approx = ann_graph_search_layered(
+        spark, d, queries, emb, k=_H_K, beam=_H_BEAM, hops=_H_HOPS,
+        descend_beam=_H_DBEAM, hops_per_layer=_H_HPL,
+    ).select(F.col("query_id").alias("id_a"), F.col("vec_id").alias("id_b"))
+    truth = tracked_persist(exact_topk_pairs(
+        emb, "vec_id", "embedding", k=_H_K,
+        query_filter=F.expr(_H_QUERY_PRED),
+    ), scope="r8")
+    ex_n = truth.agg(F.count(F.lit(1)).alias("n_exact"))
+    h = approx.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("hits"))
+    return h.crossJoin(ex_n).select(
+        F.lit(f"hnsw_l{_H_LAYERS}f{_H_FACTOR}_m{_H_M}"
+              f"_b{_H_BEAM}_h{_H_HOPS}").alias("method"),
+        F.col("hits").cast("long").alias("hits"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        round_half_away(
+            F.col("hits").cast("double") / F.col("n_exact"), 6
+        ).alias("recall_at_k"),
+    )

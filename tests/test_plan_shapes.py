@@ -627,3 +627,14 @@ def test_standardized_rate_broadcasts_standard_population(spark, sf_dir, qs):
     plan = _plan(qs["standardized_order_rate"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_hnsw_serve_plan_reads_frozen_artifacts(spark, sf_dir, qs):
+    """The layered (HNSW-class) serve plan must contain ZERO
+    construction work, like the flat walk: no Python/Arrow stage (the
+    per-layer exact k-NN builds are mapInPandas — build-time only) and
+    no cartesian all-pairs; descent candidates come from equi-joins
+    against the persisted graph_upper adjacency."""
+    plan = _plan(qs["ann_hnsw_topk"](spark, sf_dir))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan

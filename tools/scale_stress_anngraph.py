@@ -8,6 +8,10 @@ bounded graph walk, independent of corpus growth once the graph is
 built. Recall is scored against the exact truth of the query sample.
 
 Usage: python tools/scale_stress_anngraph.py [n_corpus] [n_queries]
+           [regime] [mode]
+``mode`` = "flat" (round-7 single-layer walk) or "hier" (round-8
+HNSW-class layered descent — the fix for the flat walk's
+diameter-limited recall at 200k: 0.75 with hops=12).
 Prints one JSON line; paste the numbers into BASELINE.md.
 """
 
@@ -55,6 +59,7 @@ def main() -> None:
 
     from apde_etl_spark.operators.ann_index import (
         ann_graph_search,
+        ann_graph_search_layered,
         build_knn_graph,
     )
     from apde_etl_spark.plans.catalog_r3 import clustered_embeddings
@@ -63,6 +68,7 @@ def main() -> None:
     n_corpus = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
     regime = sys.argv[3] if len(sys.argv) > 3 else "uniform"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "flat"
     spark = get_spark("scale-stress-anngraph")
 
     # Three regimes, because they split the index families:
@@ -93,16 +99,29 @@ def main() -> None:
         # recall ceiling (e^-4 ~ 2% clusters uncovered at 128 draws);
         # measured 0.001 recall with ONE entry at this same scale
         t0 = time.perf_counter()
-        build_knn_graph(emb, d, n_neighbors=12, n_entries=128,
-                        n_long_links=3)
+        if mode == "hier":
+            # 4 factor-8 layers at 200k → top layer ~49 nodes; the
+            # upper-layer k-NN builds are over n/8, n/64, ... nodes —
+            # marginal next to the layer-0 exact-kNN cost
+            build_knn_graph(emb, d, n_neighbors=12, n_entries=128,
+                            n_long_links=3, n_layers=4, layer_factor=8,
+                            layer_neighbors=12)
+        else:
+            build_knn_graph(emb, d, n_neighbors=12, n_entries=128,
+                            n_long_links=3)
         build_wall = time.perf_counter() - t0
 
         stride = max(1, n_corpus // n_queries)
         queries = emb.filter(F.col("vec_id") % stride == 0)
         nq = queries.count()
         t0 = time.perf_counter()
-        approx = ann_graph_search(
-            spark, d, queries, emb, k=5, beam=48, hops=12)
+        if mode == "hier":
+            approx = ann_graph_search_layered(
+                spark, d, queries, emb, k=5, beam=48, hops=8,
+                descend_beam=16, hops_per_layer=2)
+        else:
+            approx = ann_graph_search(
+                spark, d, queries, emb, k=5, beam=48, hops=12)
         n_results = approx.count()
         serve_wall = time.perf_counter() - t0
 
@@ -125,6 +144,7 @@ def main() -> None:
         print(json.dumps({
             "tool": "scale_stress_anngraph",
             "regime": regime,
+            "mode": mode,
             "n_corpus": n_corpus,
             "n_queries": nq,
             "build_wall_sec": round(build_wall, 2),
