@@ -309,3 +309,225 @@ def ann_recall_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hits").cast("double") / F.col("n_exact"), 6
         ).alias("recall_at_k"),
     )
+
+
+# ===========================================================================
+# KMV set DIFFERENCE: rolling "new users this week" from the sketch store
+# ===========================================================================
+#
+# The round-7 sketch algebra covers union (kmv_union_from_storage) and
+# intersection (catalog_r7c.py:177) — but not difference, so the one
+# cohort question a growth dashboard always asks ("how many of this
+# week's actives are NEW?") still needed a raw rescan. KMV supports it
+# from the same stored state: the merged union sketch is a uniform
+# sample of the hashed key space, so the fraction of its members found
+# ONLY in the week sketch estimates |week \ prior| / |week ∪ prior|,
+# and est_new = matches_new * est_union div n_union in exact integer
+# arithmetic (same estimator family as the intersection entry; the
+# rank argument in _kmv_new_users_weekly's docstring shows membership
+# against untruncated day/week states is equivalent).
+
+from apde_etl_spark.operators.sketch import (  # noqa: E402
+    KMV_K,
+    kmv_estimate_expr,
+    kmv_sketch,
+    sql_kmv_estimate,
+)
+from apde_etl_spark.plans.catalog import load_events  # noqa: E402
+from apde_etl_spark.plans.catalog_r7c import (  # noqa: E402
+    _KMV_REG_CTES,
+    _ensure_kmv_store,
+)
+
+_KMV_DIFF_SQL = f"""
+WITH {_KMV_REG_CTES},
+weeks AS (SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS wk
+          FROM sk),
+tgt AS (SELECT wk FROM weeks WHERE wk > (SELECT min(wk) FROM weeks)),
+uu AS (
+  SELECT t.wk AS wk, k.hval AS hval,
+         max(CASE WHEN CAST(date_trunc('week', k.day) AS DATE) = t.wk
+                  THEN 1 ELSE 0 END) AS in_week,
+         max(CASE WHEN k.day < t.wk THEN 1 ELSE 0 END) AS in_prior
+  FROM tgt t JOIN sk k ON k.day < t.wk + INTERVAL 7 DAY
+  GROUP BY 1, 2
+),
+m AS (SELECT wk, hval, in_week, in_prior,
+             CAST(row_number() OVER (PARTITION BY wk ORDER BY hval)
+                  AS INTEGER) AS rnk
+      FROM uu QUALIFY rnk <= {KMV_K}),
+a AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_in_sketch,
+             max(CASE WHEN rnk = {KMV_K} THEN hval END) AS kth_min,
+             CAST(sum(CASE WHEN in_week = 1 AND in_prior = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS matches_new,
+             CAST(sum(CASE WHEN in_week = 1 AND in_prior = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS matches_both
+      FROM m GROUP BY wk),
+e2 AS (SELECT wk, n_in_sketch, kth_min, matches_new, matches_both,
+              {sql_kmv_estimate()} AS est_union
+       FROM a),
+fu AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1),
+x AS (SELECT CAST(date_trunc('week', first_day) AS DATE) AS wk,
+             CAST(count(*) AS BIGINT) AS exact_new_users
+      FROM fu GROUP BY 1)
+SELECT e2.wk AS wk, n_in_sketch AS union_n, matches_new, matches_both,
+       est_union,
+       CAST(matches_new * est_union // n_in_sketch AS BIGINT)
+         AS est_new_users,
+       COALESCE(x.exact_new_users, CAST(0 AS BIGINT)) AS exact_new_users
+FROM e2 LEFT JOIN x ON x.wk = e2.wk
+ORDER BY e2.wk
+"""
+
+
+def _kmv_new_users_weekly(spark: SparkSession, sk_weekly: DataFrame,
+                          ev_day: DataFrame) -> DataFrame:
+    """Shared serve body for the batch + streaming difference entries:
+    ``sk_weekly`` is any (wk, hval) sketch state — the per-DAY store
+    mapped to weeks, or the streaming fold's per-WEEK truncated
+    sketches. Both give hash-identical output: an hval in the merged
+    union sketch is among the k smallest of the whole key space, so
+    within any sub-state (one day, one week) the values below it are a
+    subset of the union sketch's own smaller members (< k of them) —
+    its rank there is <= k too, i.e. membership flags computed against
+    truncated or untruncated sub-states agree on every union-sketch
+    member. ``ev_day`` supplies the exact first-activity-week count
+    riding beside the estimate for the gate's accuracy contract."""
+    from pyspark.sql import Window
+
+    weeks = sk_weekly.select("wk").distinct()
+    min_wk = weeks.agg(F.min("wk").alias("min_wk"))
+    tgt = (
+        weeks.crossJoin(F.broadcast(min_wk))
+        .filter(F.col("wk") > F.col("min_wk"))
+        .select("wk")
+    )
+    uu = (
+        F.broadcast(tgt.alias("t"))
+        .join(sk_weekly.alias("k"), F.col("k.wk") <= F.col("t.wk"))
+        .groupBy(F.col("t.wk").alias("wk"), F.col("k.hval").alias("hval"))
+        .agg(
+            F.max(F.when(F.col("k.wk") == F.col("t.wk"), 1).otherwise(0))
+            .alias("in_week"),
+            F.max(F.when(F.col("k.wk") < F.col("t.wk"), 1).otherwise(0))
+            .alias("in_prior"),
+        )
+    )
+    w = Window.partitionBy("wk").orderBy("hval")
+    m = (
+        uu.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= KMV_K)
+    )
+    a = m.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+        F.max(F.when(F.col("rnk") == KMV_K, F.col("hval"))).alias("kth_min"),
+        F.sum(F.when((F.col("in_week") == 1) & (F.col("in_prior") == 0), 1)
+              .otherwise(0)).cast("long").alias("matches_new"),
+        F.sum(F.when((F.col("in_week") == 1) & (F.col("in_prior") == 1), 1)
+              .otherwise(0)).cast("long").alias("matches_both"),
+    )
+    e2 = a.withColumn("est_union", kmv_estimate_expr())
+    fu = ev_day.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    x = (
+        fu.groupBy(F.date_trunc("week", "first_day").cast("date").alias("wk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_new_users"))
+    )
+    return (
+        e2.join(F.broadcast(x), "wk", "left")
+        .select(
+            "wk",
+            F.col("n_in_sketch").alias("union_n"),
+            "matches_new", "matches_both", "est_union",
+            F.expr("CAST((matches_new * est_union) div n_in_sketch"
+                   " AS BIGINT)").alias("est_new_users"),
+            F.coalesce("exact_new_users", F.lit(0).cast("long"))
+            .alias("exact_new_users"),
+        )
+        .orderBy("wk")
+    )
+
+
+@register("kmv_cohort_difference", _KMV_DIFF_SQL)
+def kmv_cohort_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling new-users-per-week served ENTIRELY from the persisted
+    per-day KMV store (catalog_r7c._ensure_kmv_store) — the set
+    DIFFERENCE the union/intersection algebra could not answer: for
+    each week past the first, merge <= weeks*days*k stored integer
+    rows into a (week ∪ all-prior) sketch, flag each member's cohort,
+    and estimate |week \\ prior| = matches_new * est_union div n. At
+    100 TB the prior cohort spans the full corpus history and a raw
+    NOT-EXISTS anti join against it is the single most expensive query
+    a growth report runs; this serves it from KBs of sketch state with
+    the exact answer gated beside it."""
+    d = _ensure_kmv_store(spark, sf_dir)
+    sk_weekly = spark.read.parquet(d).select(
+        F.date_trunc("week", F.col("day").cast("date")).cast("date")
+        .alias("wk"),
+        "hval",
+    )
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
+    return _kmv_new_users_weekly(spark, sk_weekly, ev)
+
+
+def _fold_kmv_week_state(batch_df: DataFrame,
+                         existing: DataFrame | None) -> DataFrame:
+    """Grouped min-merge fold: per-WEEK k-min sketches of the batch,
+    unioned with the existing per-week state, re-ranked within each
+    week. Associative + commutative + idempotent per group, so any
+    micro-batch slicing and at-least-once replays converge on the
+    identical per-week k-min sets."""
+    from pyspark.sql import Window
+
+    b = batch_df.withColumn(
+        "wk", F.date_trunc("week", F.to_date("ts")).cast("date"))
+    sk = kmv_sketch(b, "user_id", ["wk"]).select("wk", "hval")
+    if existing is not None:
+        sk = existing.select("wk", "hval").unionByName(sk)
+    w = Window.partitionBy("wk").orderBy("hval")
+    return (
+        sk.distinct()
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= KMV_K)
+    )
+
+
+@register("stream_kmv_new_users", _KMV_DIFF_SQL)
+def stream_kmv_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of kmv_cohort_difference: micro-batches fold
+    into per-week k-min sketch state under the shared idempotent
+    foreachBatch runner (catalog_r2.run_idempotent_upsert), and the
+    week-over-prior difference is served from the FOLDED state alone.
+    Stream-batch convergence is hash-proven against the same oracle:
+    per-week k-min sets are invariant to stream slicing, and the
+    helper's rank argument makes day-grain and week-grain state
+    interchangeable for union-sketch membership."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from apde_etl_spark.plans.catalog import normalize_ts
+    from apde_etl_spark.plans.catalog_r2 import run_idempotent_upsert
+
+    load_events(spark, sf_dir)  # sets the nanos conf if needed
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    src = normalize_ts(src)
+    workdir = tempfile.mkdtemp(prefix="stream_kmv_diff_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    target = run_idempotent_upsert(src, workdir, _fold_kmv_week_state)
+    state = spark.read.parquet(target).select(
+        F.col("wk").cast("date").alias("wk"), "hval")
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
+    return _kmv_new_users_weekly(spark, state, ev)
