@@ -740,3 +740,189 @@ def pillow_resizer(payload: bytes, w: int, h: int) -> bytes:
         buf = io.BytesIO()
         out.save(buf, format=fmt)
         return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Real VIDEO codec (stdlib): YUV4MPEG2 (Y4M) uncompressed container
+# ---------------------------------------------------------------------------
+#
+# Y4M is the standard uncompressed video interchange container (mjpegtools
+# lineage; what ffmpeg emits with -f yuv4mpegpipe): an ASCII stream header
+# ``YUV4MPEG2 W<w> H<h> F<num>:<den> ... C444\n`` followed by frames, each
+# a ``FRAME\n`` marker plus raw planar pixel data. With C444 every frame
+# is exactly 3*w*h bytes (three full-resolution planes), so frame k lives
+# at a computable offset — random access without an index, which is why
+# the sampled-frame decode below can seek straight to the planned frames.
+
+
+def encode_y4m(width: int, height: int, n_frames: int, seed: int,
+               fps: tuple[int, int] = (25, 1)) -> bytes:
+    """C444 Y4M fixture: frame ``f``'s plane ``c`` holds
+    ``frame_pixel_value(x, y, c, f, seed)`` at (x, y) — the
+    :func:`pixel_value` formula extended with a per-frame term so an
+    oracle can state any decoded frame's byte sum in closed form."""
+    hdr = (f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} "
+           f"Ip A1:1 C444\n").encode("ascii")
+    out = bytearray(hdr)
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        for c in range(3):
+            for y in range(height):
+                for x in range(width):
+                    out.append(frame_pixel_value(x, y, c, f, seed))
+    return bytes(out)
+
+
+def frame_pixel_value(x: int, y: int, c: int, f: int, seed: int) -> int:
+    """Video fixture pixel formula shared by encoder, decoder test, and
+    SQL oracle: ``(3x + 7y + 11c + 13f + seed) mod 256``."""
+    return (3 * x + 7 * y + 11 * c + 13 * f + seed) % 256
+
+
+def stdlib_y4m_decoder(payload: bytes) -> dict:
+    """Real Y4M container parse with nothing but bytes/str: validates
+    the magic, reads W/H/F parameters, walks the FRAME markers (each
+    may carry its own parameters up to the newline, per spec), and
+    indexes every frame's plane-data offset. Only C444 is supported —
+    the one colorspace where all three planes are full-resolution.
+    Returns ``{width, height, n_frames, fps_num, fps_den,
+    frame_offsets, frame_bytes}``; pair with :func:`y4m_frame` for the
+    pixel bytes of one frame."""
+    nl = payload.index(b"\n")
+    parts = payload[:nl].decode("ascii").split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    params = {p[0]: p[1:] for p in parts[1:] if p}
+    width, height = int(params["W"]), int(params["H"])
+    fps_num, fps_den = (int(v) for v in params["F"].split(":"))
+    cs = params.get("C", "420")
+    if cs != "444":
+        raise ValueError(f"stdlib_y4m_decoder supports C444, got C{cs}")
+    frame_bytes = 3 * width * height
+    offsets: list[int] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"missing FRAME marker at offset {pos}")
+        data = payload.index(b"\n", pos) + 1
+        if data + frame_bytes > len(payload):
+            raise ValueError("truncated frame payload")
+        offsets.append(data)
+        pos = data + frame_bytes
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(offsets),
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "frame_offsets": offsets,
+        "frame_bytes": frame_bytes,
+    }
+
+
+def y4m_frame(payload: bytes, meta: dict, frame_index: int) -> bytes:
+    """Raw plane bytes (3*w*h, planes Y/Cb/Cr in file order) of one
+    decoded frame — a slice at the indexed offset, because C444 frames
+    are fixed-size: the random access that makes sampled-frame decode
+    seek-only instead of scan-all."""
+    off = meta["frame_offsets"][frame_index]
+    return payload[off:off + meta["frame_bytes"]]
+
+
+def extract_video_meta(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    decoder: Callable[[bytes], dict] = stdlib_y4m_decoder,
+) -> DataFrame:
+    """(id, width, height, n_frames, fps_num, fps_den) per video row via
+    Arrow-batched ``mapInPandas`` — the container-header stage whose
+    n_frames output feeds :func:`frame_sample_plan`. Only (id, content)
+    cross the Arrow boundary; no shuffle."""
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("fps_num", T.IntegerType()),
+            T.StructField("fps_den", T.IntegerType()),
+        ]
+    )
+    src = df.select(id_col, content_col)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [decoder(bytes(p)) for p in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                    "fps_num": [m["fps_num"] for m in metas],
+                    "fps_den": [m["fps_den"] for m in metas],
+                }
+            )
+
+    return src.mapInPandas(run, out_schema)
+
+
+def extract_frame_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    frame_col: str = "frame_index",
+    decoder: Callable[[bytes], dict] = stdlib_y4m_decoder,
+) -> DataFrame:
+    """(id, frame_index, px_first, px_sum) for PLANNED frames: the
+    decode stage that consumes a :func:`frame_sample_plan` joined back
+    onto the binary column. Each Arrow batch re-parses only the
+    container header and slices the requested frame at its computed
+    offset (C444 frames are fixed-size — seek, not scan). At 100 TB the
+    join is id-to-id against the plan (broadcastable: the plan is ids +
+    small ints) and the stage stays scan-shaped; batching all of one
+    file's sampled frames per row group amortizes the header parse."""
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + [
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("px_first", T.IntegerType()),
+            T.StructField("px_sum", T.LongType()),
+        ]
+    )
+    src = df.select(id_col, content_col, frame_col)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        meta_cache: dict[int, dict] = {}
+        for pdf in batches:
+            firsts, sums = [], []
+            for p, fi in zip(pdf[content_col], pdf[frame_col]):
+                raw = bytes(p)
+                # header+length key: plan rows for the same file share
+                # one parse. Safe under collision: equal header and
+                # total length imply the identical frame-offset layout
+                # (C444 frames are fixed-size), which is all the cached
+                # meta carries.
+                key = (len(raw), raw[:64])
+                m = meta_cache.get(key)
+                if m is None:
+                    m = decoder(raw)
+                    meta_cache[key] = m
+                fr = y4m_frame(raw, m, int(fi))
+                firsts.append(fr[0])
+                sums.append(sum(fr))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "frame_index": pdf[frame_col].astype("int32"),
+                    "px_first": firsts,
+                    "px_sum": sums,
+                }
+            )
+
+    return src.mapInPandas(run, out_schema)

@@ -718,10 +718,11 @@ FROM documents
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video plumbing: frame-sampling plan (media_id,
     frame_index) for every 10th frame from a frame_count metadata column
-    — native sequence+explode, no Python in the row path; the actual
-    frame decode is a later mapInPandas stage over this plan (stubbed per
-    container constraints). frame_count is derived deterministically from
-    the text length so the oracle can regenerate it."""
+    — native sequence+explode, no Python in the row path. The real
+    decode stage consuming this plan is gated end-to-end in
+    mm_video_decode_real (plans/catalog_r8.py: Y4M container, stdlib
+    codec). Here frame_count is derived deterministically from the text
+    length so the oracle can regenerate it without fixtures."""
     from apde_etl_spark.operators.multimodal import frame_sample_plan
 
     docs = load(spark, sf_dir, "documents").select(

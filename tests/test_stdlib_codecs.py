@@ -284,3 +284,79 @@ def test_stdlib_jpeg_decoder_contract():
     assert m["px_sum"] == 64 * sum(vals)
     assert m["px_first"] == 77 % 256
     assert m["pixel_channels"] == 1 and len(m["pixels"]) == 16 * 24
+
+
+# ---------------------------------------------------------------------------
+# Y4M video container (round-8: the last decode seam closed)
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_round_trip_frame_exact():
+    for seed in (0, 5, 31):
+        w, h, nf = 4 + seed % 6, 3 + seed % 5, 12 + seed % 20
+        blob = MM.encode_y4m(w, h, nf, seed=seed, fps=(30, 1))
+        m = MM.stdlib_y4m_decoder(blob)
+        assert (m["width"], m["height"], m["n_frames"]) == (w, h, nf)
+        assert (m["fps_num"], m["fps_den"]) == (30, 1)
+        for f in (0, nf - 1):
+            fr = MM.y4m_frame(blob, m, f)
+            assert len(fr) == 3 * w * h
+            assert fr[0] == MM.frame_pixel_value(0, 0, 0, f, seed)
+            assert sum(fr) == sum(
+                MM.frame_pixel_value(x, y, c, f, seed)
+                for c in range(3) for y in range(h) for x in range(w)
+            )
+
+
+def test_y4m_rejects_wrong_magic_and_colorspace():
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        MM.stdlib_y4m_decoder(b"RIFF1234\n")
+    blob = MM.encode_y4m(4, 3, 2, seed=1)
+    c420 = blob.replace(b"C444", b"C420", 1)
+    with pytest.raises(ValueError, match="C444"):
+        MM.stdlib_y4m_decoder(c420)
+
+
+def test_y4m_rejects_truncated_frame():
+    blob = MM.encode_y4m(4, 3, 3, seed=2)
+    with pytest.raises(ValueError, match="truncated"):
+        MM.stdlib_y4m_decoder(blob[:-5])
+
+
+def test_y4m_frame_params_on_frame_marker():
+    # spec allows per-frame parameters between FRAME and the newline
+    blob = MM.encode_y4m(4, 3, 2, seed=3)
+    patched = blob.replace(b"FRAME\n", b"FRAME Xcustom\n", 1)
+    m = MM.stdlib_y4m_decoder(patched)
+    assert m["n_frames"] == 2
+    assert MM.y4m_frame(patched, m, 0)[0] == MM.frame_pixel_value(0, 0, 0, 0, 3)
+
+
+def test_extract_video_meta_and_frame_stats(spark):
+    rows = [
+        Row(media_id=i, content=MM.encode_y4m(4 + i, 3 + i, 11 + i, seed=i))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+    meta = MM.extract_video_meta(df).orderBy("media_id").collect()
+    assert [m["n_frames"] for m in meta] == [11, 12, 13]
+    plan = MM.frame_sample_plan(
+        spark.createDataFrame(
+            [Row(media_id=m["media_id"], frame_count=m["n_frames"])
+             for m in meta]),
+        every_n=10,
+    )
+    stats = (
+        MM.extract_frame_stats(df.join(plan, "media_id"))
+        .orderBy("media_id", "frame_index").collect()
+    )
+    # every file has frames 0 and 10 sampled
+    assert [(s["media_id"], s["frame_index"]) for s in stats] == [
+        (0, 0), (0, 10), (1, 0), (1, 10), (2, 0), (2, 10)]
+    for s in stats:
+        i, f = s["media_id"], s["frame_index"]
+        w, h = 4 + i, 3 + i
+        assert s["px_first"] == MM.frame_pixel_value(0, 0, 0, f, i)
+        assert s["px_sum"] == sum(
+            MM.frame_pixel_value(x, y, c, f, i)
+            for c in range(3) for y in range(h) for x in range(w))
