@@ -112,6 +112,12 @@ HEADLINE = [
     "cusum_changepoint_daily",
     "dp_geometric_event_counts",
     "mv_incremental_refresh",
+    # round 8: layered (HNSW-class) ANN serve, KMV set difference,
+    # trained quality classifier, real video frame decode
+    "ann_hnsw_topk",
+    "kmv_cohort_difference",
+    "quality_lr_trained",
+    "mm_video_decode_real",
 ]
 
 

@@ -10,8 +10,13 @@ driver loop); 10% of docs get a fixed 12-token boilerplate phrase
 appended (the duplicated material a real crawl carries), plus id-pair
 near-dups every 97th doc sharing a 16-token prefix.
 
-Usage: python tools/scale_stress_substring.py [n_docs ...]
-Prints one JSON line per size; paste into BASELINE.md.
+Usage: python tools/scale_stress_substring.py [--stats] [n_docs ...]
+Prints one JSON line per size; paste into BASELINE.md. ``--stats``
+adds the interval-union memory envelope: total marked spans and the
+max/p99 spans per doc — the per-group state the interval-merge
+aggregation holds, i.e. the quantity that must stay bounded for the
+stage to be spill-safe at any corpus size (it is bounded by tokens
+per doc, not by corpus size).
 """
 
 from __future__ import annotations
@@ -30,7 +35,9 @@ def main() -> None:
     from apde_etl_spark.operators.text import remove_duplicated_substrings
     from apde_etl_spark.session import get_spark
 
-    sizes = [int(a) for a in sys.argv[1:]] or [100_000, 1_000_000]
+    args = sys.argv[1:]
+    want_stats = "--stats" in args
+    sizes = [int(a) for a in args if a != "--stats"] or [100_000, 1_000_000]
     spark = get_spark("scale-stress-substring")
 
     boiler = " ".join(f"bp{i}" for i in range(12))
@@ -78,14 +85,38 @@ def main() -> None:
                 "docs_touched"),
         ).collect()[0]
         wall = time.time() - t0
-        print(json.dumps({
+        rec = {
             "tool": "scale_stress_substring",
             "n_docs": n_docs,
             "dedup_sec": round(wall, 1),
             "docs_touched": int(agg["docs_touched"]),
             "tokens_removed": int(agg["removed"]),
             "loadavg": round(os.getloadavg()[0], 2),
-        }))
+        }
+        if want_stats:
+            # interval-union memory envelope: the merge aggregates each
+            # doc's marked spans in one group — per-doc span count IS
+            # the per-group state bound (it cannot exceed tokens/doc,
+            # so it is corpus-size-invariant; this records the measured
+            # ceiling)
+            from apde_etl_spark.operators.text import (
+                duplicated_substring_spans,
+            )
+
+            spans = duplicated_substring_spans(docs, k=8, min_count=2)
+            per_doc = spans.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("c"))
+            st = per_doc.agg(
+                F.sum("c").alias("n_spans"),
+                F.max("c").alias("max_spans_per_doc"),
+                F.expr("percentile_approx(c, 0.99)").alias("p99_spans"),
+            ).collect()[0]
+            rec.update({
+                "n_spans": int(st["n_spans"] or 0),
+                "max_spans_per_doc": int(st["max_spans_per_doc"] or 0),
+                "p99_spans_per_doc": int(st["p99_spans"] or 0),
+            })
+        print(json.dumps(rec))
         docs.unpersist()
 
 
