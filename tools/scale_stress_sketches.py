@@ -149,6 +149,24 @@ def main() -> None:
         t["kmv_inter_exact"] = exact_inter
         t["kmv_inter_rel_err"] = round(
             abs(est_inter - exact_inter) / max(1, exact_inter), 4)
+
+        # -------------------------------------- KMV set DIFFERENCE
+        # (round-8 kmv_cohort_difference): weekly new-users served from
+        # the same per-day store — query cost is a function of state
+        # (days*k rows), not of the event history
+        t0 = time.monotonic()
+        from apde_etl_spark.plans.catalog_r8 import _kmv_new_users_weekly
+
+        sk_weekly = sk.select(
+            F.date_trunc("week", F.col("day").cast("date")).cast("date")
+            .alias("wk"), "hval")
+        ev_day = base.select("user_id", F.col("day"))
+        diff_rows = _kmv_new_users_weekly(spark, sk_weekly, ev_day).collect()
+        t["kmv_difference_query_s"] = round(time.monotonic() - t0, 1)
+        errs = [abs(r["est_new_users"] - r["exact_new_users"])
+                / max(1, r["exact_new_users"]) for r in diff_rows]
+        t["kmv_diff_weeks"] = len(diff_rows)
+        t["kmv_diff_max_rel_err"] = round(max(errs), 4) if errs else 0.0
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
