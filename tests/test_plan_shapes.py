@@ -638,3 +638,36 @@ def test_ann_hnsw_serve_plan_reads_frozen_artifacts(spark, sf_dir, qs):
     plan = _plan(qs["ann_hnsw_topk"](spark, sf_dir))
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_difference_serves_from_broadcast_sketch_state(spark, sf_dir, qs):
+    """The week-over-prior difference must serve from SKETCH STATE, not
+    a rescan of raw history: the week spine and per-week membership
+    join broadcast (state is days*k integer rows), and the only
+    events-table work is the exact-truth column riding beside the
+    estimate. No cartesian products anywhere."""
+    plan = _plan(qs["kmv_cohort_difference"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_lr_serve_is_literal_weight_projection(spark, sf_dir, qs):
+    """Scoring with the TRAINED weights must stay a scan-shaped
+    projection: no shuffle Exchange, no Python stage — the weights are
+    plan literals, so the 100 TB serve plan is identical to the
+    fixed-weight production entry's."""
+    plan = _plan(qs["quality_lr_trained"](spark, sf_dir))
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    # the only allowed exchange is the output ordering's range exchange
+    body = plan.split("Sort")[-1] if "Sort" in plan else plan
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_video_decode_joins_plan_as_broadcast(spark, sf_dir, qs):
+    """The planned-frame decode joins the (ids + small ints) frame plan
+    back to the binaries as a BROADCAST join — never a shuffle of the
+    media bytes — and only the decode seam itself is an Arrow stage."""
+    plan = _plan(qs["mm_video_decode_real"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # the real decode seam, build side
