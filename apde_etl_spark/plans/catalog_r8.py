@@ -935,3 +935,136 @@ def mm_video_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "width", "height", "n_frames", "fps_num",
         "frame_index", "px_first", "px_sum",
     )
+
+
+_QLR_AUC_SQL = materialize_ctes(f"""
+WITH {_qlr_sql_ctes()},
+sc AS (
+  SELECT f.doc_id, f.y,
+         CAST(b + w1*x1 + w2*x2 + w3*x3 AS BIGINT) AS s_lr,
+         {_sql_round(_qlr_fixed_z(), 9)} AS s_fixed
+  FROM qte f JOIN documents d ON d.doc_id = f.doc_id, qw
+),
+g_lr AS (
+  SELECT s_lr AS s, CAST(sum(y) AS BIGINT) AS np_s,
+         CAST(count(*) AS BIGINT) AS nt_s
+  FROM sc GROUP BY 1
+),
+g_fx AS (
+  SELECT s_fixed AS s, CAST(sum(y) AS BIGINT) AS np_s,
+         CAST(count(*) AS BIGINT) AS nt_s
+  FROM sc GROUP BY 1
+),
+c_lr AS (
+  SELECT np_s, nt_s,
+         COALESCE(sum(nt_s) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM g_lr
+),
+c_fx AS (
+  SELECT np_s, nt_s,
+         COALESCE(sum(nt_s) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM g_fx
+),
+np AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+              CAST(count(*) - sum(y) AS BIGINT) AS n_neg FROM sc),
+arms AS (
+  SELECT 'lr_trained' AS method,
+         CAST(sum(np_s * (2 * cb + nt_s + 1))
+              - n_pos * (n_pos + 1) AS BIGINT) AS u2
+  FROM c_lr, np GROUP BY n_pos
+  UNION ALL
+  SELECT 'fixed_logistic',
+         CAST(sum(np_s * (2 * cb + nt_s + 1))
+              - n_pos * (n_pos + 1) AS BIGINT)
+  FROM c_fx, np GROUP BY n_pos
+)
+SELECT method, n_pos, n_neg, u2,
+       CAST((u2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM arms, np
+ORDER BY method
+""", ("qf", "qh"))
+
+
+@register("quality_lr_auc", _QLR_AUC_SQL)
+def quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free model comparison: held-out AUC for the trained LR
+    vs the fixed-weight production logistic, in EXACT INTEGER
+    arithmetic — AUC is the Mann-Whitney statistic, and with average
+    tie ranks doubled (2*avg_rank = 2*min_rank + tie_count - 1, an
+    integer) the whole computation stays on the lattice:
+    u2 = sum_pos(2*avg_rank) - n_pos(n_pos+1), auc = u2/(2*n_pos*n_neg)
+    emitted as ppm by integral division. The fixed model's continuous
+    logit is rounded to 9 dp first (the perplexity convention) so rank
+    order is engine-identical. One window + one aggregate per arm —
+    the ranks come from a distinct-score histogram plus a cumulative
+    window over that aggregated (vocab-sized) frame, so the plan is
+    one keyed aggregation + a tiny window at any corpus size."""
+    from pyspark.sql import Window
+
+    from apde_etl_spark.operators.text import QUALITY_WEIGHTS, tokens, _WS
+    from apde_etl_spark.functions.core import round_half_away
+
+    fit = _qlr_fit(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    te = quality_lr_features(docs).filter(F.col("doc_id") % 5 == 0)
+    # fixed-model raw logit (no sigmoid — AUC is rank-invariant to it)
+    w = QUALITY_WEIGHTS
+    from apde_etl_spark.operators.text import stopword_ratio, token_count
+
+    n_tok = token_count("text").cast("double")
+    mtl = (F.length(F.regexp_replace(F.trim(F.col("text")), _WS, ""))
+           / n_tok)
+    z_fixed = (F.lit(w["bias"])
+               + F.lit(w["stopword_ratio"]) * stopword_ratio("text")
+               + F.lit(w["mean_token_len"]) * mtl
+               + F.lit(w["n_tokens"]) * n_tok)
+    sc = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", round_half_away(z_fixed, 9).alias("s_fixed"))
+        .join(te, "doc_id")
+        .select(
+            "y",
+            (F.lit(fit["b"]) + F.lit(fit["w1"]) * F.col("x1")
+             + F.lit(fit["w2"]) * F.col("x2")
+             + F.lit(fit["w3"]) * F.col("x3")).cast("long").alias("s_lr"),
+            "s_fixed",
+        )
+    )
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    sc = tracked_persist(sc, scope="r8")
+    np_ = sc.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+
+    def arm(score_col: str, label: str) -> DataFrame:
+        # distinct-score histogram first, then the cumulative window
+        # over the AGGREGATED frame (vocab-sized, the documented
+        # tiny-window class) — never a global rank over raw rows. For a
+        # tie group occupying ranks cb+1..cb+nt, 2*avg_rank =
+        # 2*cb + nt + 1, so sum_pos(2*avg_rank) folds per group.
+        g = sc.groupBy(F.col(score_col).alias("s")).agg(
+            F.sum("y").cast("long").alias("np_s"),
+            F.count(F.lit(1)).cast("long").alias("nt_s"),
+        )
+        wcum = (Window.orderBy("s")
+                .rowsBetween(Window.unboundedPreceding, -1))
+        c = g.withColumn(
+            "cb", F.coalesce(F.sum("nt_s").over(wcum), F.lit(0)))
+        return (
+            c.crossJoin(F.broadcast(np_))
+            .groupBy("n_pos", "n_neg")
+            .agg((F.sum(F.col("np_s")
+                        * (2 * F.col("cb") + F.col("nt_s") + 1))
+                  - F.first("n_pos") * (F.first("n_pos") + 1))
+                 .cast("long").alias("u2"))
+            .select(F.lit(label).alias("method"), "n_pos", "n_neg", "u2",
+                    F.expr("CAST((u2 * 1000000) div (2 * n_pos * n_neg)"
+                           " AS BIGINT)").alias("auc_ppm"))
+        )
+
+    return arm("s_lr", "lr_trained").unionAll(
+        arm("s_fixed", "fixed_logistic")).orderBy("method")
