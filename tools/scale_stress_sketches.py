@@ -51,15 +51,22 @@ def main() -> None:
     # 30% of traffic on 8 hot users (the CMS probe set), the rest
     # uniform over ~n_users ids — realistic cardinality for the
     # distinct sketches AND a heavy-hitter head for the frequency one
+    # the active user universe GROWS by week (h2 % (base*(week+1))):
+    # later weeks draw from a strictly larger id range, so the KMV
+    # difference arm below has real weekly new-user cohorts to estimate
+    # (a static universe would make every post-week-1 answer trivially 0)
     base = (
         spark.range(n_events)
         .withColumn("h2", F.abs(F.xxhash64(F.col("id"), F.lit(7))))
-        .withColumn("user_id",
-                    F.when(F.col("h2") % 10 < 3, F.col("h2") % 8)
-                    .otherwise(F.col("h2") % n_users))
         .withColumn("day", F.to_date(F.timestamp_seconds(
             F.lit(1704067200)
             + (F.abs(F.xxhash64(F.col("id"))) % (30 * 24 * 3600)))))
+        .withColumn("__wk", F.datediff(
+            F.col("day"), F.lit("2024-01-01").cast("date")) / 7)
+        .withColumn("user_id",
+                    F.when(F.col("h2") % 10 < 3, F.col("h2") % 8)
+                    .otherwise(F.col("h2") % (
+                        (F.floor("__wk") + 1) * (n_users // 5))))
         .select("day", "user_id")
     )
 
