@@ -654,10 +654,20 @@ def distribution_drift(
     # without persisting them the lazy DAG re-derives each branch from
     # the FACT scan — 5 scans of the base table instead of 2 (observed
     # in the plan audit). Released via release_scope("profile").
+    from apde_etl_spark.functions.core import round_half_away
+
+    # edges are rounded to 9 dp (the perplexity convention) BEFORE
+    # freezing: exact interpolated percentiles agree across engines at
+    # the gate SFs but diverge by 1 ulp at some larger n (first seen at
+    # the sf1 gate, per-type deciles) — a 1-ulp edge difference flips
+    # the bin of any value sitting on it. Rounded edges are identical
+    # doubles in both engines, so binning is reproducible at every n.
     edges = tracked_persist(
         base.groupBy(*gcols).agg(
-            F.percentile(value_col, F.array(*[F.lit(p) for p in probs]))
-            .alias("__edges")
+            F.transform(
+                F.percentile(value_col, F.array(*[F.lit(p) for p in probs])),
+                lambda e: round_half_away(e, 9),
+            ).alias("__edges")
         ),
         scope="profile",
     )

@@ -192,7 +192,8 @@ WITH ev AS (
   SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
   WHERE value IS NOT NULL
 ), e AS (
-  SELECT quantile_cont(value, {_DRIFT_DECILES}) AS edges
+  SELECT list_transform(quantile_cont(value, {_DRIFT_DECILES}),
+           x -> {_sql_round('x', 9)}) AS edges
   FROM ev WHERE ts < TIMESTAMP '{_DRIFT_CUTOFF}'
 ), binned AS (
   SELECT CASE WHEN ts < TIMESTAMP '{_DRIFT_CUTOFF}'
@@ -261,7 +262,8 @@ WITH ev AS (
   SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
   WHERE value IS NOT NULL
 ), e AS (
-  SELECT event_type, quantile_cont(value, {_DRIFT_DECILES}) AS edges
+  SELECT event_type, list_transform(quantile_cont(value, {_DRIFT_DECILES}),
+           x -> {_sql_round('x', 9)}) AS edges
   FROM ev WHERE ts < TIMESTAMP '{_DRIFT_CUTOFF}' GROUP BY event_type
 ), binned AS (
   SELECT ev.event_type,
