@@ -36,17 +36,22 @@ WITH ev AS (
 ), touch AS (
   SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS channel
   FROM ev WHERE event_type IN ('click', 'view')
-), j AS (
-  SELECT c.p_id, c.revenue, t.channel,
-         count(*) OVER (PARTITION BY c.p_id) AS n,
-         row_number() OVER (PARTITION BY c.p_id
-                            ORDER BY t.t_ts ASC, t.t_id ASC) AS rn_first,
-         row_number() OVER (PARTITION BY c.p_id
-                            ORDER BY t.t_ts DESC, t.t_id DESC) AS rn_last
-  FROM conv c JOIN touch t
-    ON t.user_id = c.user_id
-   AND t.t_ts < c.p_ts
-   AND t.t_ts >= c.p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+), j AS MATERIALIZED (
+  -- equality-only ON + residual WHERE: stated with the ranges in the
+  -- ON clause, DuckDB's planner can pick an inequality join over the
+  -- full conv x touch at large n (observed at the sf1 gate: 45+ GB of
+  -- temp spill); the pure equi-join hashes on user_id and filters
+  SELECT p_id, revenue, channel,
+         count(*) OVER (PARTITION BY p_id) AS n,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_ts ASC, t_id ASC) AS rn_first,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_ts DESC, t_id DESC) AS rn_last
+  FROM (
+    SELECT c.p_id, c.revenue, t.channel, t.t_ts, t.t_id
+    FROM conv c JOIN touch t ON t.user_id = c.user_id
+    WHERE t.t_ts < c.p_ts
+      AND t.t_ts >= c.p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY) w
 ), credited AS (
   SELECT channel,
          CAST({_sql_round('revenue / n', 6)} AS DECIMAL(38,6)) AS linear_rev,
@@ -56,17 +61,16 @@ WITH ev AS (
               ELSE 0.0 END AS DECIMAL(38,6)) AS last_rev
   FROM j
   UNION ALL
+  -- direct = conversions with no row in j (anti join against the
+  -- materialized assisted set — reuses the one equi-join instead of a
+  -- second correlated range probe)
   SELECT 'direct' AS channel,
          CAST({_sql_round('revenue', 6)} AS DECIMAL(38,6)),
          CAST({_sql_round('revenue', 6)} AS DECIMAL(38,6)),
          CAST({_sql_round('revenue', 6)} AS DECIMAL(38,6))
   FROM conv c
-  WHERE NOT EXISTS (
-    SELECT 1 FROM touch t
-    WHERE t.user_id = c.user_id
-      AND t.t_ts < c.p_ts
-      AND t.t_ts >= c.p_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
-  )
+  LEFT JOIN (SELECT DISTINCT p_id FROM j) a ON a.p_id = c.p_id
+  WHERE a.p_id IS NULL
 )
 SELECT channel,
        CAST(count(*) AS BIGINT) AS n_credits,
