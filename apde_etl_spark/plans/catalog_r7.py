@@ -550,7 +550,11 @@ def _ensure_versioned(spark: SparkSession, sf_dir: str) -> tuple:
             "c_mktsegment",
         ).unionByName(
             cust.filter(F.col("c_custkey") % 500 == 0).select(
-                (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+                # insert keys live at +10^12 — far above any real key AND above
+                # the replicated-SF key stride (10^7 * factor; the sf1 gate
+                # caught the old +10^7 offset colliding with gen_sf copies)
+                (F.col("c_custkey") + F.lit(1_000_000_000_000))
+                .alias("c_custkey"),
                 F.lit(0.0).alias("c_acctbal"),
                 F.lit("NEW").alias("c_mktsegment"),
             )
@@ -589,7 +593,7 @@ WITH tgt AS (
   SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
   FROM customer WHERE c_custkey % 10 = 0
   UNION ALL
-  SELECT c_custkey + 10000000, 0.0, 'NEW'
+  SELECT c_custkey + 1000000000000, 0.0, 'NEW'
   FROM customer WHERE c_custkey % 500 = 0
 ), merged AS (
   SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
