@@ -898,17 +898,16 @@ def extract_frame_stats(
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
-        meta_cache: dict[int, dict] = {}
+        meta_cache: dict = {}
         for pdf in batches:
             firsts, sums = [], []
-            for p, fi in zip(pdf[content_col], pdf[frame_col]):
+            for mid, p, fi in zip(pdf[id_col], pdf[content_col], pdf[frame_col]):
                 raw = bytes(p)
-                # header+length key: plan rows for the same file share
-                # one parse. Safe under collision: equal header and
-                # total length imply the identical frame-offset layout
-                # (C444 frames are fixed-size), which is all the cached
-                # meta carries.
-                key = (len(raw), raw[:64])
+                # keyed on the id column: plan rows for the same media
+                # id share one parse, and ids map 1:1 to payloads so a
+                # hit can never slice another file's offsets (variable
+                # per-FRAME parameters make (len, prefix) keys unsafe).
+                key = mid
                 m = meta_cache.get(key)
                 if m is None:
                     m = decoder(raw)

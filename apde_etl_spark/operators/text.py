@@ -521,21 +521,31 @@ QUALITY_WEIGHTS = {"bias": -2.0, "stopword_ratio": 8.0,
                    "mean_token_len": 0.35, "n_tokens": 0.01}
 
 
-def quality_logistic(col: Column | str = "text",
-                     weights: dict[str, float] | None = None) -> Column:
-    """Quality probability: sigmoid over the fixed-weight linear
-    combination of native text features (stopword ratio, mean token
-    length, token count). One codegen'd projection, no shuffle."""
+def quality_logit(col: Column | str = "text",
+                  weights: dict[str, float] | None = None) -> Column:
+    """Raw logit z of the fixed-weight quality classifier. Exposed
+    separately from :func:`quality_logistic` so decision thresholds can
+    be stated as ``z >= 0`` on both engines — sigmoid(z) >= 0.5 is
+    mathematically the same cut but can 1-ulp-flip where 1+exp(-z)
+    rounds to exactly 2.0."""
     w = weights or QUALITY_WEIGHTS
     c = F.col(col) if isinstance(col, str) else col
     n_tok = token_count(c).cast("double")
     mtl = F.length(F.regexp_replace(F.trim(c), _WS, "")) / n_tok
-    z = (
+    return (
         F.lit(w["bias"])
         + F.lit(w["stopword_ratio"]) * stopword_ratio(c)
         + F.lit(w["mean_token_len"]) * mtl
         + F.lit(w["n_tokens"]) * n_tok
     )
+
+
+def quality_logistic(col: Column | str = "text",
+                     weights: dict[str, float] | None = None) -> Column:
+    """Quality probability: sigmoid over the fixed-weight linear
+    combination of native text features (stopword ratio, mean token
+    length, token count). One codegen'd projection, no shuffle."""
+    z = quality_logit(col, weights)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 

@@ -764,12 +764,13 @@ def quality_lr_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out accuracy shoot-out, INTEGER counts (the
     langid_method_accuracy pattern): the trained LR vs the fixed-weight
     production logistic vs the majority-class floor. Measured at
-    sf0.01: trained 0.86, majority 0.42, fixed ~chance (its weights
-    encode a different quality notion than the teacher) — the row a
-    user reads to decide the training pass is worth running; the 10%
-    label noise pins the ceiling at 0.9."""
+    sf0.01: trained 0.86, fixed 0.63 (threshold-miscalibrated for the
+    teacher's notion but AUC 0.869 per quality_lr_auc — discrimination
+    without calibration), majority 0.42 — the row a user reads to
+    decide the training pass is worth running; the 10% label noise
+    pins the ceiling at 0.9."""
     from apde_etl_spark.functions.core import round_half_away
-    from apde_etl_spark.operators.text import quality_logistic
+    from apde_etl_spark.operators.text import quality_logit
 
     fit = _qlr_fit(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
@@ -790,8 +791,10 @@ def quality_lr_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fx_row = fixed.agg(
         F.lit("fixed_logistic").alias("method"),
+        # raw-logit cut z >= 0, the SAME expression the oracle tests —
+        # sigmoid >= 0.5 is equivalent except at 1-ulp float boundaries
         F.sum(F.when(
-            (quality_logistic("text") >= 0.5) == (F.col("y") == 1), 1)
+            (quality_logit("text") >= 0) == (F.col("y") == 1), 1)
             .otherwise(0)).cast("long").alias("n_correct"),
         F.count(F.lit(1)).cast("long").alias("n_total"),
     )

@@ -72,6 +72,18 @@ def main() -> int:
         print(f"{t}: copied ({time.monotonic() - t0:.1f}s)")
     for t, keys in SHIFT.items():
         t0 = time.monotonic()
+        # Replication is only referentially sound when every shifted
+        # key fits below the stride — otherwise copies silently overlap
+        # and the +10^12 insert-offset headroom is gone. Fail loudly.
+        for c in keys:
+            mx = con.execute(
+                f"SELECT max({c}) FROM read_parquet('{src}/{t}.parquet')"
+            ).fetchone()[0]
+            if mx is not None and mx >= STRIDE:
+                raise SystemExit(
+                    f"gen_sf: {t}.{c} max key {mx} >= STRIDE {STRIDE}; "
+                    f"source {src} is already replicated or too large — "
+                    f"raise STRIDE or replicate from the original SF dir")
         cols = [
             d[0] for d in con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
