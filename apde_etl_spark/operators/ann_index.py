@@ -875,7 +875,7 @@ def build_knn_graph_insert(
         )
         beam = cut(
             score(q.select("query_id").crossJoin(seeds)), descend_beam
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
 
         layer_beams: dict[int, DataFrame] = {}
         for l in range(n_layers, 0, -1):
@@ -886,7 +886,7 @@ def build_knn_graph_insert(
                     .select("query_id", F.col("dst").alias("__cid"))
                 ).distinct()
                 beam = cut(score(expanded), descend_beam) \
-                    .localCheckpoint(eager=False)
+                    .localCheckpoint(eager=True)
             layer_beams[l] = beam
         # layer-0 expansion graph = current adjacency ∪ LONG LINKS over
         # the current state (same hash-mix formula as the final index,
@@ -918,7 +918,7 @@ def build_knn_graph_insert(
                 .select("query_id", F.col("dst").alias("__cid"))
             ).distinct()
             beam = cut(score(expanded), insert_beam) \
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
 
         out0 = cut(beam, n_neighbors).select(
             F.col("query_id").alias("src"), F.col("__cid").alias("dst"),
@@ -977,7 +977,7 @@ def build_knn_graph_insert(
                 .withColumn("__rk", F.row_number().over(wq))
                 .filter(F.col("__rk") <= refresh_beam)
                 .select("query_id", "__cid", "__cos")
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
             for _ in range(refresh_hops):
                 expanded = beam.select("query_id", "__cid").unionAll(
@@ -996,7 +996,7 @@ def build_knn_graph_insert(
                     scored.withColumn("__rk", F.row_number().over(wq))
                     .filter(F.col("__rk") <= refresh_beam)
                     .select("query_id", "__cid", "__cos")
-                    .localCheckpoint(eager=False)
+                    .localCheckpoint(eager=True)
                 )
             ro = (
                 beam.filter(F.col("__cid") != F.col("query_id"))

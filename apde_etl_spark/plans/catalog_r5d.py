@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from apde_etl_spark.operators.cache import tracked_persist
 from apde_etl_spark.operators.graph import pagerank_integer
-from apde_etl_spark.plans.catalog import load, register
+from apde_etl_spark.plans.catalog import load, materialize_ctes, register
 
 _PR_ITERS = 5
 _PR_SCALE = 10**12
@@ -38,6 +38,19 @@ e0 AS (
   SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
   FROM edges GROUP BY src
 )"""
+
+
+def _pr_mat(sql: str) -> str:
+    """Pin ONE evaluation per iteration CTE: un-materialized, DuckDB
+    re-inlines ``edges`` (a lineitem-scale join + DISTINCT) at every
+    reference and the convergence query doubles the whole pr-chain by
+    reading both pr{n} and pr{n-1} — the sf1 oracle spilled >70 GB and
+    died on disk (round-8 gate); materialized it runs in seconds."""
+    names = ("e0", "edges", "deg", "tp") + tuple(
+        f"pr{i}" for i in range(_PR_ITERS + 1)) + tuple(
+        f"s{i}" for i in range(_PR_ITERS))
+    return materialize_ctes(sql, tuple(n for n in names
+                                       if f"{n} AS (" in sql))
 
 
 def _pagerank_sql() -> str:
@@ -65,7 +78,7 @@ WITH {_GRAPH_CTES}, tp AS (
   FROM deg d LEFT JOIN s{i} ON s{i}.node = d.node, tp
 )""")
     parts.append(f"\nSELECT node, pr_rank FROM pr{_PR_ITERS}")
-    return "".join(parts)
+    return _pr_mat("".join(parts))
 
 
 def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +150,7 @@ WITH {_GRAPH_CTES}, tp AS (
 )""")
     parts.append(
         f"\nSELECT node, pr_rank FROM pr{_PR_ITERS} WHERE pr_rank > 0")
-    return "".join(parts)
+    return _pr_mat("".join(parts))
 
 
 @register("graph_ppr_seeded", _ppr_sql())
@@ -194,12 +207,12 @@ def graph_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEGREE_SQL = f"""
+_DEGREE_SQL = _pr_mat(f"""
 WITH {_GRAPH_CTES}
 SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
        deg, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY 1, 2
-"""
+""")
 
 
 @register("graph_degree_histogram", _DEGREE_SQL)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from apde_etl_spark.functions.core import round_half_away
 from apde_etl_spark.operators.cache import tracked_persist
 from apde_etl_spark.operators.graph import pagerank_integer
-from apde_etl_spark.plans.catalog import _sql_round, load, register
+from apde_etl_spark.plans.catalog import _sql_round, load, materialize_ctes, register
 from apde_etl_spark.plans.catalog_r5b import _SQ8_QUANT_SQL
 
 # ===========================================================================
@@ -256,7 +256,15 @@ WITH {_DIRECTED_CTES}, tp AS (
   FROM nodes nd LEFT JOIN s{i} ON s{i}.node = nd.node, tp, d{i}
 )""")
     parts.append(f"\nSELECT node, pr_rank FROM pr{_PR_ITERS}")
-    return "".join(parts)
+    # pr{i} is referenced TWICE per iteration (dangling-mass d{i} and
+    # share s{i}) — un-materialized the inlined plan doubles per level
+    # (2^5 at 5 iterations; the sf1 oracle spilled >70 GB). Pin every
+    # iteration CTE to one evaluation.
+    names = ("e0", "nodes", "deg", "tp") + tuple(
+        f"pr{i}" for i in range(_PR_ITERS + 1)) + tuple(
+        f"s{i}" for i in range(_PR_ITERS)) + tuple(
+        f"d{i}" for i in range(_PR_ITERS))
+    return materialize_ctes("".join(parts), names)
 
 
 def _edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,9 +9,17 @@ built. Recall is scored against the exact truth of the query sample.
 
 Usage: python tools/scale_stress_anngraph.py [n_corpus] [n_queries]
            [regime] [mode]
-``mode`` = "flat" (round-7 single-layer walk) or "hier" (round-8
+``mode`` = "flat" (round-7 single-layer walk), "hier" (round-8
 HNSW-class layered descent — the fix for the flat walk's
-diameter-limited recall at 200k: 0.75 with hops=12).
+diameter-limited recall at 200k: 0.75 with hops=12), or "insert"
+(round-9 insertion-built graph — same layered serve, construction by
+batched layered-search insertion with NO exact-kNN kernel past the
+bootstrap, so it runs at corpus sizes where "hier"/"flat" raise on the
+200k harness cap; the 1M row is the build-scale evidence).
+
+Past the 200k cap the exact truth switches from the collected-matrix
+kernel to a DISTRIBUTED join + window over the query sample — bounded
+by n_queries * n_corpus scored rows, never a corpus collect.
 Prints one JSON line; paste the numbers into BASELINE.md.
 """
 
@@ -61,6 +69,7 @@ def main() -> None:
         ann_graph_search,
         ann_graph_search_layered,
         build_knn_graph,
+        build_knn_graph_insert,
     )
     from apde_etl_spark.plans.catalog_r3 import clustered_embeddings
     from apde_etl_spark.session import get_spark
@@ -98,6 +107,7 @@ def main() -> None:
         # graph is disconnected across them, so entry coverage IS the
         # recall ceiling (e^-4 ~ 2% clusters uncovered at 128 draws);
         # measured 0.001 recall with ONE entry at this same scale
+        n_batches = None
         t0 = time.perf_counter()
         if mode == "hier":
             # 4 factor-8 layers at 200k → top layer ~49 nodes; the
@@ -106,6 +116,25 @@ def main() -> None:
             build_knn_graph(emb, d, n_neighbors=12, n_entries=128,
                             n_long_links=3, n_layers=4, layer_factor=8,
                             layer_neighbors=12)
+        elif mode == "insert":
+            # stored layer-0 degree 24 = 2x the exact build's 12 (the
+            # maxM0 = 2M convention — see build_knn_graph_insert); no
+            # exact-kNN kernel, so this arm runs past the 200k cap.
+            # Knobs env-overridable for sweeps (SPARK_GRAFT_INS_*).
+            def _k(name: str, dflt: int) -> int:
+                return int(os.environ.get(f"SPARK_GRAFT_INS_{name}", dflt))
+
+            meta = build_knn_graph_insert(
+                emb, d, n_neighbors=_k("M0", 24), n_entries=128,
+                n_long_links=3, n_layers=4, layer_factor=8,
+                layer_neighbors=12, boot_rows=_k("BOOT", 1024),
+                descend_beam=_k("DBEAM", 12),
+                hops_per_layer=_k("HPL", 1),
+                insert_beam=_k("BEAM", 24), insert_hops=_k("HOPS", 3),
+                refresh_passes=_k("RPASS", 2),
+                refresh_hops=_k("RHOPS", 3),
+                refresh_beam=_k("RBEAM", 32))
+            n_batches = meta["n_batches"]
         else:
             build_knn_graph(emb, d, n_neighbors=12, n_entries=128,
                             n_long_links=3)
@@ -115,7 +144,7 @@ def main() -> None:
         queries = emb.filter(F.col("vec_id") % stride == 0)
         nq = queries.count()
         t0 = time.perf_counter()
-        if mode == "hier":
+        if mode in ("hier", "insert"):
             approx = ann_graph_search_layered(
                 spark, d, queries, emb, k=5, beam=48, hops=8,
                 descend_beam=16, hops_per_layer=2)
@@ -125,14 +154,46 @@ def main() -> None:
         n_results = approx.count()
         serve_wall = time.perf_counter() - t0
 
-        # exact truth over the query sample only (queries x corpus via
-        # the same batched matmul shape the harness uses elsewhere)
-        from apde_etl_spark.operators.similarity import exact_topk_pairs
+        # exact truth over the query sample only: the collected-matrix
+        # kernel below the 200k cap, a distributed join + window past it
+        # (n_queries * n_corpus scored rows — bounded by the sample,
+        # never a corpus collect)
+        from apde_etl_spark.operators.similarity import (
+            EXACT_TOPK_MAX_ROWS,
+            dot,
+            exact_topk_pairs,
+            l2_norm,
+        )
 
         t0 = time.perf_counter()
-        truth = exact_topk_pairs(
-            emb, "vec_id", "embedding", k=5,
-            query_filter=F.col("vec_id") % stride == 0)
+        if n_corpus <= EXACT_TOPK_MAX_ROWS:
+            truth = exact_topk_pairs(
+                emb, "vec_id", "embedding", k=5,
+                query_filter=F.col("vec_id") % stride == 0)
+        else:
+            from pyspark.sql import Window
+
+            qv = queries.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("embedding").alias("__qv"),
+            ).withColumn("__qn", l2_norm(F.col("__qv")))
+            cv = emb.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("embedding").alias("__cv"),
+            ).withColumn("__cn", l2_norm(F.col("__cv")))
+            w = Window.partitionBy("id_a").orderBy(
+                F.desc("__cos"), F.asc("id_b"))
+            truth = (
+                cv.crossJoin(F.broadcast(qv))
+                .filter(F.col("id_a") != F.col("id_b"))
+                .select(
+                    "id_a", "id_b",
+                    (dot(F.col("__cv"), F.col("__qv"))
+                     / (F.col("__cn") * F.col("__qn"))).alias("__cos"))
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= 5)
+                .select("id_a", "id_b")
+            )
         hits = (
             approx.select(F.col("query_id").alias("id_a"),
                           F.col("vec_id").alias("id_b"))
@@ -146,6 +207,7 @@ def main() -> None:
             "regime": regime,
             "mode": mode,
             "n_corpus": n_corpus,
+            "n_batches": n_batches,
             "n_queries": nq,
             "build_wall_sec": round(build_wall, 2),
             "serve_wall_sec": round(serve_wall, 2),
