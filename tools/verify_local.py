@@ -53,6 +53,124 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
     return h, lines
 
 
+# ---------------------------------------------------------------------------
+# Distributed hashing for large results (round-9): past this row count
+# the driver-collect + Python hash dominates the gate wall (r1_melt_long
+# at sf1: 18M rows, 1,395s), so both engines compute an order-insensitive
+# hash ENGINE-SIDE: per-row md5 of a canonicalized line, split into four
+# 32-bit words, summed per word (commutative — order-independent), plus
+# the row count. Below the threshold the collect path is unchanged, so
+# recorded hashes stay comparable round-over-round.
+#
+# Cross-engine canonicalization must produce IDENTICAL strings from
+# identical values WITHOUT going through each engine's float formatter
+# (Java pads the shortest repr where DuckDB rounds the exact binary —
+# printf('%.9f') disagrees on the last digit). Doubles therefore canon
+# through PURE IEEE ARITHMETIC — floor(x) int part and
+# floor((x-floor(x))*1e15) fraction, every op exactly specified — which
+# is engine-identical (tested on 10k adversarial/random doubles, 0
+# mismatches / 0 collisions). Resolution 1e-15 absolute on the
+# fraction: cross-engine divergences below that in results >1M rows go
+# undetected (every catalog double output is half-away-rounded to <=9
+# dp, so real divergences surface far above it).
+# ---------------------------------------------------------------------------
+
+BIG_ROWS = 1_000_000
+
+_D_CANON_SPARK = (
+    "CASE WHEN isnan({x}) THEN 'NaN' WHEN {x} = double('inf') THEN 'Inf'"
+    " WHEN {x} = double('-inf') THEN '-Inf'"
+    " WHEN abs({x}) >= 9.0e18 THEN 'BIG'"
+    " ELSE concat(CAST(CAST(floor({x}) AS BIGINT) AS STRING), ':',"
+    " CAST(CAST(floor(({x} - floor({x})) * 1e15) AS BIGINT) AS STRING))"
+    " END")
+_D_CANON_DUCK = (
+    "CASE WHEN isnan({x}) THEN 'NaN' WHEN {x} = 'infinity'::DOUBLE THEN"
+    " 'Inf' WHEN {x} = '-infinity'::DOUBLE THEN '-Inf'"
+    " WHEN abs({x}) >= 9.0e18 THEN 'BIG'"
+    " ELSE concat(CAST(CAST(floor({x}) AS BIGINT) AS VARCHAR), ':',"
+    " CAST(CAST(floor(({x} - floor({x})) * 1e15) AS BIGINT) AS VARCHAR))"
+    " END")
+
+
+def _spark_canon(name: str, dtype: str) -> str | None:
+    """Canonical STRING expression for one Spark column, or None if the
+    type has no engine-side canon (arrays/structs -> collect path)."""
+    q = f"`{name}`"
+    d = dtype.lower()
+    if d in ("double", "float"):
+        return _D_CANON_SPARK.format(x=f"CAST({q} AS DOUBLE)")
+    if d == "date":
+        return f"date_format({q}, 'yyyy-MM-dd')"
+    if d.startswith("timestamp"):
+        return f"date_format({q}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+    if (d in ("string", "boolean", "tinyint", "smallint", "int",
+              "bigint") or d.startswith("decimal")):
+        return f"CAST({q} AS STRING)"
+    return None
+
+
+def _duck_canon(name: str, dtype: str) -> str | None:
+    q = f'"{name}"'
+    d = dtype.upper()
+    if d in ("DOUBLE", "FLOAT", "REAL"):
+        return _D_CANON_DUCK.format(x=f"CAST({q} AS DOUBLE)")
+    if d == "DATE":
+        return f"strftime({q}, '%Y-%m-%d')"
+    if d.startswith("TIMESTAMP"):
+        return f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+    if (d in ("VARCHAR", "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER",
+              "BIGINT", "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+              "UBIGINT") or d.startswith("DECIMAL")):
+        return f"CAST({q} AS VARCHAR)"
+    return None
+
+
+def spark_dist_hash(sdf) -> tuple[int, int, int, int] | None:
+    """Four commutative 32-bit-word sums of per-row md5(canonical
+    line), computed inside Spark — no driver collect. None if any
+    column type lacks a canon expression."""
+    from pyspark.sql import functions as F
+
+    fields = sorted(
+        ((f.name, f.dataType.simpleString()) for f in sdf.schema.fields),
+        key=lambda t: t[0])
+    exprs = []
+    for name, dtype in fields:
+        c = _spark_canon(name, dtype)
+        if c is None:
+            return None
+        exprs.append(f"coalesce({c}, '<NULL>')")
+    line = F.expr("concat_ws('\x1f', " + ", ".join(exprs) + ")")
+    h = F.md5(line.cast("binary"))
+    aggs = [
+        F.sum(F.conv(F.substring(h, 1 + 8 * k, 8), 16, 10).cast("bigint"))
+        .alias(f"w{k}")
+        for k in range(4)
+    ]
+    row = sdf.agg(*aggs).first()
+    return tuple(int(row[f"w{k}"] or 0) for k in range(4))
+
+
+def duck_dist_hash(con, table: str,
+                   cols: list[tuple[str, str]]) -> tuple | None:
+    """DuckDB twin of :func:`spark_dist_hash` over a materialized temp
+    table (cols = DESCRIBE output name/type pairs)."""
+    exprs = []
+    for name, dtype in sorted(cols, key=lambda t: t[0]):
+        c = _duck_canon(name, dtype)
+        if c is None:
+            return None
+        exprs.append(f"coalesce({c}, '<NULL>')")
+    line = "concat_ws(chr(31), " + ", ".join(exprs) + ")"
+    words = ", ".join(
+        f"sum(CAST(concat('0x', substr(md5({line}), {1 + 8 * k}, 8))"
+        f" AS BIGINT)) AS w{k}"
+        for k in range(4))
+    row = con.execute(f"SELECT {words} FROM {table}").fetchone()
+    return tuple(int(v or 0) for v in row)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
@@ -94,10 +212,21 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.monotonic()
+        sdist = srows = None
         try:
+            from pyspark import StorageLevel
+
             sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
+            # persist so the count probe and the hash/collect read ONE
+            # execution of the plan, not two
+            sdf = sdf.persist(StorageLevel.MEMORY_AND_DISK)
+            n_spark = sdf.count()
+            if n_spark > BIG_ROWS:
+                sdist = spark_dist_hash(sdf)   # None -> exotic types
+            if sdist is None:
+                srows = [tuple(r) for r in sdf.collect()]
+            sdf.unpersist()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
             record[name] = {"status": "fail", "err": f"spark: {e}"}
@@ -105,47 +234,76 @@ def main() -> int:
             continue
         if name not in oracles:
             record[name] = {"status": "pass", "mode": "rows_only",
-                            "spark_rows": len(srows)}
-            print(f"PASS {name}: rows-only check, {len(srows)} rows (no oracle)")
+                            "spark_rows": n_spark}
+            print(f"PASS {name}: rows-only check, {n_spark} rows (no oracle)")
             continue
         t_spark = time.monotonic() - t0
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            if sdist is not None:
+                con.execute("CREATE OR REPLACE TEMP TABLE __gate AS "
+                            + oracles[name])
+                ocols_t = [(r[0], r[1]) for r in con.execute(
+                    "DESCRIBE __gate").fetchall()]
+                ocols = [c for c, _ in ocols_t]
+                n_oracle = con.execute(
+                    "SELECT count(*) FROM __gate").fetchone()[0]
+                odist = duck_dist_hash(con, "__gate", ocols_t)
+                con.execute("DROP TABLE __gate")
+                orows = None
+            else:
+                res = con.execute(oracles[name])
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
+                n_oracle = len(orows)
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
             # record the failure so a subset re-run can never leave a
             # stale 'pass' for this entry in CORRECTNESS_local.json
             record[name] = {"status": "fail", "err": f"oracle: {e}",
-                            "spark_rows": len(srows)}
+                            "spark_rows": n_spark}
             print(f"FAIL {name}: oracle error: {e}")
             continue
         # stamp BEFORE the Python-side hashing: oracle_s is the DuckDB
         # wall used to pick materialize_ctes targets, not hash cost
         t_oracle = time.monotonic() - t0 - t_spark
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if n_spark != n_oracle:
+            problems.append(f"rowcount {n_spark} vs {n_oracle}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns {sorted(scols)} vs {sorted(ocols)}")
-        sh, slines = frame_hash(scols, srows)
-        oh, olines = frame_hash(ocols, orows)
-        if sh != oh:
-            diff = [(a, b) for a, b in zip(slines, olines) if a != b][:3]
-            extra = f" first diffs: {diff}" if diff else ""
-            problems.append(f"value hash mismatch{extra}")
+        if sdist is not None:
+            mode = "hash_oracle_dist"
+            if odist is None:
+                problems.append("oracle types lack engine-side canon")
+                sh = "dist:none"
+            else:
+                sh = "dist:" + hashlib.sha256(
+                    repr(sdist).encode()).hexdigest()[:16]
+                if sdist != odist:
+                    problems.append(
+                        f"distributed hash mismatch {sdist} vs {odist}")
+        else:
+            mode = "hash_oracle"
+            sh, slines = frame_hash(scols, srows)
+            oh, olines = frame_hash(ocols, orows)
+            if sh != oh:
+                diff = [(a, b) for a, b in zip(slines, olines)
+                        if a != b][:3]
+                extra = f" first diffs: {diff}" if diff else ""
+                problems.append(f"value hash mismatch{extra}")
         if problems:
             failures.append((name, "; ".join(problems)))
             record[name] = {"status": "fail", "err": "; ".join(problems),
-                            "spark_rows": len(srows), "oracle_rows": len(orows)}
+                            "spark_rows": n_spark, "oracle_rows": n_oracle}
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
-            record[name] = {"status": "pass", "mode": "hash_oracle",
-                            "spark_rows": len(srows), "hash": sh[:16],
+            record[name] = {"status": "pass", "mode": mode,
+                            "spark_rows": n_spark,
+                            "hash": sh[:16] if mode == "hash_oracle"
+                            else sh[:21],
                             "spark_s": round(t_spark, 2),
                             "oracle_s": round(t_oracle, 2)}
-            print(f"PASS {name}: {len(srows)} rows hash={sh[:12]}"
+            print(f"PASS {name}: {n_spark} rows hash={sh[:17]}"
                   f" spark={t_spark:.1f}s oracle={t_oracle:.1f}s",
                   flush=True)
         release_scope(None)   # free operator-internal caches per entry
