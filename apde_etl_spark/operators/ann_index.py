@@ -953,6 +953,14 @@ def build_knn_graph_insert(
         ).select("layer", "src", "dst", "__cos") \
             .localCheckpoint(eager=True)
         start *= 2
+        # drop Python references to the batch's superseded checkpoint
+        # frames NOW: the JVM ContextCleaner can only free their blocks
+        # once the py4j handles are collected, and a long build
+        # otherwise accumulates every round's beam blocks in the heap
+        import gc
+
+        beam = layer_beams = out0 = rev0 = newU = None
+        gc.collect()
 
     # ---- refresh pass(es): NN-descent-style re-search of the final
     # graph — each node's beam seeds from its OWN current neighbor list

@@ -12,7 +12,16 @@ import io
 import pytest
 from pyspark.sql import Row
 
-PIL = pytest.importorskip("PIL")
+# PERMANENT skip where Pillow is absent (this container): these are
+# ACTIVATION twins for the optional real-codec path; every Spark stage
+# they drive (decode -> stats -> resize plumbing) is fully covered with
+# stdlib codecs in tests/test_stdlib_codecs.py, so no engine behavior
+# goes untested without Pillow — installing it is the only delta.
+PIL = pytest.importorskip(
+    "PIL",
+    reason="permanent in this container: Pillow activation twin; the "
+           "same Spark stages are covered via stdlib codecs in "
+           "test_stdlib_codecs.py")
 
 from apde_etl_spark.operators import multimodal as MM  # noqa: E402
 

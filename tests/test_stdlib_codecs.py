@@ -157,7 +157,13 @@ def test_stdlib_decode_spark_end_to_end(spark):
 def test_stdlib_png_matches_pillow_if_available():
     """Cross-codec check whenever Pillow exists: the stdlib decoder and
     PIL must agree on dimensions and raw pixel bytes."""
-    Image = pytest.importorskip("PIL.Image")
+    # PERMANENT skip where Pillow is absent: pure cross-codec
+    # agreement check; the stdlib decoder itself is fully asserted by
+    # the other tests in this file (dimensions, px_sum, bit-exact px).
+    Image = pytest.importorskip(
+        "PIL.Image",
+        reason="permanent in this container: Pillow cross-check only; "
+               "stdlib decoder asserted independently above")
     import io
 
     blob = MM.encode_png_rgb(9, 7, 42)

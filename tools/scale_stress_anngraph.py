@@ -78,6 +78,10 @@ def main() -> None:
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000
     regime = sys.argv[3] if len(sys.argv) > 3 else "uniform"
     mode = sys.argv[4] if len(sys.argv) > 4 else "flat"
+    # insert-mode builds checkpoint per-round beam/adjacency state; the
+    # 8g default heap OOMed at the 200k build (blocks + execution
+    # spikes share one local-mode JVM) — this host has 128 GiB
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("scale-stress-anngraph")
 
     # Three regimes, because they split the index families:
