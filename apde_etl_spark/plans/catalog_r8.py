@@ -381,7 +381,7 @@ ORDER BY e2.wk
 
 
 def _kmv_new_users_weekly(spark: SparkSession, sk_weekly: DataFrame,
-                          ev_day: DataFrame) -> DataFrame:
+                          ev_day: DataFrame, k: int = KMV_K) -> DataFrame:
     """Shared serve body for the batch + streaming difference entries:
     ``sk_weekly`` is any (wk, hval) sketch state — the per-DAY store
     mapped to weeks, or the streaming fold's per-WEEK truncated
@@ -416,17 +416,17 @@ def _kmv_new_users_weekly(spark: SparkSession, sk_weekly: DataFrame,
     w = Window.partitionBy("wk").orderBy("hval")
     m = (
         uu.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= KMV_K)
+        .filter(F.col("rnk") <= k)
     )
     a = m.groupBy("wk").agg(
         F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
-        F.max(F.when(F.col("rnk") == KMV_K, F.col("hval"))).alias("kth_min"),
+        F.max(F.when(F.col("rnk") == k, F.col("hval"))).alias("kth_min"),
         F.sum(F.when((F.col("in_week") == 1) & (F.col("in_prior") == 0), 1)
               .otherwise(0)).cast("long").alias("matches_new"),
         F.sum(F.when((F.col("in_week") == 1) & (F.col("in_prior") == 1), 1)
               .otherwise(0)).cast("long").alias("matches_both"),
     )
-    e2 = a.withColumn("est_union", kmv_estimate_expr())
+    e2 = a.withColumn("est_union", kmv_estimate_expr(k))
     fu = ev_day.groupBy("user_id").agg(F.min("day").alias("first_day"))
     x = (
         fu.groupBy(F.date_trunc("week", "first_day").cast("date").alias("wk"))

@@ -174,6 +174,32 @@ def main() -> None:
                 / max(1, r["exact_new_users"]) for r in diff_rows]
         t["kmv_diff_weeks"] = len(diff_rows)
         t["kmv_diff_max_rel_err"] = round(max(errs), 4) if errs else 0.0
+
+        # ----------------------------------- KMV difference k-SWEEP
+        # (round-9): pin the k ~ 16/(p*err^2) sizing rule with measured
+        # points — per k, rebuild the per-day store at that k and
+        # re-answer the weekly new-users question; the error should
+        # fall ~ 1/sqrt(matches_new) as k grows. BASELINE.md table.
+        for k_s in (64, 256, 1024):
+            t0 = time.monotonic()
+            skk_path = f"{root}/kmv_k{k_s}"
+            S.kmv_sketch(base, "user_id", ["day"], k=k_s).write.mode(
+                "overwrite").partitionBy("day").parquet(skk_path)
+            skk = spark.read.parquet(skk_path)
+            sk_wk = skk.select(
+                F.date_trunc("week", F.col("day").cast("date"))
+                .cast("date").alias("wk"), "hval")
+            rows_k = _kmv_new_users_weekly(
+                spark, sk_wk, ev_day, k=k_s).collect()
+            errs_k = [abs(r["est_new_users"] - r["exact_new_users"])
+                      / max(1, r["exact_new_users"]) for r in rows_k]
+            t[f"kmv_diff_k{k_s}_max_rel_err"] = (
+                round(max(errs_k), 4) if errs_k else 0.0)
+            t[f"kmv_diff_k{k_s}_mean_rel_err"] = (
+                round(sum(errs_k) / len(errs_k), 4) if errs_k else 0.0)
+            t[f"kmv_diff_k{k_s}_min_matches_new"] = (
+                min(r["matches_new"] for r in rows_k) if rows_k else 0)
+            t[f"kmv_diff_k{k_s}_wall_s"] = round(time.monotonic() - t0, 1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
