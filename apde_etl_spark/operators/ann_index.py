@@ -866,6 +866,32 @@ def build_knn_graph_insert(
                 .select("query_id", "__cid", "__cos")
             )
 
+        def walk_round(beam: DataFrame, visited: DataFrame,
+                       edges: DataFrame, width: int
+                       ) -> tuple[DataFrame, DataFrame]:
+            """One expand-score-cut round with a per-query VISITED set
+            (the HNSW visited list): only never-scored candidates pay
+            the cosine, the carried beam keeps its known scores.
+            RESULT-IDENTICAL to rescore-everything within a fixed-width
+            phase — a candidate dropped from a top-``width`` beam lost
+            to ``width`` still-present better ones and can never
+            re-enter the top-``width`` of a superset — and the scoring
+            volume drops by the revisit factor (most expansions near
+            convergence are revisits). ``visited`` must reset at
+            width-change boundaries (a width-8 reject may be a width-16
+            keeper)."""
+            new = (
+                beam.join(edges, beam["__cid"] == edges["src"])
+                .select("query_id", F.col("dst").alias("__cid"))
+                .distinct()
+                .join(visited, ["query_id", "__cid"], "left_anti")
+            )
+            beam2 = cut(beam.unionAll(score(new)), width) \
+                .localCheckpoint(eager=True)
+            visited2 = visited.unionAll(new.select("query_id", "__cid")) \
+                .localCheckpoint(eager=True)
+            return beam2, visited2
+
         # seeds: bootstrap entries ∪ every current top-level node
         seeds = (
             ent0.unionAll(
@@ -876,17 +902,16 @@ def build_knn_graph_insert(
         beam = cut(
             score(q.select("query_id").crossJoin(seeds)), descend_beam
         ).localCheckpoint(eager=True)
+        # descent phase: constant width, so ONE visited set spans layers
+        visited = q.select("query_id").crossJoin(seeds) \
+            .select("query_id", "__cid").localCheckpoint(eager=True)
 
         layer_beams: dict[int, DataFrame] = {}
         for l in range(n_layers, 0, -1):
             edges_l = adjU.filter(F.col("layer") == l).select("src", "dst")
             for _ in range(hops_per_layer):
-                expanded = beam.select("query_id", "__cid").unionAll(
-                    beam.join(edges_l, beam["__cid"] == edges_l["src"])
-                    .select("query_id", F.col("dst").alias("__cid"))
-                ).distinct()
-                beam = cut(score(expanded), descend_beam) \
-                    .localCheckpoint(eager=True)
+                beam, visited = walk_round(beam, visited, edges_l,
+                                           descend_beam)
             layer_beams[l] = beam
         # layer-0 expansion graph = current adjacency ∪ LONG LINKS over
         # the current state (same hash-mix formula as the final index,
@@ -912,13 +937,12 @@ def build_knn_graph_insert(
                 .filter(F.col("src") != F.col("dst"))
                 .select("src", "dst")
             )
+        # layer-0 phase: width changes (descend_beam -> insert_beam), so
+        # the visited set RESETS to the incoming beam's ids
+        visited = beam.select("query_id", "__cid") \
+            .localCheckpoint(eager=True)
         for _ in range(insert_hops):
-            expanded = beam.select("query_id", "__cid").unionAll(
-                beam.join(edges0, beam["__cid"] == edges0["src"])
-                .select("query_id", F.col("dst").alias("__cid"))
-            ).distinct()
-            beam = cut(score(expanded), insert_beam) \
-                .localCheckpoint(eager=True)
+            beam, visited = walk_round(beam, visited, edges0, insert_beam)
 
         out0 = cut(beam, n_neighbors).select(
             F.col("query_id").alias("src"), F.col("__cid").alias("dst"),
@@ -959,7 +983,7 @@ def build_knn_graph_insert(
         # otherwise accumulates every round's beam blocks in the heap
         import gc
 
-        beam = layer_beams = out0 = rev0 = newU = None
+        beam = visited = layer_beams = out0 = rev0 = newU = None
         gc.collect()
 
     # ---- refresh pass(es): NN-descent-style re-search of the final
@@ -987,13 +1011,20 @@ def build_knn_graph_insert(
                 .select("query_id", "__cid", "__cos")
                 .localCheckpoint(eager=True)
             )
+            # visited set (reset per pass): only never-scored candidates
+            # pay the cosine — see walk_round in the batch loop for the
+            # equivalence argument (fixed width within the pass)
+            visited = beam.select("query_id", "__cid") \
+                .localCheckpoint(eager=True)
             for _ in range(refresh_hops):
-                expanded = beam.select("query_id", "__cid").unionAll(
+                new = (
                     beam.join(edges, beam["__cid"] == edges["src"])
                     .select("query_id", F.col("dst").alias("__cid"))
-                ).distinct()
+                    .distinct()
+                    .join(visited, ["query_id", "__cid"], "left_anti")
+                )
                 scored = (
-                    expanded.join(corpus_all, "__cid")
+                    new.join(corpus_all, "__cid")
                     .join(q_all, "query_id")
                     .select(
                         "query_id", "__cid",
@@ -1001,11 +1032,14 @@ def build_knn_graph_insert(
                          / (F.col("__cn") * F.col("__qn"))).alias("__cos"))
                 )
                 beam = (
-                    scored.withColumn("__rk", F.row_number().over(wq))
+                    beam.unionAll(scored)
+                    .withColumn("__rk", F.row_number().over(wq))
                     .filter(F.col("__rk") <= refresh_beam)
                     .select("query_id", "__cid", "__cos")
                     .localCheckpoint(eager=True)
                 )
+                visited = visited.unionAll(new) \
+                    .localCheckpoint(eager=True)
             ro = (
                 beam.filter(F.col("__cid") != F.col("query_id"))
                 .withColumn("__rk", F.row_number().over(wq))
