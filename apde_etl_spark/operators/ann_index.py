@@ -632,10 +632,14 @@ def ann_graph_search_layered(
     # descend from layer_meta's n_layers whenever upper artifacts exist:
     # seeds come from the LEVEL assignment (corpus nodes with lvl >=
     # top), not from the edge table, so an edge-sparse top layer just
-    # no-ops its hop rounds — identical results to probing max(layer)
-    # on every exact-built index, and the branch-free form is what the
-    # unrolled SQL oracles (and the insert-built index, whose top layer
-    # bootstraps gradually) can restate
+    # no-ops its hop rounds. Identical to probing max(layer) PROVIDED
+    # the top layer's lvl>= set is populated (true at every gate/stress
+    # corpus here); on a hash-unlucky corpus whose top layer is empty
+    # the descent degrades to the layer below seeded through empty
+    # rounds plus the entry points — recall-safe but not result-
+    # identical to a max(layer) probe (round-9 ADVICE #1). The
+    # branch-free form is what the unrolled SQL oracles (and the
+    # insert-built index, whose top layer bootstraps gradually) restate
     top = n_layers if upper is not None else 0
     if top > 0:
         seeds = lv.filter(F.col("lvl") >= top).select(
@@ -684,22 +688,35 @@ def ann_graph_search_layered(
     )
 
 
-def _knn_edges_cos(sub: DataFrame, k: int) -> DataFrame:
+def _knn_edges_cos(sub: DataFrame, k: int,
+                   use_arrow: bool = False) -> DataFrame:
     """(src, dst, __cos) — exact cosine k-NN edges over a BOUNDED
     subset (the insertion build's bootstrap: <= boot_rows rows) as a
     plain self-join + window, cosine kept for downstream re-pruning.
     Distributed shape (no driver collect) because the caller bounds the
-    input, not this function."""
+    input, not this function. ``use_arrow`` routes the cosine through
+    the bit-identical Arrow scorer (boot_rows² pair rows — at the
+    stress tool's boot=1024 that is ~1M folds, minutes interpreted,
+    seconds batched)."""
+    from apde_etl_spark.operators.similarity import arrow_pair_cosine
+
     a = sub.select(F.col("__id").alias("src"), F.col("__v").alias("__va"),
                    F.col("__n").alias("__na"))
     b = sub.select(F.col("__id").alias("dst"), F.col("__v").alias("__vb"),
                    F.col("__n").alias("__nb"))
+    pairs = a.join(b, F.col("src") != F.col("dst"))
+    if use_arrow:
+        scored = arrow_pair_cosine(
+            pairs, keys=("src", "dst"), a_col="__va", b_col="__vb",
+            na_col="__na", nb_col="__nb")
+    else:
+        scored = pairs.select(
+            "src", "dst",
+            (dot(F.col("__va"), F.col("__vb"))
+             / (F.col("__na") * F.col("__nb"))).alias("__cos"))
     w = Window.partitionBy("src").orderBy(F.desc("__cos"), F.asc("dst"))
     return (
-        a.join(b, F.col("src") != F.col("dst"))
-        .select("src", "dst",
-                (dot(F.col("__va"), F.col("__vb"))
-                 / (F.col("__na") * F.col("__nb"))).alias("__cos"))
+        scored
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select("src", "dst", "__cos")
@@ -742,6 +759,7 @@ def build_knn_graph_insert(
     refresh_passes: int = 1,
     refresh_hops: int = 3,
     refresh_beam: int = 16,
+    use_arrow: bool | None = None,
 ) -> dict:
     """Construct the layered small-world index BY INSERTION (the true
     HNSW build of Malkov & Yashunin 2018, public method): each batch of
@@ -801,7 +819,23 @@ def build_knn_graph_insert(
     (the PageRank lineage discipline). Measured: recall vs the
     exact-built graph at the 200k stress point and a 1M-vector build
     wall in BASELINE.md (tools/scale_stress_anngraph.py --mode insert).
+
+    ``use_arrow`` (default on; ``SPARK_GRAFT_ANN_ARROW=0`` disables)
+    routes every pair-cosine through
+    :func:`similarity.arrow_pair_cosine` — BIT-IDENTICAL to the HOF
+    fold (same IEEE operation order; the gate-entry hashes are the
+    standing regression), ~2 orders faster on the million-row
+    candidate frames of large batches. The round-9 200k build died at
+    >2h on the interpreted fold; this is the declared fix (round-9
+    verdict #1).
     """
+    import gc as _gc
+    import os as _os
+
+    from apde_etl_spark.operators.similarity import arrow_pair_cosine
+
+    if use_arrow is None:
+        use_arrow = _os.environ.get("SPARK_GRAFT_ANN_ARROW", "1") != "0"
     spark = df.sparkSession
     e = df.select(
         F.col(id_col).cast("long").alias("__id"),
@@ -818,11 +852,13 @@ def build_knn_graph_insert(
     n_nodes = nodes.count()
 
     boot = nodes.filter(F.col("__rn") < boot_rows)
-    adj0 = _knn_edges_cos(boot, n_neighbors).localCheckpoint(eager=True)
+    adj0 = _knn_edges_cos(boot, n_neighbors, use_arrow=use_arrow) \
+        .localCheckpoint(eager=True)
     adjU = None
     for l in range(1, n_layers + 1):
         sub = boot.filter(F.col("lvl") >= l)
-        arm = _knn_edges_cos(sub, layer_neighbors).select(
+        arm = _knn_edges_cos(sub, layer_neighbors,
+                             use_arrow=use_arrow).select(
             F.lit(l).cast("int").alias("layer"), "src", "dst", "__cos")
         adjU = arm if adjU is None else adjU.unionByName(arm)
     adjU = adjU.localCheckpoint(eager=True)
@@ -850,14 +886,16 @@ def build_knn_graph_insert(
             F.col("lvl").alias("__clvl"))
 
         def score(cand: DataFrame) -> DataFrame:
-            return (
+            joined = (
                 cand.join(corpus, "__cid")
                 .join(q.select("query_id", "__qv", "__qn"), "query_id")
-                .select(
-                    "query_id", "__cid",
-                    (dot(F.col("__cv"), F.col("__qv"))
-                     / (F.col("__cn") * F.col("__qn"))).alias("__cos"))
             )
+            if use_arrow:
+                return arrow_pair_cosine(joined)
+            return joined.select(
+                "query_id", "__cid",
+                (dot(F.col("__cv"), F.col("__qv"))
+                 / (F.col("__cn") * F.col("__qn"))).alias("__cos"))
 
         def cut(scored: DataFrame, width: int) -> DataFrame:
             return (
@@ -981,10 +1019,8 @@ def build_knn_graph_insert(
         # frames NOW: the JVM ContextCleaner can only free their blocks
         # once the py4j handles are collected, and a long build
         # otherwise accumulates every round's beam blocks in the heap
-        import gc
-
         beam = visited = layer_beams = out0 = rev0 = newU = None
-        gc.collect()
+        _gc.collect()
 
     # ---- refresh pass(es): NN-descent-style re-search of the final
     # graph — each node's beam seeds from its OWN current neighbor list
@@ -1023,14 +1059,15 @@ def build_knn_graph_insert(
                     .distinct()
                     .join(visited, ["query_id", "__cid"], "left_anti")
                 )
-                scored = (
-                    new.join(corpus_all, "__cid")
-                    .join(q_all, "query_id")
-                    .select(
+                joined_r = new.join(corpus_all, "__cid").join(
+                    q_all, "query_id")
+                if use_arrow:
+                    scored = arrow_pair_cosine(joined_r)
+                else:
+                    scored = joined_r.select(
                         "query_id", "__cid",
                         (dot(F.col("__cv"), F.col("__qv"))
                          / (F.col("__cn") * F.col("__qn"))).alias("__cos"))
-                )
                 beam = (
                     beam.unionAll(scored)
                     .withColumn("__rk", F.row_number().over(wq))

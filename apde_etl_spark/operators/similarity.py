@@ -42,7 +42,76 @@ def cosine(a: Column, b: Column) -> Column:
 # janino compilation per plan branch (2.7s -> 50s on the LSH candidate
 # stage). The HOF fold is interpreted but O(n·d) with trivial constant;
 # keep candidate volume low (good LSH buckets) instead of micro-optimizing
-# the per-pair arithmetic.
+# the per-pair arithmetic. Where candidate volume is UNAVOIDABLY large
+# (the HNSW insertion build scores millions of pair rows per batch),
+# :func:`arrow_pair_cosine` moves the fold to an Arrow-batched numpy
+# scorer that preserves the fold's float order bit-for-bit.
+
+
+def arrow_pair_cosine(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("query_id", "__cid"),
+    a_col: str = "__cv",
+    b_col: str = "__qv",
+    na_col: str = "__cn",
+    nb_col: str = "__qn",
+    out_col: str = "__cos",
+) -> DataFrame:
+    """Arrow-batched twin of ``dot(a,b)/(na*nb)``: returns
+    ``keys + (out_col,)`` with the cosine computed in numpy.
+
+    BIT-IDENTICAL to the JVM HOF fold by construction: the fold
+    ``aggregate(zip_with(a,b,*), 0.0, +)`` is the sequential IEEE-754
+    chain ``((0.0 + a0*b0) + a1*b1) + ...``; the scorer accumulates
+    per-DIMENSION over the row batch (``acc = acc + A[:,i]*B[:,i]``
+    starting from zeros), which performs the identical operations in
+    the identical order per row — numpy float64 is the same IEEE
+    double as the JVM — while vectorizing across rows. The norms are
+    consumed from the pre-computed ``na``/``nb`` columns exactly as
+    the JVM projection does, and ``dot/(na*nb)`` is one multiply and
+    one divide in the same order. Verified bit-exact against the HOF
+    plan in tests/test_ann_index.py (hash equality on the insert-built
+    gate entries is the standing regression).
+
+    Why it exists: the interpreted HOF fold is ~O(d) interpreter
+    dispatches per row — fine for bounded serve frontiers, the wall
+    for the insertion build's millions of candidate rows per batch
+    (the 200k build ran >2h on the fold; Arrow-batched it completes —
+    BASELINE.md round-10). Arrow ships 8*d bytes per row per vector
+    column; the scorer emits only ``keys + cosine``, so the exchange
+    is one-way."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    key_list = list(keys)
+    in_schema = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_schema[k] for k in key_list]
+        + [StructField(out_col, DoubleType(), True)]
+    )
+    cols = key_list + [a_col, b_col, na_col, nb_col]
+    src = df.select(*cols)
+
+    def gen(batches):
+        for pdf in batches:
+            out = pdf[key_list].copy()
+            n = len(pdf)
+            if n == 0:
+                out[out_col] = np.empty(0, dtype="float64")
+                yield out
+                continue
+            A = np.stack(pdf[a_col].to_numpy()).astype("float64", copy=False)
+            B = np.stack(pdf[b_col].to_numpy()).astype("float64", copy=False)
+            acc = np.zeros(n, dtype="float64")
+            for i in range(A.shape[1]):
+                acc = acc + A[:, i] * B[:, i]
+            out[out_col] = acc / (
+                pdf[na_col].to_numpy(dtype="float64")
+                * pdf[nb_col].to_numpy(dtype="float64")
+            )
+            yield out
+
+    return src.mapInPandas(gen, out_schema)
 
 
 def as_double_array(col: Column | str) -> Column:

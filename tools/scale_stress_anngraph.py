@@ -80,8 +80,22 @@ def main() -> None:
     mode = sys.argv[4] if len(sys.argv) > 4 else "flat"
     # insert-mode builds checkpoint per-round beam/adjacency state; the
     # 8g default heap OOMed at the 200k build (blocks + execution
-    # spikes share one local-mode JVM) — this host has 128 GiB
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # spikes share one local-mode JVM). Default the heap to ~40% of
+    # MemAvailable, capped at 48g (round-9 ADVICE #3: a flat 48g
+    # default fails JVM startup on smaller hosts); override with
+    # SPARK_GRAFT_DRIVER_MEM=<n>g.
+    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+        avail_gib = 16
+        try:
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    if line.startswith("MemAvailable:"):
+                        avail_gib = int(line.split()[1]) // (1024 * 1024)
+                        break
+        except OSError:
+            pass
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = (
+            f"{max(4, min(48, avail_gib * 2 // 5))}g")
     spark = get_spark("scale-stress-anngraph")
 
     # Three regimes, because they split the index families:

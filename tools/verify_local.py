@@ -73,24 +73,55 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
 # fraction: cross-engine divergences below that in results >1M rows go
 # undetected (every catalog double output is half-away-rounded to <=9
 # dp, so real divergences surface far above it).
+#
+# Doubles past the BIGINT floor range (|x| >= 9.0e18) canon through a
+# TIERED mantissa/exponent split (round-9 ADVICE #2 — the former single
+# 'BIG' token made any divergence between two distinct huge doubles
+# invisible): tier k covers |x| in [9e18*1e18(k-1), 9e18*1e18k) and
+# emits 'B{k}:' plus the int:frac canon of x / 1e18k — one correctly-
+# rounded IEEE division, engine-identical like every other op here.
+# Relative resolution ~1e-33 of the value within a tier.
 # ---------------------------------------------------------------------------
 
 BIG_ROWS = 1_000_000
 
-_D_CANON_SPARK = (
-    "CASE WHEN isnan({x}) THEN 'NaN' WHEN {x} = double('inf') THEN 'Inf'"
-    " WHEN {x} = double('-inf') THEN '-Inf'"
-    " WHEN abs({x}) >= 9.0e18 THEN 'BIG'"
-    " ELSE concat(CAST(CAST(floor({x}) AS BIGINT) AS STRING), ':',"
-    " CAST(CAST(floor(({x} - floor({x})) * 1e15) AS BIGINT) AS STRING))"
-    " END")
-_D_CANON_DUCK = (
-    "CASE WHEN isnan({x}) THEN 'NaN' WHEN {x} = 'infinity'::DOUBLE THEN"
-    " 'Inf' WHEN {x} = '-infinity'::DOUBLE THEN '-Inf'"
-    " WHEN abs({x}) >= 9.0e18 THEN 'BIG'"
-    " ELSE concat(CAST(CAST(floor({x}) AS BIGINT) AS VARCHAR), ':',"
-    " CAST(CAST(floor(({x} - floor({x})) * 1e15) AS BIGINT) AS VARCHAR))"
-    " END")
+
+def _canon_small(x: str, s: str) -> str:
+    """int:frac canon of an in-BIGINT-range double expression ``x``;
+    ``s`` = STRING (Spark) or VARCHAR (DuckDB)."""
+    return (f"concat(CAST(CAST(floor({x}) AS BIGINT) AS {s}), ':',"
+            f" CAST(CAST(floor(({x} - floor({x})) * 1e15) AS BIGINT)"
+            f" AS {s}))")
+
+
+def _canon_big_tiers(x: str, s: str) -> str:
+    """Nested CASE over magnitude tiers for |x| >= 9.0e18."""
+    arms = []
+    for k in range(1, 17):
+        arms.append(
+            f"WHEN abs({x}) < 9.0e{18 + 18 * k} THEN"
+            f" concat('B{k}:', {_canon_small(f'({x} / 1.0e{18 * k})', s)})")
+    arms.append(
+        f"ELSE concat('B17:', {_canon_small(f'({x} / 1.0e306)', s)})")
+    return "CASE " + " ".join(arms) + " END"
+
+
+def _d_canon_spark(x: str) -> str:
+    return (
+        f"CASE WHEN isnan({x}) THEN 'NaN'"
+        f" WHEN {x} = double('inf') THEN 'Inf'"
+        f" WHEN {x} = double('-inf') THEN '-Inf'"
+        f" WHEN abs({x}) >= 9.0e18 THEN {_canon_big_tiers(x, 'STRING')}"
+        f" ELSE {_canon_small(x, 'STRING')} END")
+
+
+def _d_canon_duck(x: str) -> str:
+    return (
+        f"CASE WHEN isnan({x}) THEN 'NaN'"
+        f" WHEN {x} = 'infinity'::DOUBLE THEN 'Inf'"
+        f" WHEN {x} = '-infinity'::DOUBLE THEN '-Inf'"
+        f" WHEN abs({x}) >= 9.0e18 THEN {_canon_big_tiers(x, 'VARCHAR')}"
+        f" ELSE {_canon_small(x, 'VARCHAR')} END")
 
 
 def _spark_canon(name: str, dtype: str) -> str | None:
@@ -99,7 +130,7 @@ def _spark_canon(name: str, dtype: str) -> str | None:
     q = f"`{name}`"
     d = dtype.lower()
     if d in ("double", "float"):
-        return _D_CANON_SPARK.format(x=f"CAST({q} AS DOUBLE)")
+        return _d_canon_spark(f"CAST({q} AS DOUBLE)")
     if d == "date":
         return f"date_format({q}, 'yyyy-MM-dd')"
     if d.startswith("timestamp"):
@@ -114,7 +145,7 @@ def _duck_canon(name: str, dtype: str) -> str | None:
     q = f'"{name}"'
     d = dtype.upper()
     if d in ("DOUBLE", "FLOAT", "REAL"):
-        return _D_CANON_DUCK.format(x=f"CAST({q} AS DOUBLE)")
+        return _d_canon_duck(f"CAST({q} AS DOUBLE)")
     if d == "DATE":
         return f"strftime({q}, '%Y-%m-%d')"
     if d.startswith("TIMESTAMP"):
