@@ -467,6 +467,289 @@ def build_knn_graph(
             "n_long_links": n_long_links, "n_layers": n_layers}
 
 
+# ---------------------------------------------------------------------------
+# Size-gated local serve: the replicated-index pattern
+# ---------------------------------------------------------------------------
+# Production graph-ANN serving never shuffles the corpus per hop: the
+# frozen index (adjacency + vectors) is replicated to every serving
+# node and each query walks it locally. Below the row gate the serve
+# functions collect the bounded artifacts once, broadcast them, and run
+# the ENTIRE multi-round walk in ONE Arrow stage over the query batch —
+# the identical expand/score/cut recurrence, bit-for-bit (same IEEE-754
+# op order via per-dimension accumulation, same (cos DESC, id ASC)
+# cuts, same distinct/union semantics; parity is test-pinned against
+# the iterative walk and the gate entries' oracle hashes). Past the
+# gate — or with SPARK_GRAFT_ANN_LOCAL_SERVE=0 — the iterative
+# join-per-hop plan below serves unchanged; that is the path a corpus
+# too large to replicate must take, and the two produce identical rows.
+
+
+def _local_serve_rows_gate() -> int:
+    import os
+
+    try:
+        return int(os.environ.get("SPARK_GRAFT_ANN_BCAST_ROWS", "200000"))
+    except ValueError:
+        return 200000
+
+
+def _try_local_serve(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    beam: int,
+    hops: int,
+    descend_beam: int,
+    hops_per_layer: int,
+    id_col: str,
+    vec_col: str,
+    layered: bool,
+) -> DataFrame | None:
+    """Broadcast-index serve, or None when the gate/shape rules it out.
+
+    Fidelity to the iterative walk, piece by piece:
+
+    - cosine: ``dot(a,b)/(na*nb)`` where dot is the sequential HOF fold
+      ``((0+a0*b0)+a1*b1)+...``. The scorer accumulates per DIMENSION
+      across the candidate batch (``acc = acc + C[:,i]*qv[i]``), the
+      same trick :func:`similarity.arrow_pair_cosine` proved bit-exact;
+      norms use the same fold (``acc + x*x`` then sqrt).
+    - cut: top-``width`` by (cos DESC, id ASC). Spark orders NaN as the
+      LARGEST double, so the sort key maps NaN to -inf on the negated
+      axis; ties (including -0.0 vs 0.0, equal under IEEE compare)
+      break by id exactly as ``row_number`` does.
+    - expand: ``distinct(beam ∪ neighbors(beam))`` == ``np.unique`` of
+      the concatenated index arrays.
+    - levels (layered descent seeds): hash60(cast(id AS STRING)) %
+      factor**top == 0 — recomputed here via hashlib.md5 over str(id),
+      the same bytes Spark's string-cast feeds md5 (parity test-pinned
+      against :func:`node_levels`).
+    """
+    import logging
+    import os
+
+    if os.environ.get("SPARK_GRAFT_ANN_LOCAL_SERVE", "1") == "0":
+        return None
+    gate = _local_serve_rows_gate()
+    if gate <= 0:
+        return None
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    try:
+        id_type = corpus_df.schema[id_col].dataType
+        if not isinstance(id_type, (LongType, IntegerType, ShortType)):
+            return None
+        # bounded count: at most gate+1 rows are touched, vectors pruned
+        if corpus_df.select(id_col).limit(gate + 1).count() > gate:
+            return None
+
+        import numpy as np
+
+        def artifact_pdf(sub: str, cols: list[str]):
+            # The frozen artifacts are bounded by the gate; when the
+            # index dir is plain local storage, read them with pyarrow
+            # directly — each spark.read+toPandas of a KB-scale table
+            # is a full driver job (~150-250 ms of pure scheduling).
+            # Non-local index stores keep the Spark reader.
+            path = f"{index_dir}/{sub}"
+            if os.path.isdir(path):
+                import pyarrow.parquet as pq
+
+                return pq.read_table(path, columns=cols).to_pandas()
+            return spark.read.parquet(path).select(*cols).toPandas()
+
+        graph_pdf = artifact_pdf("graph", ["src", "dst"])
+        meta_pdf = artifact_pdf("graph_meta", ["entry_id"])
+        upper_pdf = None
+        top = 0
+        layer_factor = 0
+        if layered:
+            lm_pdf = artifact_pdf(
+                "layer_meta", ["n_layers", "layer_factor"])
+            n_layers = int(lm_pdf["n_layers"].iloc[0])
+            layer_factor = int(lm_pdf["layer_factor"].iloc[0])
+            try:
+                upper_pdf = artifact_pdf(
+                    "graph_upper", ["layer", "src", "dst"])
+            except Exception:
+                upper_pdf = None  # every upper layer was < 2 nodes
+            top = n_layers if upper_pdf is not None else 0
+
+        cor = corpus_df.select(
+            F.col(id_col).cast("long").alias("cid"),
+            as_double_array(vec_col).alias("v"),
+        ).toPandas()
+        if len(cor) == 0:
+            return None
+        cids = cor["cid"].to_numpy(dtype="int64")
+        order = np.argsort(cids, kind="stable")
+        cids = cids[order]
+        if len(cids) > 1 and (np.diff(cids) == 0).any():
+            return None  # duplicate ids: let the join path define it
+        V = np.stack(cor["v"].to_numpy())[order].astype(
+            "float64", copy=False)
+        n, dim = V.shape
+        # corpus norms: the l2_norm fold, per-dimension-vectorized
+        accn = np.zeros(n, dtype="float64")
+        for i in range(dim):
+            c = V[:, i]
+            accn = accn + c * c
+        norms = np.sqrt(accn)
+
+        def to_idx(a: "np.ndarray"):
+            ix = np.searchsorted(cids, a)
+            ok = (ix < n) & (cids[np.minimum(ix, n - 1)] == a)
+            return ix, bool(ok.all())
+
+        def build_csr(src_ids, dst_ids):
+            si, s_ok = to_idx(src_ids)
+            di, d_ok = to_idx(dst_ids)
+            if not (s_ok and d_ok):
+                return None
+            o2 = np.argsort(si, kind="stable")
+            si, di = si[o2], di[o2]
+            indptr = np.zeros(n + 1, dtype=np.int64)
+            if len(si):
+                indptr[1:] = np.bincount(si, minlength=n).cumsum()
+            return indptr, di
+
+        g_csr = build_csr(
+            graph_pdf["src"].to_numpy(dtype="int64"),
+            graph_pdf["dst"].to_numpy(dtype="int64"))
+        if g_csr is None:
+            return None
+        uppers = {}
+        for lyr in range(1, top + 1):
+            sub = upper_pdf[upper_pdf["layer"] == lyr]
+            u_csr = build_csr(sub["src"].to_numpy(dtype="int64"),
+                              sub["dst"].to_numpy(dtype="int64"))
+            if u_csr is None:
+                return None
+            uppers[lyr] = u_csr
+        e_idx, e_ok = to_idx(meta_pdf["entry_id"].to_numpy(dtype="int64"))
+        if not e_ok:
+            return None
+        if top > 0:
+            import hashlib
+
+            fpow = layer_factor ** top
+            seed_mask = np.fromiter(
+                (int(hashlib.md5(str(int(c)).encode())
+                     .hexdigest()[:15], 16) % fpow == 0 for c in cids),
+                count=n, dtype=bool)
+            seeds_idx = np.nonzero(seed_mask)[0]
+        else:
+            seeds_idx = np.zeros(0, dtype=np.int64)
+    except Exception:  # structural surprise: serve via the join path
+        logging.getLogger(__name__).warning(
+            "ann local-serve setup failed; using iterative serve",
+            exc_info=True)
+        return None
+
+    bc = spark.sparkContext.broadcast(
+        (cids, V, norms, g_csr, uppers, e_idx, seeds_idx, int(top),
+         int(hops_per_layer), int(descend_beam), int(beam), int(hops),
+         int(k)))
+
+    out_schema = StructType([
+        StructField("query_id", queries_df.schema[id_col].dataType, True),
+        StructField("rank", IntegerType(), True),
+        StructField(id_col, LongType(), True),
+        StructField("cosine_raw", DoubleType(), True),
+    ])
+    q_src = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+    )
+
+    def serve(batches):
+        import numpy as np
+        import pandas as pd
+
+        (cids, V, norms, g_csr, uppers, e_idx, seeds_idx, top, hpl,
+         dbeam, beam_w, hops_n, kk) = bc.value
+        dim = V.shape[1]
+
+        def score(cand, qv, qn):
+            C = V[cand]
+            acc = np.zeros(len(cand), dtype="float64")
+            for i in range(dim):
+                acc = acc + C[:, i] * qv[i]
+            return acc / (norms[cand] * qn)
+
+        def cut(cand, cos, width):
+            key = np.where(np.isnan(cos), -np.inf, -cos)
+            o = np.lexsort((cids[cand], key))[:width]
+            return cand[o], cos[o]
+
+        def neigh(cand, csr):
+            indptr, dst = csr
+            if len(cand) == 0:
+                return cand
+            return np.concatenate(
+                [dst[indptr[c]:indptr[c + 1]] for c in cand])
+
+        for pdf in batches:
+            m = len(pdf)
+            out_qid, out_rank, out_vid, out_cos = [], [], [], []
+            if m:
+                Q = np.stack(pdf["__qv"].to_numpy()).astype(
+                    "float64", copy=False)
+                accq = np.zeros(m, dtype="float64")
+                for i in range(dim):
+                    qc = Q[:, i]
+                    accq = accq + qc * qc
+                qns = np.sqrt(accq)
+            for r in range(m):
+                qv, qn = Q[r], qns[r]
+                qid = pdf["query_id"].iloc[r]
+                if top > 0:
+                    bidx, bcos = cut(
+                        seeds_idx, score(seeds_idx, qv, qn), dbeam)
+                    for lyr in range(top, 0, -1):
+                        u_csr = uppers[lyr]
+                        for _ in range(hpl):
+                            cand = np.unique(np.concatenate(
+                                [bidx, neigh(bidx, u_csr)]))
+                            bidx, bcos = cut(
+                                cand, score(cand, qv, qn), dbeam)
+                    start = np.concatenate([bidx, e_idx])
+                else:
+                    start = e_idx
+                bidx, bcos = start, None
+                for _ in range(hops_n):
+                    cand = np.unique(np.concatenate(
+                        [bidx, neigh(bidx, g_csr)]))
+                    bidx, bcos = cut(cand, score(cand, qv, qn), beam_w)
+                mask = cids[bidx] != qid
+                fi, fc = bidx[mask], bcos[mask]
+                key = np.where(np.isnan(fc), -np.inf, -fc)
+                oo = np.lexsort((cids[fi], key))[:kk]
+                for rk, j in enumerate(oo, 1):
+                    out_qid.append(qid)
+                    out_rank.append(rk)
+                    out_vid.append(cids[fi[j]])
+                    out_cos.append(fc[j])
+            yield pd.DataFrame({
+                "query_id": pd.Series(out_qid,
+                                      dtype=pdf["query_id"].dtype),
+                "rank": pd.Series(out_rank, dtype="int32"),
+                "vec_id_out": pd.Series(out_vid, dtype="int64"),
+                "cosine_raw": pd.Series(out_cos, dtype="float64"),
+            }).rename(columns={"vec_id_out": out_schema[2].name})
+
+    return q_src.mapInPandas(serve, out_schema)
+
+
 def ann_graph_search(
     spark: SparkSession,
     index_dir: str,
@@ -500,6 +783,12 @@ def ann_graph_search(
 
     Returns (query_id, rank, vec_id, cosine_raw) — ``cosine_raw``
     unrounded, as in :func:`ann_query_prebuilt`."""
+    fast = _try_local_serve(
+        spark, index_dir, queries_df, corpus_df, k=k, beam=beam,
+        hops=hops, descend_beam=0, hops_per_layer=0, id_col=id_col,
+        vec_col=vec_col, layered=False)
+    if fast is not None:
+        return fast
     graph = spark.read.parquet(f"{index_dir}/graph").select("src", "dst")
     meta = spark.read.parquet(f"{index_dir}/graph_meta")
     q = queries_df.select(
@@ -588,6 +877,13 @@ def ann_graph_search_layered(
 
     Returns (query_id, rank, vec_id, cosine_raw) — ``cosine_raw``
     unrounded, as in :func:`ann_graph_search`."""
+    fast = _try_local_serve(
+        spark, index_dir, queries_df, corpus_df, k=k, beam=beam,
+        hops=hops, descend_beam=descend_beam,
+        hops_per_layer=hops_per_layer, id_col=id_col, vec_col=vec_col,
+        layered=True)
+    if fast is not None:
+        return fast
     graph = spark.read.parquet(f"{index_dir}/graph").select("src", "dst")
     meta = spark.read.parquet(f"{index_dir}/graph_meta")
     lmeta = spark.read.parquet(f"{index_dir}/layer_meta").first()

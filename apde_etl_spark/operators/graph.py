@@ -260,7 +260,19 @@ def pagerank_integer(
         if materialize_each or (
             checkpoint_every > 0 and (it + 1) % checkpoint_every == 0
         ):
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # eager only when the loop itself runs an action per
+            # iteration (the tol delta below) — there the checkpoint is
+            # free and keeps the delta job off un-truncated lineage.
+            # Otherwise LAZY: localCheckpoint(eager=False) truncates the
+            # logical plan identically AND persists on first compute, so
+            # the twice-per-iteration reference (dangling aggregate +
+            # contribution join) is still computed once — but all
+            # supersteps now execute inside the CALLER's single action
+            # instead of one blocking driver-side job per iteration
+            # (guide §2.4/§5: the per-job latency was pure overhead;
+            # integers, so results are bit-identical either way —
+            # before/after in OPTIMIZATION_r10.md).
+            new_ranks = new_ranks.localCheckpoint(eager=track_delta)
         if track_delta:
             delta = (
                 new_ranks.select("node", F.col("rank").alias("__ra"))
@@ -321,6 +333,12 @@ def bfs_min_hop(
             .withColumn("hop", F.lit(hop))
         )
         if checkpoint_every > 0 and hop % checkpoint_every == 0:
-            frontier = frontier.localCheckpoint(eager=True)
+            # lazy: truncates the plan and persists on first compute
+            # exactly like eager, but the per-level blocking job is
+            # gone — every level executes inside the caller's single
+            # action (same change as pagerank_integer above; the
+            # frontier's two consumers — visited union + next level's
+            # join — read the one cached RDD).
+            frontier = frontier.localCheckpoint(eager=False)
         visited = visited.unionByName(frontier)
     return visited.select("node", F.col("hop").cast("int").alias("hop"))

@@ -748,16 +748,48 @@ def ann_lsh_topk(
         broadcast_threshold_bytes=broadcast_threshold_bytes,
         salt_buckets=salt_buckets,
     ).filter(F.col("id_a") != F.col("id_b"))
-    scored = cand.select(
-        "id_a", "id_b",
-        (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
-            .alias("cosine_sim"),
-    )
+    scored = _pair_cosine_scored(cand, out_col="cosine_sim",
+                                 strategy=strategy)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def _pair_cosine_scored(cand: DataFrame, out_col: str,
+                        strategy: str = "broadcast") -> DataFrame:
+    """(id_a, id_b, out_col) from a candidate frame carrying
+    __va/__vb/__na/__nb. Scorer choice follows the candidate-join
+    strategy the caller already resolved from corpus size:
+
+    - ``"broadcast"`` (corpus under the threshold → bounded candidate
+      volume): the in-plan JVM HOF fold. Measured at the gate corpora
+      (sf0.1, ~60k candidate pairs): the fold is NOT the cost there,
+      and an Arrow stage's fixed exchange adds ~0.2s
+      (ann_lsh_topk 1.13s fold vs 1.33s Arrow — OPTIMIZATION_r10.md).
+    - ``"shuffle"`` (corpus past the threshold → candidate volume is
+      the cost center, ~n²/2^planes folds): :func:`arrow_pair_cosine`
+      (guide §4.2) — the seam the insertion build proved bit-identical
+      and ~two orders cheaper per pair at millions of rows.
+
+    ``SPARK_GRAFT_ANN_ARROW=0`` forces the JVM fold everywhere (the
+    insertion build honors the same flag). Results are bit-identical on
+    every path (the Arrow scorer preserves the fold's IEEE-754 op
+    order; parity pinned in tests/test_similarity_arrow_seam.py)."""
+    import os
+
+    use_arrow = (strategy == "shuffle"
+                 and os.environ.get("SPARK_GRAFT_ANN_ARROW", "1") != "0")
+    if use_arrow:
+        return arrow_pair_cosine(
+            cand, keys=("id_a", "id_b"), a_col="__va", b_col="__vb",
+            na_col="__na", nb_col="__nb", out_col=out_col)
+    return cand.select(
+        "id_a", "id_b",
+        (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
+            .alias(out_col),
     )
 
 
@@ -826,15 +858,9 @@ def _ann_lsh_topk_multitable(
                           F.col("__n").alias("__na"))
     vb = with_keys.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
                           F.col("__n").alias("__nb"))
-    scored = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a", "id_b",
-            (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
-                .alias("cosine_sim"),
-        )
-    )
+    scored = _pair_cosine_scored(
+        cand.join(va, "id_a").join(vb, "id_b"), out_col="cosine_sim",
+        strategy=strategy)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine_sim"), F.asc("id_b"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -888,11 +914,8 @@ def embed_neardup_pairs(
         broadcast_threshold_bytes=broadcast_threshold_bytes,
         salt_buckets=salt_buckets,
     ).filter(F.col("id_a") < F.col("id_b"))
-    scored = cand.select(
-        "id_a", "id_b",
-        (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
-            .alias("cosine_sim"),
-    )
+    scored = _pair_cosine_scored(cand, out_col="cosine_sim",
+                                 strategy=strategy)
     return scored.filter(F.col("cosine_sim") >= F.lit(threshold))
 
 

@@ -263,3 +263,77 @@ def test_hnsw_recall_floor_and_beats_nothing_lost(spark, sf_dir):
     r = ann_recall_hnsw(spark, sf_dir).first()
     assert r["n_exact"] > 0
     assert r["recall_at_k"] >= 0.35
+
+
+def test_local_serve_parity_bit_exact(spark, sf_dir, tmp_path,
+                                      monkeypatch):
+    """The size-gated broadcast-index serve (round 10) must reproduce
+    the iterative join-per-hop walk BIT-FOR-BIT — flat and layered,
+    including the float64 cosines — and must respect its gates
+    (SPARK_GRAFT_ANN_LOCAL_SERVE=0 and SPARK_GRAFT_ANN_BCAST_ROWS)."""
+    import struct
+
+    import pyspark.sql.functions as F
+
+    from apde_etl_spark.operators.ann_index import (
+        ann_graph_search,
+        ann_graph_search_layered,
+        build_knn_graph,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = str(tmp_path / "hidx")
+    build_knn_graph(emb, d, n_neighbors=4, n_entries=8, n_long_links=2,
+                    n_layers=2, layer_factor=8, layer_neighbors=3)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def canon(rows):
+        return sorted(
+            tuple(struct.pack(">d", v).hex() if isinstance(v, float)
+                  else v for v in r) for r in rows)
+
+    for fn, kw in [
+        (ann_graph_search, dict(k=3, beam=6, hops=2)),
+        (ann_graph_search_layered,
+         dict(k=3, beam=6, hops=2, descend_beam=4, hops_per_layer=1)),
+    ]:
+        monkeypatch.delenv("SPARK_GRAFT_ANN_LOCAL_SERVE", raising=False)
+        fast_df = fn(spark, d, queries, emb, **kw)
+        # the fast path IS taken: single Arrow stage, no per-hop joins
+        plan = fast_df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan and "Join" not in plan
+        fast = fast_df.collect()
+        monkeypatch.setenv("SPARK_GRAFT_ANN_LOCAL_SERVE", "0")
+        it_df = fn(spark, d, queries, emb, **kw)
+        assert "MapInPandas" not in \
+            it_df._jdf.queryExecution().executedPlan().toString()
+        assert canon(fast) == canon(it_df.collect())
+    # rows gate: a cap below the corpus size forces the iterative path
+    monkeypatch.delenv("SPARK_GRAFT_ANN_LOCAL_SERVE", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_ANN_BCAST_ROWS", "3")
+    gated = ann_graph_search(spark, d, queries, emb, k=3, beam=6, hops=2)
+    assert "MapInPandas" not in \
+        gated._jdf.queryExecution().executedPlan().toString()
+
+
+def test_local_serve_level_seeds_match_node_levels(spark, sf_dir):
+    """The fast path recomputes HNSW level assignment driver-side via
+    hashlib.md5(str(id)); it must agree with node_levels' hash60 column
+    for every corpus id (the descent seed set depends on it)."""
+    import hashlib
+
+    from apde_etl_spark.operators.ann_index import node_levels
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r["vec_id"]: r["lvl"]
+           for r in node_levels(emb, "vec_id", 3, 8).collect()}
+
+    def py_lvl(cid: int) -> int:
+        h = int(hashlib.md5(str(int(cid)).encode()).hexdigest()[:15], 16)
+        lvl = 0
+        for l in range(1, 4):
+            if h % (8 ** l) == 0:
+                lvl = l
+        return lvl
+
+    assert got and all(py_lvl(c) == lv for c, lv in got.items())

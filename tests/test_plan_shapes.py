@@ -592,14 +592,25 @@ def test_q16_not_in_runs_as_broadcast_anti_join(spark, sf_dir, qs):
 
 
 def test_ann_graph_serve_plan_reads_frozen_artifacts(spark, sf_dir, qs):
-    """The beam-search serve plan must contain ZERO construction work:
-    no Python/Arrow stage (the k-NN build's exact_topk_pairs is
-    mapInPandas — it must not appear at query time) and no cartesian
-    all-pairs; candidates come from equi-joins against the persisted
-    adjacency."""
+    """The beam-search serve plan must contain ZERO construction work
+    and no cartesian all-pairs. Under the round-10 size gate the serve
+    is the broadcast-index walk — ONE Arrow stage over the query batch,
+    no joins at all; past the gate (forced here via env) candidates
+    come from equi-joins against the persisted adjacency with no
+    Python stage (the k-NN build's exact_topk_pairs is mapInPandas —
+    it must not appear at query time)."""
     plan = _plan(qs["ann_graph_topk"](spark, sf_dir))
-    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "MapInPandas" in plan and "Join" not in plan
     assert "CartesianProduct" not in plan
+    import os
+
+    os.environ["SPARK_GRAFT_ANN_LOCAL_SERVE"] = "0"
+    try:
+        plan = _plan(qs["ann_graph_topk"](spark, sf_dir))
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        del os.environ["SPARK_GRAFT_ANN_LOCAL_SERVE"]
 
 
 def test_kmv_sketch_uses_window_group_limit(spark, sf_dir, qs):
@@ -636,8 +647,17 @@ def test_ann_hnsw_serve_plan_reads_frozen_artifacts(spark, sf_dir, qs):
     no cartesian all-pairs; descent candidates come from equi-joins
     against the persisted graph_upper adjacency."""
     plan = _plan(qs["ann_hnsw_topk"](spark, sf_dir))
-    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "MapInPandas" in plan and "Join" not in plan
     assert "CartesianProduct" not in plan
+    import os
+
+    os.environ["SPARK_GRAFT_ANN_LOCAL_SERVE"] = "0"
+    try:
+        plan = _plan(qs["ann_hnsw_topk"](spark, sf_dir))
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        del os.environ["SPARK_GRAFT_ANN_LOCAL_SERVE"]
 
 
 def test_kmv_difference_serves_from_broadcast_sketch_state(spark, sf_dir, qs):
