@@ -65,6 +65,133 @@ def degree_table(edges: DataFrame, src: str = "src") -> DataFrame:
     )
 
 
+def _pagerank_local_edges_gate() -> int:
+    import os
+
+    try:
+        return int(os.environ.get("SPARK_GRAFT_PR_LOCAL_EDGES", "2000000"))
+    except ValueError:
+        return 2_000_000
+
+
+def _pagerank_local_try(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame,
+    is_seed: Column,
+    uniform_init: bool,
+    dangling: str,
+    iters: int,
+    scale: int,
+    damp_num: int,
+    damp_den: int,
+    n_nodes: int,
+    n_seed: int,
+    tp_seed: int,
+    tol: int | None,
+) -> DataFrame | None:
+    """Driver-side twin of the superstep loop, or None past the gate /
+    on any structural surprise (non-long node ids, null endpoints,
+    duplicate universe rows).
+
+    Fidelity: ranks/degrees/sums are int64 throughout; ``a // b`` on
+    non-negative int64 == SQL ``div``; the per-dst contribution sum is
+    an exact integer scatter-add (np.add.at — NOT bincount, whose
+    float64 weights would round); sums are order-independent by
+    integer associativity, exactly the property that makes the
+    distributed loop hash-gateable in the first place. The seed
+    predicate is evaluated by Spark itself inside the one nodes
+    collect, so arbitrary Column predicates keep engine semantics."""
+    import logging
+
+    gate = _pagerank_local_edges_gate()
+    if gate <= 0:
+        return None
+    from pyspark.sql.types import LongType
+
+    try:
+        if not isinstance(edges.schema[src].dataType, LongType):
+            return None
+        if not isinstance(edges.schema[dst].dataType, LongType):
+            return None
+        if edges.select(src).limit(gate + 1).count() > gate:
+            return None
+
+        import numpy as np
+
+        ep = edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d")).toPandas()
+        nd = nodes.select(
+            F.col("node"), is_seed.alias("sd")).toPandas()
+        ids = nd["node"].to_numpy(dtype="int64")
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        n = len(ids)
+        if n != n_nodes or (n > 1 and (np.diff(ids) == 0).any()):
+            return None  # duplicate/NULL universe rows: joins define it
+        seed_mask = nd["sd"].to_numpy(dtype="bool")[order]
+        es = ep["s"].to_numpy(dtype="int64")
+        ed = ep["d"].to_numpy(dtype="int64")
+
+        si = np.searchsorted(ids, es)
+        if not bool(((si < n) & (ids[np.minimum(si, n - 1)] == es)).all()):
+            return None  # an edge source outside the node universe
+        di = np.searchsorted(ids, ed)
+        d_ok = (di < n) & (ids[np.minimum(di, n - 1)] == ed)
+        if dangling == "redistribute":
+            if not bool(d_ok.all()):
+                return None  # universe = src ∪ dst: every dst resolves
+        else:
+            # drop mode: universe = out-edge nodes; mass into pure
+            # sinks vanishes — drop those edges from the scatter.
+            si, di = si[d_ok], di[d_ok]
+
+        deg = np.zeros(n, dtype="int64")
+        np.add.at(deg, np.searchsorted(ids, es), 1)
+        has_out = deg > 0
+        sinks = ~has_out
+        tp_vec = np.where(seed_mask, np.int64(tp_seed), np.int64(0))
+        ranks = (np.full(n, scale // n_nodes, dtype="int64")
+                 if uniform_init else
+                 np.where(seed_mask, np.int64(scale // n_seed),
+                          np.int64(0)))
+
+        shares = np.zeros(n, dtype="int64")
+        for _ in range(iters):
+            np.floor_divide(ranks, deg, out=shares, where=has_out)
+            shares[sinks] = 0
+            sums = np.zeros(n, dtype="int64")
+            np.add.at(sums, di, shares[si])
+            if dangling == "redistribute":
+                dm = int(ranks[sinks].sum())
+                new_ranks = tp_vec + (damp_num
+                                      * (sums + dm // n_nodes)) // damp_den
+            else:
+                new_ranks = tp_vec + (damp_num * sums) // damp_den
+            if tol is not None:
+                delta = int(np.abs(new_ranks - ranks).sum())
+                ranks = new_ranks
+                if delta <= tol:
+                    break
+            else:
+                ranks = new_ranks
+    except Exception:
+        logging.getLogger(__name__).warning(
+            "pagerank local fast path failed; using the distributed "
+            "loop", exc_info=True)
+        return None
+
+    import pandas as pd
+
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame({"node": pd.Series(ids, dtype="int64"),
+                      "rank": pd.Series(ranks, dtype="int64")}),
+        schema="node bigint, rank bigint",
+    )
+
+
 def pagerank_integer(
     edges: DataFrame,
     src: str = "src",
@@ -170,6 +297,26 @@ def pagerank_integer(
     # off-seed. Python // on positive ints == SQL div — same integers
     # the round-5 crossJoin formulation produced, now literals.
     tp_seed = ((damp_den - damp_num) * scale) // (damp_den * n_seed)
+
+    # Size-gated driver fast path (the connected_components precedent):
+    # a post-join edge list is two longs per row, so up to the gate the
+    # whole fixed-point recurrence runs in numpy on ONE collect —
+    # int64 floor division / scatter-add / sums, the identical integers
+    # in the identical order-independent arithmetic — instead of ~2
+    # shuffle stages + 2 broadcast builds PER ITERATION whose fixed
+    # scheduling cost dominates at driver-scale graphs. Past the gate
+    # (or SPARK_GRAFT_PR_LOCAL_EDGES=0) the distributed loop below is
+    # unchanged — that is the 100 TB path (co-partition edges and ranks
+    # on the node id). Results are bit-identical (parity test-pinned in
+    # tests/test_graph.py; every entry hash-gated).
+    local = _pagerank_local_try(
+        edges, src, dst, nodes, is_seed,
+        uniform_init=(seed_pred is None), dangling=dangling, iters=iters,
+        scale=scale, damp_num=damp_num, damp_den=damp_den,
+        n_nodes=n_nodes, n_seed=n_seed, tp_seed=tp_seed, tol=tol,
+    )
+    if local is not None:
+        return local
     if seed_pred is None:
         ranks = nodes.select(
             "node", F.lit(scale // n_nodes).cast("long").alias("rank")

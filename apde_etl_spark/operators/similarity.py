@@ -2309,6 +2309,27 @@ def sq8_dequantize(
     return F.transform(qv, d)
 
 
+def _sq8_roundtrip_py(
+    vec: list[float], mins: list[float], maxs: list[float]
+) -> list[float]:
+    """Driver-side twin of ``sq8_dequantize(sq8_quantize(x))`` for ONE
+    vector: the same IEEE-754 double ops in the same order as the
+    column expressions (Python floats ARE IEEE doubles), so the result
+    is bit-identical to evaluating the Spark columns on that row."""
+    import math
+
+    out = []
+    for x, lo, hi in zip(vec, mins, maxs):
+        span = hi - lo
+        if span == 0.0:
+            q = 0
+        else:
+            raw = math.floor((x - lo) / span * 255.0 + 0.5)
+            q = min(255, max(0, int(raw)))
+        out.append(lo + float(q) * (span / 255.0))
+    return out
+
+
 def ann_sq8_topk(
     df: DataFrame,
     query_id: int,
@@ -2326,17 +2347,35 @@ def ann_sq8_topk(
 
     Output: (id, exact cosine, sq8 approximate cosine) — keeping both
     makes the quantization error directly observable."""
-    mins, maxs = sq8_train_bounds(df, vec_col=vec_col, dim=dim)
+    # ONE training action instead of two: the per-dimension bounds AND
+    # the query's raw vector come from the same aggregate pass
+    # (min/max are unaffected by the extra first() slots), then the
+    # query's quantize/dequantize runs driver-side — the identical
+    # IEEE-754 expression tree on the identical doubles, so qdv is
+    # bit-equal to evaluating the Spark column (pinned by
+    # tests/test_dedup_similarity.py::test_sq8_python_quantize_twin).
+    v = F.col(vec_col)
+    q_slot = F.first(
+        F.when(F.col(id_col) == query_id, as_double_array(vec_col)),
+        ignorenulls=True,
+    ).alias("__q")
+    row = df.agg(
+        *[F.min(v[i].cast("double")).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(v[i].cast("double")).alias(f"mx{i}") for i in range(dim)],
+        q_slot,
+    ).first()
+    if row["__q"] is None:
+        raise ValueError(f"query id {query_id} not found in {id_col}")
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    qraw = [float(x) for x in row["__q"]]
     dq = sq8_dequantize(sq8_quantize(vec_col, mins, maxs), mins, maxs)
     base = df.select(
         F.col(id_col), dq.alias("__dv"),
         as_double_array(vec_col).alias("__v"),
     )
-    qrow = base.filter(F.col(id_col) == query_id).select("__dv", "__v").first()
-    if qrow is None:
-        raise ValueError(f"query id {query_id} not found in {id_col}")
-    qdv = F.array(*[F.lit(float(x)) for x in qrow["__dv"]])
-    qv = F.array(*[F.lit(float(x)) for x in qrow["__v"]])
+    qdv = F.array(*[F.lit(x) for x in _sq8_roundtrip_py(qraw, mins, maxs)])
+    qv = F.array(*[F.lit(x) for x in qraw])
     cand = (
         base.select(id_col, "__v", cosine(F.col("__dv"), qdv).alias("sq8_raw"))
         .orderBy(F.desc("sq8_raw"), F.asc(id_col))

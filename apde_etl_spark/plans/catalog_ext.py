@@ -871,7 +871,6 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT ANTI. The split is a pure projection on the way out."""
     from apde_etl_spark.operators.dedup import connected_components
     from apde_etl_spark.operators.similarity import hash60
-    from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
     n_tok = TX.token_count("text")
@@ -881,16 +880,26 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_tok >= 15) & mtl.between(3.0, 6.0) & (swr > 0.08)
     ).select("doc_id", "text", n_tok.cast("int").alias("n_tokens"))
 
-    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
-    # persisted: feeds BOTH the near-dup stage and the final anti-join —
-    # without it the full scan + filter + md5-window shuffle runs twice
-    # (MEMORY_AND_DISK, so at 100 TB the hot partitions spill, not OOM)
-    dedup = (
-        corpus.withColumn("__min", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("__min"))
-        .drop("__min")
-        .persist()
+    # exact dedup WITHOUT shuffling text bodies (guide §2.3/§8: decide
+    # with small rows, move big rows never): the min-id winner per
+    # md5(text) digest comes from a (digest, doc_id) aggregate — map-side
+    # partial agg, fixed-width shuffle — and survivors attach back by a
+    # SEMI join on the unique doc_id (AQE broadcasts the winner set
+    # while it fits; past that it is a co-partitioned id join — still
+    # one text shuffle max, vs the old md5-window which always
+    # shuffled every surviving body). Same rows as
+    # `doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))`: doc_id is
+    # unique, so membership in the winner set IS the min-of-own-group
+    # predicate.
+    winners = (
+        corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("__dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    # persisted: feeds BOTH the near-dup stage and the final anti-join —
+    # without it the full scan + filter + dedup join runs twice
+    # (MEMORY_AND_DISK, so at 100 TB the hot partitions spill, not OOM)
+    dedup = corpus.join(winners, "doc_id", "semi").persist()
     pairs = SIM.minhash_lsh_pairs(
         dedup, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.2,
         materialize=True,

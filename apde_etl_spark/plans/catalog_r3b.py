@@ -154,6 +154,16 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # thing that happens, and the key stays fixed-width
         F.md5(F.col("gram").cast("binary")).alias("gh"),
     )
+    # the gram-digest projection feeds BOTH split legs: persist it so
+    # the scan + shingle explode + md5 runs once, not once per leg
+    # (guide §2.4 shared-projection rule). What's cached is doc_id +
+    # split + the fixed-width 128-bit digest — never gram text — so the
+    # cache is explode-sized but narrow, and MEMORY_AND_DISK spills
+    # rather than OOMs at corpus scale. Results untouched: the legs
+    # read the identical rows they used to recompute.
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    grams = tracked_persist(grams, scope="text")
     ho = grams.filter(F.col("split") == "holdout").select("gh")
     tr = grams.filter(F.col("split") == "train").select("doc_id", "gh")
     # left_semi: each (train doc, gram) row survives at most once no
@@ -423,12 +433,24 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_logistic("text").alias("p"),
     )
     train = scored.filter((F.col("split") == "train") & (F.col("p") >= 0.5))
-    wdd = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
-    dedup = (
-        train.withColumn("__rn", F.row_number().over(wdd))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    # exact dedup without shuffling text bodies (the corpus_pipeline
+    # rewrite, guide §2.3/§8): min-id winner per content digest from a
+    # fixed-width (digest, id) aggregate, survivors attached by a SEMI
+    # join on the unique doc_id — row_number()=1 ordered by doc_id IS
+    # the min id, so the kept rows are identical. Persisted: the
+    # deduped projection (incl. the logistic quality score, the most
+    # expensive per-row expression in the plan) feeds BOTH the
+    # tr_grams explode and the final anti-join — unpersisted, the scan
+    # + score + dedup ran twice.
+    winners = (
+        train.groupBy(F.md5(F.col("text").cast("binary")).alias("__dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    dedup = tracked_persist(train.join(winners, "doc_id", "semi"),
+                            scope="text")
     ho = (
         scored.filter(F.col("split") == "holdout")
         .select(F.explode(SIM.word_shingles(F.col("text"), _DECON_N)).alias("gram"))

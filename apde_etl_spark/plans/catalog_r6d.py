@@ -94,15 +94,24 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate Spark does best — no second pass, no ``F.corr`` per
     pair (which would rescan per coefficient)."""
     li = load(spark, sf_dir, "lineitem")
+    # round+cast each measure ONCE in a projection below the aggregate:
+    # inlined into the 14 sum expressions, the half-away rounding chain
+    # (signum/abs/floor) was re-evaluated per aggregate that references
+    # the column — up to 6x per row per column; aggregate-buffer
+    # updates don't share subexpressions the way a projection does
+    # (guide §1.2 per-task work). Same expressions, same decimal
+    # values, bit-identical sums (A/B-verified equal collect).
+    dec = li.select(*[
+        round_half_away(F.col(c), 2).cast("decimal(15,2)").alias(f"__d_{c}")
+        for c in _CORR_COLS
+    ])
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
-    dec = {c: round_half_away(F.col(c), 2).cast("decimal(15,2)")
-           for c in _CORR_COLS}
     for i, a in enumerate(_CORR_COLS):
-        aggs.append(F.sum(dec[a]).cast("double").alias(f"s_{a}"))
+        aggs.append(F.sum(F.col(f"__d_{a}")).cast("double").alias(f"s_{a}"))
         for b in _CORR_COLS[i:]:
-            aggs.append(F.sum(dec[a] * dec[b]).cast("double")
-                        .alias(f"s_{a}_{b}"))
-    m = li.agg(*aggs)
+            aggs.append(F.sum(F.col(f"__d_{a}") * F.col(f"__d_{b}"))
+                        .cast("double").alias(f"s_{a}_{b}"))
+    m = dec.agg(*aggs)
     # derive all 10 coefficients FROM THE ONE MOMENT ROW by exploding
     # an array of structs — a 10-way union of selects would re-plan
     # (and re-scan) the aggregate per arm, since each arm prunes to

@@ -111,11 +111,19 @@ def perplexity_heldout_score(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.size("t") >= 2))
     train = d.filter(F.col("doc_id") % _HOLD_MOD != 0)
     test = d.filter(F.col("doc_id") % _HOLD_MOD == 0)
-    cnt = _bigrams(train, False).groupBy("prev", "cur").agg(
-        F.count(F.lit(1)).alias("cb"))
+    # share the train-side bigram projection between the count table
+    # and the vocabulary (prev ∪ cur covers every token position of a
+    # >= 2-token doc, so the distinct set is identical to re-exploding
+    # tokens) — the round-10 perplexity_bigram_score rewrite: train
+    # scans 2 -> 1, results untouched.
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    tbg = tracked_persist(_bigrams(train, False), scope="text")
+    cnt = tbg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
     ctx = cnt.groupBy("prev").agg(F.sum("cb").alias("cp"))
-    vsz = train.select(F.explode("t").alias("w")).agg(
-        F.countDistinct("w").alias("vsz"))
+    vsz = (tbg.select(F.col("prev").alias("w"))
+           .unionAll(tbg.select(F.col("cur").alias("w")))
+           .agg(F.countDistinct("w").alias("vsz")))
     lp = F.log(
         (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(_PPL_K))
         / (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(_PPL_K) * F.col("vsz")))

@@ -29,4 +29,19 @@ def get_spark(app_name: str = "apde-etl-spark", shuffle_partitions: int | None =
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Scale-dependent I/O knobs (guide §6/§9), env-parameterised with
+    # Spark's own defaults locally so the driver's bench stays
+    # comparable; production values are justified in
+    # OPTIMIZATION_r10.md (e.g. 1g splits for large sequential scans,
+    # zstd parquet, 256m advisory shuffle partitions).
+    for key, env in (
+        ("spark.sql.files.maxPartitionBytes",
+         "SPARK_GRAFT_MAX_PARTITION_BYTES"),
+        ("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+         "SPARK_GRAFT_ADVISORY_PARTITION_BYTES"),
+        ("spark.sql.parquet.compression.codec", "SPARK_GRAFT_PARQUET_CODEC"),
+        ("spark.io.compression.codec", "SPARK_GRAFT_IO_CODEC"),
+    ):
+        if env in os.environ:
+            builder = builder.config(key, os.environ[env])
     return builder.getOrCreate()

@@ -171,3 +171,59 @@ def test_tol_early_stop_matches_full_run(spark):
     # a loose tol still returns a valid full-universe rank vector
     loose = _ranks(pagerank_integer(edges, iters=20, tol=10**9))
     assert set(loose) == {1, 2, 3}
+
+
+def test_local_fast_path_parity_bit_exact(spark, monkeypatch):
+    """The size-gated driver fast path (round 10) must reproduce the
+    distributed superstep loop EXACTLY — same int64 arithmetic, every
+    mode: drop / redistribute / personalized / tol early-stop — and
+    respect its SPARK_GRAFT_PR_LOCAL_EDGES gate."""
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators import graph as G
+
+    taken = []
+    real = G._pagerank_local_try
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        taken.append(out is not None)
+        return out
+
+    monkeypatch.setattr(G, "_pagerank_local_try", spy)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5), (5, 5), (2, 5),
+         (6, 1), (6, 7), (7, 8)],
+        "src long, dst long")
+    cases = [
+        dict(iters=5),
+        dict(iters=5, dangling="redistribute"),
+        dict(iters=5, seed_pred=(F.col("node") % 2 == 0)),
+        dict(iters=20, tol=0),
+        dict(iters=6, dangling="redistribute", tol=10**6),
+    ]
+    for kw in cases:
+        monkeypatch.delenv("SPARK_GRAFT_PR_LOCAL_EDGES", raising=False)
+        taken.clear()
+        fast = _ranks(pagerank_integer(edges, **kw))
+        assert taken == [True], kw  # local path taken
+        monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_EDGES", "0")
+        taken.clear()
+        slow = _ranks(pagerank_integer(edges, **kw))
+        assert taken == [False], kw  # distributed loop taken
+        assert fast == slow, kw
+    # a gate below the edge count also forces the distributed loop
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_EDGES", "3")
+    taken.clear()
+    assert set(_ranks(pagerank_integer(edges, iters=3))) and taken == [False]
+
+
+def test_local_fast_path_declines_int_ids(spark, monkeypatch):
+    """Non-long node ids fall back to the distributed loop (the local
+    path would change the output schema)."""
+    monkeypatch.delenv("SPARK_GRAFT_PR_LOCAL_EDGES", raising=False)
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    df = pagerank_integer(edges, iters=2)
+    assert "Join" in df._jdf.queryExecution().executedPlan().toString()
+    assert set(_ranks(df)) == {1, 2}

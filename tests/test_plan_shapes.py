@@ -397,10 +397,14 @@ def test_q5_pushes_date_filter_and_broadcasts_dims(spark, sf_dir, qs):
     assert "BroadcastHashJoin" in plan
 
 
-def test_pagerank_iteration_shuffles_on_node_only(spark, sf_dir, qs):
+def test_pagerank_iteration_shuffles_on_node_only(spark, sf_dir, qs,
+                                                  monkeypatch):
     """With the node-sized frames under the broadcast gate, the
     remaining per-iteration exchange is the groupBy(dst) — no
-    SortMergeJoin towers at test SF."""
+    SortMergeJoin towers at test SF. (Distributed loop forced: under
+    the round-10 size gate this entry serves from the driver fast
+    path, whose plan is a local scan.)"""
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_EDGES", "0")
     plan = _plan(qs["graph_pagerank_copurchase"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -454,12 +458,14 @@ def test_q22_catalyst_decorrelates_subqueries(spark, sf_dir, qs):
     assert plan.count("Scan parquet") <= 6
 
 
-def test_pagerank_checkpoint_bounds_plan_depth(spark):
+def test_pagerank_checkpoint_bounds_plan_depth(spark, monkeypatch):
     """Iterative lineage must not grow unboundedly: with
     checkpoint_every the physical plan of the FINAL iteration hangs off
     a checkpoint scan, so its size is O(k), independent of total
     iteration count — the property that keeps 25+-iteration runs
-    plannable."""
+    plannable. (Distributed loop forced past the round-10 fast path —
+    the property under test is the loop's lineage, not the gate.)"""
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_EDGES", "0")
     from apde_etl_spark.operators.graph import pagerank_integer
 
     edges = spark.createDataFrame(

@@ -77,3 +77,35 @@ def test_sq8_rerank_scores_match_exact_brute_force(emb):
     assert out.keys() == exact.keys()
     for vid, c in out.items():
         assert c == pytest.approx(exact[vid], abs=0.0)
+
+
+def test_sq8_python_quantize_twin_bit_exact(spark, sf_dir):
+    """_sq8_roundtrip_py (the driver-side quantize→dequantize used for
+    the query vector since round 10) must be bit-identical to the Spark
+    column expressions on EVERY corpus vector."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from apde_etl_spark.operators.similarity import (
+        _sq8_roundtrip_py,
+        as_double_array,
+        sq8_dequantize,
+        sq8_quantize,
+        sq8_train_bounds,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mins, maxs = sq8_train_bounds(emb)
+    rows = emb.select(
+        "vec_id",
+        as_double_array("embedding").alias("raw"),
+        sq8_dequantize(sq8_quantize("embedding", mins, maxs),
+                       mins, maxs).alias("dv"),
+    ).collect()
+    assert rows
+    for r in rows:
+        py = _sq8_roundtrip_py([float(x) for x in r["raw"]], mins, maxs)
+        spark_hex = [struct.pack(">d", v).hex() for v in r["dv"]]
+        py_hex = [struct.pack(">d", v).hex() for v in py]
+        assert spark_hex == py_hex, r["vec_id"]
