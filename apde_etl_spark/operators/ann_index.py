@@ -1133,6 +1133,28 @@ def build_knn_graph_insert(
     if use_arrow is None:
         use_arrow = _os.environ.get("SPARK_GRAFT_ANN_ARROW", "1") != "0"
     spark = df.sparkSession
+
+    def _ckpt(frame: DataFrame) -> DataFrame:
+        """Eager localCheckpoint + ORIGIN-STATS STRIP — the round-10
+        fix for the ≥100k build wall. `Dataset.localCheckpoint`
+        preserves the source plan's size estimate on the resulting
+        LogicalRDD; inside this loop that estimate is itself a product
+        of per-round join estimates, so each batch's adjacency carries
+        a size ~(previous batch's size)^(rounds) — the DIGIT COUNT of
+        the BigInteger grows geometrically per batch, and by ~100k
+        vectors Catalyst stats evaluation (one Toom-Cook multiply per
+        visited plan node, single-threaded on the driver) dominates
+        the whole build (thread-dump evidence in BASELINE.md round
+        10). Rebinding the checkpointed RDD through
+        internalCreateDataFrame drops originStats — the frame reads
+        the same checkpoint blocks and returns the identical rows;
+        only the ESTIMATE resets (to defaultSizeInBytes), and AQE
+        re-picks join strategies from true runtime sizes."""
+        ck = frame.localCheckpoint(eager=True)
+        jdf = ck._jdf
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(jnew, spark)
     e = df.select(
         F.col(id_col).cast("long").alias("__id"),
         as_double_array(vec_col).alias("__v"),
@@ -1140,16 +1162,14 @@ def build_knn_graph_insert(
     lv = node_levels(
         df.select(F.col(id_col).cast("long").alias("__id")),
         "__id", n_layers, layer_factor)
-    nodes = (
+    nodes = _ckpt(
         e.join(lv, "__id")
         .withColumn("__rn", F.row_number().over(Window.orderBy("__id")) - 1)
-        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
 
     boot = nodes.filter(F.col("__rn") < boot_rows)
-    adj0 = _knn_edges_cos(boot, n_neighbors, use_arrow=use_arrow) \
-        .localCheckpoint(eager=True)
+    adj0 = _ckpt(_knn_edges_cos(boot, n_neighbors, use_arrow=use_arrow))
     adjU = None
     for l in range(1, n_layers + 1):
         sub = boot.filter(F.col("lvl") >= l)
@@ -1157,10 +1177,9 @@ def build_knn_graph_insert(
                              use_arrow=use_arrow).select(
             F.lit(l).cast("int").alias("layer"), "src", "dst", "__cos")
         adjU = arm if adjU is None else adjU.unionByName(arm)
-    adjU = adjU.localCheckpoint(eager=True)
-    ent0 = _entry_frame(boot, "__id", n_entries, n_neighbors) \
-        .select(F.col("entry_id").alias("__cid")) \
-        .localCheckpoint(eager=True)
+    adjU = _ckpt(adjU)
+    ent0 = _ckpt(_entry_frame(boot, "__id", n_entries, n_neighbors)
+                 .select(F.col("entry_id").alias("__cid")))
 
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("__cos"), F.asc("__cid"))
@@ -1220,10 +1239,9 @@ def build_knn_graph_insert(
                 .distinct()
                 .join(visited, ["query_id", "__cid"], "left_anti")
             )
-            beam2 = cut(beam.unionAll(score(new)), width) \
-                .localCheckpoint(eager=True)
-            visited2 = visited.unionAll(new.select("query_id", "__cid")) \
-                .localCheckpoint(eager=True)
+            beam2 = _ckpt(cut(beam.unionAll(score(new)), width))
+            visited2 = _ckpt(
+                visited.unionAll(new.select("query_id", "__cid")))
             return beam2, visited2
 
         # seeds: bootstrap entries ∪ every current top-level node
@@ -1233,12 +1251,11 @@ def build_knn_graph_insert(
                 .select("__cid"))
             .distinct()
         )
-        beam = cut(
-            score(q.select("query_id").crossJoin(seeds)), descend_beam
-        ).localCheckpoint(eager=True)
+        beam = _ckpt(cut(
+            score(q.select("query_id").crossJoin(seeds)), descend_beam))
         # descent phase: constant width, so ONE visited set spans layers
-        visited = q.select("query_id").crossJoin(seeds) \
-            .select("query_id", "__cid").localCheckpoint(eager=True)
+        visited = _ckpt(q.select("query_id").crossJoin(seeds)
+                        .select("query_id", "__cid"))
 
         layer_beams: dict[int, DataFrame] = {}
         for l in range(n_layers, 0, -1):
@@ -1273,8 +1290,7 @@ def build_knn_graph_insert(
             )
         # layer-0 phase: width changes (descend_beam -> insert_beam), so
         # the visited set RESETS to the incoming beam's ids
-        visited = beam.select("query_id", "__cid") \
-            .localCheckpoint(eager=True)
+        visited = _ckpt(beam.select("query_id", "__cid"))
         for _ in range(insert_hops):
             beam, visited = walk_round(beam, visited, edges0, insert_beam)
 
@@ -1283,9 +1299,8 @@ def build_knn_graph_insert(
             "__cos")
         rev0 = out0.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "__cos")
-        adj0 = _prune_adj(
-            adj0.unionAll(out0).unionAll(rev0), n_neighbors
-        ).localCheckpoint(eager=True)
+        adj0 = _ckpt(_prune_adj(
+            adj0.unionAll(out0).unionAll(rev0), n_neighbors))
 
         newU = None
         for l in range(1, n_layers + 1):
@@ -1306,10 +1321,9 @@ def build_knn_graph_insert(
                 F.col("src").alias("dst"), "__cos")
             arm = oU.unionByName(rU)
             newU = arm if newU is None else newU.unionByName(arm)
-        adjU = _prune_adj(
+        adjU = _ckpt(_prune_adj(
             adjU.unionByName(newU), layer_neighbors, extra_keys=("layer",)
-        ).select("layer", "src", "dst", "__cos") \
-            .localCheckpoint(eager=True)
+        ).select("layer", "src", "dst", "__cos"))
         start *= 2
         # drop Python references to the batch's superseded checkpoint
         # frames NOW: the JVM ContextCleaner can only free their blocks
@@ -1334,20 +1348,18 @@ def build_knn_graph_insert(
             edges = adj0.select("src", "dst")
             if ll_full is not None:
                 edges = edges.unionAll(ll_full.select("src", "dst"))
-            beam = (
+            beam = _ckpt(
                 adj0.select(
                     F.col("src").alias("query_id"),
                     F.col("dst").alias("__cid"), "__cos")
                 .withColumn("__rk", F.row_number().over(wq))
                 .filter(F.col("__rk") <= refresh_beam)
                 .select("query_id", "__cid", "__cos")
-                .localCheckpoint(eager=True)
             )
             # visited set (reset per pass): only never-scored candidates
             # pay the cosine — see walk_round in the batch loop for the
             # equivalence argument (fixed width within the pass)
-            visited = beam.select("query_id", "__cid") \
-                .localCheckpoint(eager=True)
+            visited = _ckpt(beam.select("query_id", "__cid"))
             for _ in range(refresh_hops):
                 new = (
                     beam.join(edges, beam["__cid"] == edges["src"])
@@ -1364,15 +1376,13 @@ def build_knn_graph_insert(
                         "query_id", "__cid",
                         (dot(F.col("__cv"), F.col("__qv"))
                          / (F.col("__cn") * F.col("__qn"))).alias("__cos"))
-                beam = (
+                beam = _ckpt(
                     beam.unionAll(scored)
                     .withColumn("__rk", F.row_number().over(wq))
                     .filter(F.col("__rk") <= refresh_beam)
                     .select("query_id", "__cid", "__cos")
-                    .localCheckpoint(eager=True)
                 )
-                visited = visited.unionAll(new) \
-                    .localCheckpoint(eager=True)
+                visited = _ckpt(visited.unionAll(new))
             ro = (
                 beam.filter(F.col("__cid") != F.col("query_id"))
                 .withColumn("__rk", F.row_number().over(wq))
@@ -1383,9 +1393,8 @@ def build_knn_graph_insert(
             rvo = ro.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"),
                 "__cos")
-            adj0 = _prune_adj(
-                adj0.unionAll(ro).unionAll(rvo), n_neighbors
-            ).localCheckpoint(eager=True)
+            adj0 = _ckpt(_prune_adj(
+                adj0.unionAll(ro).unionAll(rvo), n_neighbors))
 
     # ---- persist in the exact-build artifact layout
     wr = Window.partitionBy("src").orderBy(F.desc("__cos"), F.asc("dst"))
