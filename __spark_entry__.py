@@ -49,6 +49,7 @@ from apde_etl_spark.plans import catalog_r7b  # noqa: E402,F401  (registers on i
 from apde_etl_spark.plans import catalog_r7c  # noqa: E402,F401  (registers on import)
 from apde_etl_spark.plans import catalog_r8  # noqa: E402,F401  (registers on import)
 from apde_etl_spark.plans import catalog_r9  # noqa: E402,F401  (registers on import)
+from apde_etl_spark.plans import catalog_r11  # noqa: E402,F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:

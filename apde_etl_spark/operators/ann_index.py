@@ -493,6 +493,30 @@ def _local_serve_rows_gate() -> int:
         return 200000
 
 
+def _local_serve_budget_bytes() -> int:
+    """Byte budget for the replicated-index payload (round-10 verdict
+    #3): the row gate alone admits a ~1.6 GB broadcast at 200k rows x
+    1024 dims — guide §3.1's driver/executor-OOM failure mode under an
+    innocent-looking gate. The estimate is rows x (dim x 8 + slack)
+    for the vector matrix; the CSR adjacency is bounded by the build's
+    n_neighbors x rows int64s and rides inside the same slack."""
+    import os
+
+    try:
+        return int(os.environ.get("SPARK_GRAFT_ANN_BCAST_BYTES",
+                                  str(256 * 1024 * 1024)))
+    except ValueError:
+        return 256 * 1024 * 1024
+
+
+#: superseded per-index broadcasts, unpersisted (executor blocks freed)
+#: when a newer serve for the same index_dir replaces them — a
+#: long-lived session otherwise accumulates up-to-gate-sized broadcast
+#: blocks per serve call. unpersist (NOT destroy) keeps an old lazy
+#: result re-executable: the driver re-ships the value on demand.
+_SERVE_BCAST_PREV: dict = {}
+
+
 def _try_local_serve(
     spark: SparkSession,
     index_dir: str,
@@ -539,18 +563,66 @@ def _try_local_serve(
         DoubleType,
         IntegerType,
         LongType,
-        ShortType,
         StructField,
         StructType,
     )
 
     try:
+        # LongType only (round-10 ADVICE, medium): the fast path's
+        # output schema declares the id column LongType, while the
+        # iterative path preserves the corpus id's original type — an
+        # Integer/Short corpus must take the join path so the same call
+        # returns the same schema regardless of corpus size or the
+        # SPARK_GRAFT_ANN_LOCAL_SERVE toggle (the PageRank fast path
+        # declines non-long ids for the same reason).
         id_type = corpus_df.schema[id_col].dataType
-        if not isinstance(id_type, (LongType, IntegerType, ShortType)):
+        if not isinstance(id_type, LongType):
             return None
-        # bounded count: at most gate+1 rows are touched, vectors pruned
-        if corpus_df.select(id_col).limit(gate + 1).count() > gate:
+        # ONE bounded probe job: row count, vector-width range and
+        # null-vector presence over at most gate+1 corpus rows. The
+        # byte gate then sizes the would-be broadcast BEFORE anything
+        # is collected; ragged/null corpus vectors decline here too
+        # (the join path defines their semantics).
+        vec_arr = as_double_array(vec_col)
+        p = (corpus_df
+             .select(F.size(vec_arr).alias("__d"))
+             .limit(gate + 1)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.count("__d").alias("nd"),
+                  F.min("__d").alias("dmin"),
+                  F.max("__d").alias("dmax"))
+             .collect()[0])
+        n_rows = int(p["n"])
+        if n_rows > gate or n_rows == 0:
             return None
+        if p["nd"] != n_rows or p["dmin"] is None or p["dmin"] != p["dmax"]:
+            return None
+        dim_c = int(p["dmax"])
+        if dim_c <= 0:
+            return None
+        if n_rows * (dim_c * 8 + 24) > _local_serve_budget_bytes():
+            return None
+        # query-side shape probe (round-10 ADVICE, low): a null or
+        # ragged query vector — or a query dim != corpus dim — would
+        # crash the mapInPandas task at EXECUTION time, past the point
+        # where falling back to the join path is possible. Validate the
+        # whole query side in one job and decline the fast plan when
+        # anything is off; the join path's null-cosine semantics then
+        # apply unchanged.
+        q = (queries_df
+             .select(F.size(vec_arr).alias("__d"),
+                     F.exists(vec_arr, lambda x: x.isNull()).alias("__hn"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.count("__d").alias("nd"),
+                  F.min("__d").alias("dmin"),
+                  F.max("__d").alias("dmax"),
+                  F.sum(F.when(F.col("__hn"), 1).otherwise(0)).alias("nnul"))
+             .collect()[0])
+        if int(q["n"]) > 0:
+            if (q["nd"] != q["n"] or q["dmin"] is None
+                    or q["dmin"] != q["dmax"] or int(q["dmin"]) != dim_c
+                    or int(q["nnul"] or 0) > 0):
+                return None
 
         import numpy as np
 
@@ -659,6 +731,13 @@ def _try_local_serve(
         (cids, V, norms, g_csr, uppers, e_idx, seeds_idx, int(top),
          int(hops_per_layer), int(descend_beam), int(beam), int(hops),
          int(k)))
+    prev = _SERVE_BCAST_PREV.get(index_dir)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
+    _SERVE_BCAST_PREV[index_dir] = bc
 
     out_schema = StructType([
         StructField("query_id", queries_df.schema[id_col].dataType, True),
@@ -1151,10 +1230,18 @@ def build_knn_graph_insert(
         only the ESTIMATE resets (to defaultSizeInBytes), and AQE
         re-picks join strategies from true runtime sizes."""
         ck = frame.localCheckpoint(eager=True)
-        jdf = ck._jdf
-        jnew = spark._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False)
-        return DataFrame(jnew, spark)
+        try:
+            # PRIVATE JVM APIs (Spark 4.x signatures): guarded so a
+            # Spark build/Connect session without them degrades to the
+            # plain eager checkpoint — correct rows, only slower past
+            # ~100k rows where the stats-growth wall returns
+            # (round-10 ADVICE, low).
+            jdf = ck._jdf
+            jnew = spark._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False)
+            return DataFrame(jnew, spark)
+        except Exception:
+            return ck
     e = df.select(
         F.col(id_col).cast("long").alias("__id"),
         as_double_array(vec_col).alias("__v"),

@@ -316,6 +316,64 @@ def test_local_serve_parity_bit_exact(spark, sf_dir, tmp_path,
         gated._jdf.queryExecution().executedPlan().toString()
 
 
+def test_local_serve_byte_gate_and_query_shape(spark, sf_dir, tmp_path,
+                                               monkeypatch):
+    """Round-11 gate hardening: (1) the BYTE budget declines the fast
+    path for a corpus whose replicated payload (rows x dim x 8B) would
+    blow the broadcast budget even when the ROW gate admits it;
+    (2) null / ragged / wrong-dim QUERY vectors decline the fast plan
+    up front (the mapInPandas task could not fall back once running);
+    (3) an Integer-typed corpus id declines (schema stability with the
+    iterative path, which preserves the original id type)."""
+    import pyspark.sql.functions as F
+
+    from apde_etl_spark.operators.ann_index import (
+        ann_graph_search,
+        build_knn_graph,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = str(tmp_path / "bidx")
+    build_knn_graph(emb, d, n_neighbors=4, n_entries=8, n_long_links=2)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    monkeypatch.delenv("SPARK_GRAFT_ANN_LOCAL_SERVE", raising=False)
+
+    def is_fast(df):
+        return "MapInPandas" in \
+            df._jdf.queryExecution().executedPlan().toString()
+
+    # sanity: with default budgets the fast path serves this corpus
+    assert is_fast(ann_graph_search(spark, d, queries, emb,
+                                    k=3, beam=6, hops=2))
+    # (1) byte budget: this corpus is n x dim x 8B + slack; a budget
+    # below that declines even though the row gate (200k) admits it
+    monkeypatch.setenv("SPARK_GRAFT_ANN_BCAST_BYTES", "1024")
+    assert not is_fast(ann_graph_search(spark, d, queries, emb,
+                                        k=3, beam=6, hops=2))
+    monkeypatch.delenv("SPARK_GRAFT_ANN_BCAST_BYTES", raising=False)
+    # (2) ragged queries: one query vector truncated to a shorter dim
+    ragged = queries.select(
+        "vec_id",
+        F.when(F.col("vec_id") == 0, F.slice("embedding", 1, 3))
+        .otherwise(F.col("embedding")).alias("embedding"))
+    assert not is_fast(ann_graph_search(spark, d, ragged, emb,
+                                        k=3, beam=6, hops=2))
+    # null query vector
+    nullq = queries.select(
+        "vec_id",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(
+            F.col("embedding")).alias("embedding"))
+    assert not is_fast(ann_graph_search(spark, d, nullq, emb,
+                                        k=3, beam=6, hops=2))
+    # (3) integer corpus ids: iterative path keeps IntegerType output,
+    # so the long-typed fast path must decline
+    emb_int = emb.select(F.col("vec_id").cast("int").alias("vec_id"),
+                         "embedding")
+    q_int = emb_int.filter(F.col("vec_id") % 50 == 0)
+    assert not is_fast(ann_graph_search(spark, d, q_int, emb_int,
+                                        k=3, beam=6, hops=2))
+
+
 def test_local_serve_level_seeds_match_node_levels(spark, sf_dir):
     """The fast path recomputes HNSW level assignment driver-side via
     hashlib.md5(str(id)); it must agree with node_levels' hash60 column
