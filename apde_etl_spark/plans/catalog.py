@@ -103,11 +103,41 @@ def _source_bytes(path: str, budget: int) -> int:
     return total
 
 
+#: per-session memo of source-table READER PLANS (schema + file
+#: listing), keyed by (path, rebalance) under a weakly-held session —
+#: the role a catalog/metastore plays in a production engine: table
+#: definitions are resolved once per session, not re-inferred from
+#: parquet footers on every query (~30-80 ms of driver latency per
+#: call; guide §6 blesses exactly this class of listing/metadata
+#: cache). NO DATA is cached: the memo holds lazy DataFrames whose
+#: every execution still scans the parquet files.
+_LOAD_PLANS: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
+def _load_plan_cache(spark: SparkSession) -> dict:
+    global _LOAD_PLANS
+    import weakref
+
+    if _LOAD_PLANS is None:
+        _LOAD_PLANS = weakref.WeakKeyDictionary()
+    cache = _LOAD_PLANS.get(spark)
+    if cache is None:
+        cache = {}
+        _LOAD_PLANS[spark] = cache
+    return cache
+
+
 def load(spark: SparkSession, sf_dir: str, table: str,
          rebalance: bool = False) -> DataFrame:
     path = f"{sf_dir}/{table}.parquet"
-    df = spark.read.parquet(path)
-    return ensure_min_parallelism(df, path) if rebalance else df
+    cache = _load_plan_cache(spark)
+    df = cache.get((path, rebalance))
+    if df is None:
+        df = spark.read.parquet(path)
+        if rebalance:
+            df = ensure_min_parallelism(df, path)
+        cache[(path, rebalance)] = df
+    return df
 
 
 def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -138,8 +168,14 @@ def load_events(spark: SparkSession, sf_dir: str,
     when it reads the same file, so both engines agree."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
-    ev = normalize_ts(spark.read.parquet(path))
-    return ensure_min_parallelism(ev, path) if rebalance else ev
+    cache = _load_plan_cache(spark)
+    ev = cache.get((path, "events", rebalance))
+    if ev is None:
+        ev = normalize_ts(spark.read.parquet(path))
+        if rebalance:
+            ev = ensure_min_parallelism(ev, path)
+        cache[(path, "events", rebalance)] = ev
+    return ev
 
 
 def materialize_ctes(sql: str, names: tuple[str, ...]) -> str:

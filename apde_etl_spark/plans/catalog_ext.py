@@ -891,18 +891,35 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))`: doc_id is
     # unique, so membership in the winner set IS the min-of-own-group
     # predicate.
+    # keyed on (digest, winner-id) — see curation_pipeline_end2end's
+    # note: pairing the key makes the window-filter rewrite
+    # row-identical for ANY input, unique doc_ids or not
     winners = (
         corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("__dg"))
         .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
     )
     # persisted: feeds BOTH the near-dup stage and the final anti-join —
     # without it the full scan + filter + dedup join runs twice
-    # (MEMORY_AND_DISK, so at 100 TB the hot partitions spill, not OOM)
-    dedup = corpus.join(winners, "doc_id", "semi").persist()
+    # (MEMORY_AND_DISK, so at 100 TB the hot partitions spill, not OOM).
+    # Scope-tracked (round 11) instead of persist + eager-checkpoint +
+    # unpersist: the old shape ran THREE driver actions per invocation
+    # (minhash pair checkpoint, the connected-components probe, the
+    # final result checkpoint), each walking the full corpus DAG's job
+    # overhead, purely so the cache could be released before returning.
+    # Now the ONLY construct-time action is the components probe (which
+    # materializes the caches it reads), the final anti-join runs in
+    # the CALLER's action, and the cache is released by release_scope
+    # (the same lifecycle every other persisted projection here uses —
+    # the bench and pipeline drivers release per query).
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    dedup = tracked_persist(
+        corpus.withColumn("__dg", F.md5(F.col("text").cast("binary")))
+        .join(winners, ["__dg", "doc_id"], "semi")
+        .drop("__dg"),
+        scope="similarity")
     pairs = SIM.minhash_lsh_pairs(
         dedup, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.2,
-        materialize=True,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     drop = comp.filter(F.col("id") != F.col("component")).select(
@@ -910,18 +927,11 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = dedup.join(F.broadcast(drop), "doc_id", "left_anti")
     bucket = hash60(F.col("doc_id").cast("string")) % 1000
-    result = final.select(
+    return final.select(
         "doc_id",
         "n_tokens",
         F.when(bucket < 50, F.lit("holdout")).otherwise(F.lit("train")).alias("split"),
     )
-    # materialize the (tiny: ids + split tags) result eagerly so the
-    # corpus-sized dedup cache can be RELEASED before returning — without
-    # this every invocation pins a deduped-corpus copy for the session
-    # lifetime (the enforce_error_budget leak class, fixed in round 1)
-    result = result.localCheckpoint(eager=True)
-    dedup.unpersist()
-    return result
 
 
 # ===========================================================================

@@ -148,7 +148,16 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any scale. Released below once the small per-doc result
     # materializes. explode_outer keeps segment-less docs (< _SEG_K
     # tokens) as a NULL-seg row so they still reach the output.
-    seg = (
+    # scope-tracked (round 11) instead of persist + eager final
+    # checkpoint + unpersist: the old shape ran the WHOLE pipeline as a
+    # construct-time action purely to release this cache before
+    # returning (~1s of the entry's wall in driver job overhead). The
+    # caller's own action now materializes the cache once and
+    # release_scope frees it — the standard lifecycle for persisted
+    # projections here.
+    from apde_etl_spark.operators.cache import tracked_persist
+
+    seg = tracked_persist(
         base.select(
             "doc_id", "n_tokens",
             F.size("segs").cast("int").alias("n_segments"),
@@ -157,8 +166,8 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "n_tokens", "n_segments",
             F.when(F.col("seg").isNotNull(), hash60(F.col("seg"))).alias("seg_h"),
-        )
-        .persist()
+        ),
+        scope="text",
     )
     boiler = (
         seg.filter(F.col("seg_h").isNotNull())
@@ -187,8 +196,6 @@ def boilerplate_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clean_tokens"),
         )
     )
-    result = result.localCheckpoint(eager=True)  # one row per doc, 5 ints
-    seg.unpersist()
     return result
 
 

@@ -442,15 +442,23 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive per-row expression in the plan) feeds BOTH the
     # tr_grams explode and the final anti-join — unpersisted, the scan
     # + score + dedup ran twice.
+    # the semi join keys on (digest, winner-id), not the id alone
+    # (round-10 ADVICE): `doc_id = MIN(doc_id) OVER (PARTITION BY
+    # digest)` is a FILTER on the pair, so pairing the join key makes
+    # the rewrite row-identical for ANY input — with duplicate doc_ids
+    # an id-only semi join would also keep rows of OTHER digests that
+    # happen to share a winner id.
     winners = (
         train.groupBy(F.md5(F.col("text").cast("binary")).alias("__dg"))
         .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
     )
     from apde_etl_spark.operators.cache import tracked_persist
 
-    dedup = tracked_persist(train.join(winners, "doc_id", "semi"),
-                            scope="text")
+    dedup = tracked_persist(
+        train.withColumn("__dg", F.md5(F.col("text").cast("binary")))
+        .join(winners, ["__dg", "doc_id"], "semi")
+        .drop("__dg"),
+        scope="text")
     ho = (
         scored.filter(F.col("split") == "holdout")
         .select(F.explode(SIM.word_shingles(F.col("text"), _DECON_N)).alias("gram"))

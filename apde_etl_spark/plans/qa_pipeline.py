@@ -122,6 +122,27 @@ def run_qa_pipeline(df: DataFrame, config: QaConfig) -> QaResults:
         lo, hi = config.time_range
         base = base.filter(F.col("__time").between(lo, hi))
 
+    # Share ONE base-table materialization between the fused profile
+    # pass and the categorical melt (scans 2 -> 1) when the projected
+    # input is cache-sized: below the byte gate the projected/filtered
+    # base persists (scope "qa", released by release_scope like every
+    # other operator cache; the profile pass materializes it, the melt
+    # reads it back as an InMemoryTableScan). Past the gate the plan
+    # is UNCHANGED — two column-pruned scans is the 100 TB shape;
+    # caching a 100 TB base table is not.
+    import os
+
+    from apde_etl_spark.operators.cache import tracked_persist
+    from apde_etl_spark.operators.similarity import plan_size_bytes
+
+    try:
+        cache_gate = int(os.environ.get(
+            "SPARK_GRAFT_QA_CACHE_BYTES", str(256 * 1024 * 1024)))
+    except ValueError:
+        cache_gate = 256 * 1024 * 1024
+    if cache_gate > 0 and plan_size_bytes(base) <= cache_gate:
+        base = tracked_persist(base, scope="qa")
+
     classes = P.classify_columns(base, cols)
     if not classes.profiled:
         raise ValueError(

@@ -19,7 +19,8 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(repo, "plans", "r10")
+    out_dir = os.path.join(
+        repo, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r11"))
     os.makedirs(out_dir, exist_ok=True)
 
     import __spark_entry__ as entrymod
